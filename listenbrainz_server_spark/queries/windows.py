@@ -1,0 +1,262 @@
+"""Window-function inventory queries (SURVEY.md §2.5, §2.6).
+
+Top-K per group, rank variants, lag/lead gaps, sessionization, share
+of total, deterministic shuffle, global top-N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.catalog import load_table
+from listenbrainz_server_spark.operators.sessionize import session_pairs, with_session_ids
+from listenbrainz_server_spark.operators.topk import global_top_k, top_k_per_group
+from listenbrainz_server_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# W1: row_number top-K per group (user/artist.py:87,102). Unique
+# tie-break (o_orderkey) keeps row_number deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "w1_topk_per_group",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS rank
+        FROM orders
+    ) WHERE rank <= 3
+    """,
+    doc="W1 top-K per group via row_number (user/artist.py:87,102)",
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    return top_k_per_group(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# W2/W3: rank + dense_rank (periodic_jams.py:49-55, tags/tags.py:14-22).
+# Tie behavior is deterministic, no tie-break needed.
+# --------------------------------------------------------------------------
+@register(
+    "w2_rank_dense_rank",
+    """
+    WITH agg AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, o_orderstatus, n,
+           CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY n DESC) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY n DESC) AS BIGINT) AS drnk
+    FROM agg
+    """,
+    doc="W2 rank / W3 dense_rank (tags/tags.py:14-22)",
+)
+def w2_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority", "o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("n").desc())
+    return agg.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W4/W5: lag gap + lead lookahead (similarity/recording/common.py:87-103).
+# Tie-break on event_id keeps the ordering total.
+# --------------------------------------------------------------------------
+@register(
+    "w4_lag_lead_gap",
+    """
+    SELECT user_id, event_id,
+           DATE_DIFF('second', LAG(ts) OVER w, ts)  AS gap_s,
+           DATE_DIFF('second', ts, LEAD(ts) OVER w) AS next_gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="W4 lag gap / W5 lead skip detection (similarity/recording/common.py:87-103)",
+)
+def w4_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_l = F.col("ts").cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (ts_l - F.lag(ts_l, 1).over(w)).alias("gap_s"),
+        (F.lead(ts_l, 1).over(w) - ts_l).alias("next_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W6: sessionization via running conditional count
+# (similarity/recording/common.py:95-103).
+# --------------------------------------------------------------------------
+@register(
+    "w6_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               DATE_DIFF('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM gaps
+    """,
+    doc="W6 running-count sessionization (similarity/recording/common.py:95-103)",
+)
+def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_l = F.col("ts").cast("long")
+    gap = ts_l - F.lag(ts_l, 1).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.when(gap > 1800, 1).otherwise(0)).over(run).cast("bigint").alias("session_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J6: within-session co-occurrence pairs (the theta-ish self-join,
+# similarity/recording/common.py:111-125), composed over W6 output.
+# --------------------------------------------------------------------------
+@register(
+    "j6_session_pairs",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               DATE_DIFF('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, event_type,
+               SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+    SELECT a.event_type AS item_a, b.event_type AS item_b, COUNT(*) AS score
+    FROM sessions a
+    JOIN sessions b
+      ON a.user_id = b.user_id AND a.session_id = b.session_id
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    doc="J6 within-session pair self-join (similarity/recording/common.py:111-125)",
+)
+def j6_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Tie-break on event_id to keep session assignment total-ordered.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_l = F.col("ts").cast("long")
+    gap = ts_l - F.lag(ts_l, 1).over(w)
+    sessions = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(F.when(gap > 1800, 1).otherwise(0)).over(run).alias("session_id"),
+    )
+    return session_pairs(sessions, "user_id", "session_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# W7/W8/A14: share of partition total (top_genres.py:89-95).
+# --------------------------------------------------------------------------
+@register(
+    "w8_share_of_total",
+    """
+    WITH agg AS (
+        SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, n,
+           ROUND(n * 100.0 / SUM(n) OVER (PARTITION BY user_id), 6) AS pct,
+           CAST(MAX(n) OVER (PARTITION BY user_id) AS BIGINT) AS max_n
+    FROM agg
+    """,
+    doc="W8 share-of-total + W7 max-over-partition (top_genres.py:89-95, tags.py:23-28)",
+)
+def w8_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id")
+    return agg.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w), 6).alias("pct"),
+        F.max("n").over(w).cast("bigint").alias("max_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W9: "random" diversification rank, made deterministic by ordering on
+# md5(key) — same bytes in any engine (periodic_jams.py:56-64 seeds
+# RANDOM(); we derive the shuffle from the key instead).
+# --------------------------------------------------------------------------
+@register(
+    "w9_shuffle_rank",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY MD5(CAST(o_orderkey AS VARCHAR))
+               ) AS BIGINT) AS pick
+        FROM orders
+    ) WHERE pick <= 2
+    """,
+    doc="W9 deterministic random-shuffle rank (periodic_jams.py:56-64)",
+)
+def w9_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.md5(F.col("o_orderkey").cast("string")))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("pick"),
+        )
+        .where(F.col("pick") <= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# O1: global ORDER BY ... LIMIT (sitewide/artist.py:73-77) —
+# TakeOrderedAndProject, no global sort.
+# --------------------------------------------------------------------------
+@register(
+    "o1_global_topn",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="O1 global top-N (sitewide/artist.py:73-77)",
+)
+def o1_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    return global_top_k(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 20)
