@@ -1,0 +1,177 @@
+"""Deduplication operators for training-data pipelines.
+
+Generalizes the reference's exact dedup (group-by-all-columns,
+listens/delete.py:53-60; ON CONFLICT identity keys,
+listenbrainz/listenstore/timescale_listenstore.py:170-176) into the
+dedup family a 100 TB text pipeline needs:
+
+- exact dedup: hash-groupBy on a normalized fingerprint;
+- n-gram Jaccard: exact set similarity via shingle inverted index
+  (correctness baseline — O(pairs sharing a shingle));
+- MinHash + LSH banding: the scale path — candidate pairs come from
+  band-bucket equality, cost ~O(docs × bands), never all-pairs;
+- SimHash: per-doc locality-sensitive bit signature.
+
+Determinism: all hashing is md5-of-string (identical bytes in any
+engine). SimHash derives each signature bit from one hex char of the
+token md5 (chars 0-7 → 0, 8-f → 1) — no hex→int conversion needed,
+so the DuckDB oracle replicates it verbatim.
+
+Scale notes:
+- The shingle inverted index is built once (explode + distinct) and
+  feeds both Jaccard and MinHash; at 100 TB you persist it bucketed
+  by shingle so the pair-join is co-located.
+- LSH parameters (num_hashes H, bands B, rows R=H/B) trade recall vs
+  candidate volume: P(candidate) = 1-(1-j^R)^B. Callers pick per
+  corpus; defaults H=16, B=8 target j≳0.3.
+- The Jaccard self-join shuffles on shingle; hot shingles (stopword
+  n-grams) are the skew risk — AQE skew-join handles moderate skew,
+  and a document-frequency cap (drop shingles in >D% of docs, the
+  standard trick) bounds it; exposed as ``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One representative row (min id) per normalized-text fingerprint."""
+    fp = fingerprint(F.col(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_shingle_df: int | None = None
+) -> DataFrame:
+    """Distinct (id, shingle) inverted index."""
+    idx = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        keep = freq.where(F.col("_df") <= max_shingle_df).select("shingle")
+        idx = idx.join(F.broadcast(keep), "shingle", "inner") if max_shingle_df else idx
+    return idx
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    shared(a,b) via shingle equi-join; |a∪b| = |a|+|b|-shared.
+    """
+    idx = shingle_index(df, id_col, text_col, n)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = idx.select(F.col(id_col).alias("id_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    idx: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """H minhash values per id: mh_i = min(md5(i || '|' || shingle)).
+
+    Lexicographic min over hex strings — identical in every engine.
+    One groupBy computes all H mins (single shuffle).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return idx.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: ids sharing ≥1 band bucket.
+
+    Bucket join is an equi join on (band_id, band_key) — the scale
+    path: no all-pairs comparison ever materializes.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(shingle_index(df, id_col, text_col, n), id_col, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+    a = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_bit(token_hash: Column, bit: int) -> Column:
+    """Bit ``bit`` of a token signature: hex char ``bit`` of md5,
+    0-7 → -1 vote, 8-f → +1 vote."""
+    ch = F.substring(token_hash, bit + 1, 1)
+    return F.when(ch.isin("0", "1", "2", "3", "4", "5", "6", "7"), -1).otherwise(1)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash as a ``bits``-char bitstring column ``simhash``.
+
+    Token multiset votes per bit; sign of the vote sum sets the bit.
+    Zero votes (empty docs) resolve to '1' ('>=0' rule) — documented,
+    deterministic.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = tok.withColumn("th", F.md5("tok"))
+    votes = tok.groupBy(id_col).agg(
+        *[F.sum(simhash_bit(F.col("th"), i)).alias(f"v{i}") for i in range(bits)]
+    )
+    bit_chars = [F.when(F.col(f"v{i}") >= 0, "1").otherwise("0") for i in range(bits)]
+    return votes.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))

@@ -1,1 +1,160 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Deduplication queries over the documents table (SURVEY.md §7.5).
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash —
+each with a DuckDB oracle built from the same md5 primitives, so hash
+values (and therefore candidate sets) match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.catalog import load_table
+from listenbrainz_server_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash,
+)
+from listenbrainz_server_spark.queries import register
+
+_SHINGLE_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, len(t) - 1),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks
+        WHERE len(t) >= 3
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: representative id + duplicate count per fingerprint
+# (generalizes listens/delete.py:53-60 group-by-all-columns dedup).
+# --------------------------------------------------------------------------
+@register(
+    "d_exact_dedup",
+    r"""
+    SELECT md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="exact dedup via normalized-text hash groupBy",
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact set similarity, the correctness
+# baseline for MinHash).
+# --------------------------------------------------------------------------
+@register(
+    "d_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5
+    """,
+    doc="exact 3-gram Jaccard near-dup pairs (threshold 0.5)",
+)
+def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding candidate pairs — the scale path: candidates
+# come from band-bucket equality, never an all-pairs join.
+# --------------------------------------------------------------------------
+_H, _B = 16, 8
+_R = _H // _B
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n               ".join(
+        f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(_H)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"""        SELECT doc_id, {b} AS band_id,
+               md5(concat_ws('|', {', '.join(f'mh{b * _R + r}' for r in range(_R))})) AS band_key
+        FROM sigs"""
+        for b in range(_B)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM idx GROUP BY doc_id
+    ),
+    buckets AS (
+{band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a
+    JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "d_minhash_lsh",
+    _minhash_sql(),
+    doc=f"MinHash-LSH candidate pairs (H={_H}, bands={_B}, rows={_R})",
+)
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, "doc_id", "text", n=3, num_hashes=_H, bands=_B)
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures (16-bit; one hex-char-derived vote per bit).
+# --------------------------------------------------------------------------
+_BITS = 16
+
+
+def _simhash_sql() -> str:
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {i + 1}, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN -1 ELSE 1 END) AS v{i}".replace(
+            "{i}", str(i)
+        )
+        for i in range(_BITS)
+    )
+    bit_concat = " || ".join(
+        f"(CASE WHEN v{i} >= 0 THEN '1' ELSE '0' END)" for i in range(_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, {bit_concat} AS simhash FROM votes
+    """
+
+
+@register("d_simhash", _simhash_sql(), doc=f"{_BITS}-bit SimHash signature per doc")
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=_BITS)

@@ -1,1 +1,145 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Similarity-search queries over the embeddings table (SURVEY.md §7.5).
+
+Brute-force cosine top-k (exactness baseline), sign-LSH bucketed ANN
+(the scale path), and embedding-cosine near-dup pairs. DuckDB oracles
+fold dot products in the same left-to-right double order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.catalog import load_table
+from listenbrainz_server_spark.operators.similarity import (
+    as_double,
+    brute_force_topk,
+    cosine,
+    hyperplane_component,
+    lsh_bucketed_topk,
+)
+from listenbrainz_server_spark.queries import register
+
+_DIMS = 64
+_DOT = (
+    "list_sum(list_transform(range(1, {d} + 1), "
+    "i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))"
+).format(d=_DIMS)
+_NORM_CTE = f"""
+    norms AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(range(1, {_DIMS} + 1),
+                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (k=5) — generalizes DIMSUM user similarity
+# (similarity/user.py:89-115) to embedding columns.
+# --------------------------------------------------------------------------
+@register(
+    "v_cosine_topk",
+    f"""
+    WITH {_NORM_CTE},
+    scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+        FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT qid, nid, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, score, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="exact cosine top-5 neighbors per vector (brute force baseline)",
+)
+def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, "vec_id", "embedding", k=5).select(
+        "qid", "nid", "score", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# Sign-LSH bucketed ANN top-k — the 100TB path: bucket on an 8-bit
+# hyperplane signature, exact re-rank within buckets only.
+# --------------------------------------------------------------------------
+_SIG_BITS = 8
+
+
+def _lsh_sql() -> str:
+    bit_exprs = []
+    for h in range(_SIG_BITS):
+        comps = ", ".join(
+            str(float(hyperplane_component(h, d))) for d in range(_DIMS)
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, {_DIMS} + 1), "
+            f"i -> (embedding[i]::DOUBLE) * ([{comps}][i])))"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(bit_exprs)
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig} AS sig,
+               sqrt(list_sum(list_transform(range(1, {_DIMS} + 1),
+                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT qid, nid, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, score, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "v_lsh_topk",
+    _lsh_sql(),
+    doc=f"sign-LSH bucketed ANN top-5 ({_SIG_BITS}-bit signature, exact re-rank in bucket)",
+)
+def v_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(
+        emb, "vec_id", "embedding", dims=_DIMS, k=5, sig_bits=_SIG_BITS
+    ).select("qid", "nid", "score", "rank")
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (dedup via embeddings).
+# --------------------------------------------------------------------------
+@register(
+    "v_embedding_neardup",
+    f"""
+    WITH {_NORM_CTE}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    WHERE {_DOT} / (a.nrm * b.nrm) >= 0.95
+    """,
+    doc="embedding-cosine near-duplicate pairs (score ≥ 0.95)",
+)
+def v_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("va"))
+    w = emb.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("vb"))
+    pairs = v.crossJoin(w).where(F.col("id_a") < F.col("id_b"))
+    score = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("score_raw", score)
+        .where(F.col("score_raw") >= 0.95)
+        .select("id_a", "id_b", F.round("score_raw", 6).alias("score"))
+    )

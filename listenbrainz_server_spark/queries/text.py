@@ -1,1 +1,139 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis queries over the documents table (SURVEY.md §7.5).
+
+Language-ID (stopword-vote heuristic), quality scoring, token
+counting, document fingerprinting — each with a DuckDB oracle that
+replicates the same deterministic formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.catalog import load_table
+from listenbrainz_server_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from listenbrainz_server_spark.queries import register
+
+
+def _sql_in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --------------------------------------------------------------------------
+# Token counting per source.
+# --------------------------------------------------------------------------
+@register(
+    "t_token_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+           MAX(len(string_split(text, ' '))) AS max_tokens
+    FROM documents
+    GROUP BY source
+    """,
+    doc="token counting (whitespace) aggregated per source",
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        F.round(F.avg(tc), 6).alias("avg_tokens"),
+        F.max(tc).alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality score: length band + stopword ratio − punctuation ratio.
+# --------------------------------------------------------------------------
+_EN = _sql_in_list(LANG_STOPWORDS["en"])
+_QUALITY_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           ROUND(
+             (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.5
+             + (len(list_filter(t, x -> x IN ({_EN}))) * 1.0
+                / GREATEST(len(t), 1)) * 2.0
+             - ((LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                * 1.0 / GREATEST(LENGTH(text), 1)),
+           6) AS quality
+    FROM toks
+"""
+
+
+@register("t_quality_score", _QUALITY_SQL, doc="composite quality heuristic per doc")
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# Language ID: stopword-vote argmax, lexicographic first-wins ties,
+# 'und' when no stopword hits. Confusion counts vs the labeled lang.
+# --------------------------------------------------------------------------
+def _langid_sql() -> str:
+    codes = sorted(LANG_STOPWORDS)
+    hit_cols = ",\n               ".join(
+        f"len(list_filter(t, x -> x IN ({_sql_in_list(LANG_STOPWORDS[c])}))) AS h_{c}"
+        for c in codes
+    )
+    mx = f"GREATEST({', '.join(f'h_{c}' for c in codes)})"
+    case = " ".join(f"WHEN h_{c} = mx THEN '{c}'" for c in codes)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, lang,
+               {hit_cols}
+        FROM toks
+    ),
+    best AS (
+        SELECT doc_id, lang, {mx} AS mx, * FROM hits
+    )
+    SELECT lang,
+           CASE WHEN mx = 0 THEN 'und' {case} END AS lang_pred,
+           COUNT(*) AS n
+    FROM best
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "t_lang_id",
+    _langid_sql(),
+    doc="n-gram/stopword-vote language ID, confusion counts vs labeled lang",
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", lang_id(F.col("text")).alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprint: md5 of normalized text (rolling-hash analog).
+# --------------------------------------------------------------------------
+@register(
+    "t_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+    doc="document fingerprint: md5 of normalized text",
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
