@@ -1,0 +1,114 @@
+"""Multimodal (binary) column operators.
+
+Extends the reference's typed nested-column pattern
+(listenbrainz_spark/postgres/utils.py:26-27 — one opaque payload
+column parsed into a typed struct) to image/audio/video payloads:
+opaque ``binary`` columns + typed metadata structs, processed by
+Arrow-batched ``mapInPandas`` operators.
+
+The decode step is STUBBED: the real image/audio libraries are not in
+this container, so ``decode_media`` raises ``NotImplementedError``
+unless ``fake=True``, in which case a deterministic byte-level fake
+(documented below) stands in. Everything around the stub — schema,
+batch iteration, partitioning, output shape — is real and tested; a
+production deployment swaps the fake for PIL/ffmpeg inside the same
+``mapInPandas`` body.
+
+Scale notes:
+- Binary payloads ride Arrow buffers end-to-end: no per-row pickling.
+- Feature extraction is embarrassingly parallel over partitions; the
+  operators add no shuffle. Partition sizing is the only knob that
+  matters at 100 TB (spark.sql.files.maxPartitionBytes vs payload
+  size — a 4 MB image means ~32 rows per 128 MB split).
+- Frame sampling explodes rows; do it AFTER any payload filter so
+  pruned files never decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = "id bigint, width int, height int, channels int, byte_len bigint"
+FRAME_SCHEMA = "id bigint, frame_idx int, frame_md5 string"
+
+
+def with_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Adapter: treat a string column as an opaque binary payload with
+    a typed metadata struct — the multimodal table shape
+    (payload BINARY, meta STRUCT<byte_len, format>)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.struct(
+            F.length(F.col(text_col).cast("binary")).cast("bigint").alias("byte_len"),
+            F.lit("raw").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decoder: dimensions derived
+    from payload length (width = len%64+1, height = len//64%64+1,
+    channels = 3). Replicable in plain SQL for the oracle."""
+    n = len(payload)
+    return (n % 64 + 1, (n // 64) % 64 + 1, 3)
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode payloads to (width, height, channels, byte_len).
+
+    ``fake=False`` is the production path — not available in this
+    container (no PIL/ffmpeg), raises ``NotImplementedError``.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg; pass fake=True for "
+            "the deterministic byte-level stand-in"
+        )
+
+    def decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            dims = [fake_decode_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("id", "payload").mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, chunk_bytes: int = 16, stride: int = 4
+) -> DataFrame:
+    """Frame sampling over a binary payload: split into ``chunk_bytes``
+    chunks, keep every ``stride``-th, fingerprint each — the video
+    frame-sample plumbing with a byte-chunk stand-in for frames."""
+
+    def frame_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                chunks = [
+                    payload[off : off + chunk_bytes]
+                    for off in range(0, len(payload), chunk_bytes)
+                ]
+                for i in range(0, len(chunks), stride):
+                    ids.append(rid)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(chunks[i]).hexdigest())
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return df.select("id", "payload").mapInPandas(frame_batches, schema=FRAME_SCHEMA)

@@ -50,8 +50,10 @@ def load_all() -> dict[str, Query]:
     from listenbrainz_server_spark.queries import (  # noqa: F401
         dedup,
         incremental,
+        multimodal,
         relational,
         similarity,
+        streaming,
         text,
         windows,
     )

@@ -1,0 +1,92 @@
+"""Multimodal-column queries: binary payload plumbing over documents
+(SURVEY.md §7.5). The text column stands in for an opaque media
+payload; decode is the documented deterministic fake
+(operators/multimodal.py) and the oracle replicates it from byte
+lengths (documents are ASCII, so VARCHAR offsets == byte offsets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.catalog import load_table
+from listenbrainz_server_spark.operators.multimodal import (
+    decode_media,
+    sample_frames,
+    with_binary_payload,
+)
+from listenbrainz_server_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# Binary payload + metadata struct + stubbed decode (mapInPandas).
+# --------------------------------------------------------------------------
+@register(
+    "mm_decode_features",
+    """
+    SELECT doc_id AS id,
+           CAST(strlen(text) % 64 + 1 AS INT)        AS width,
+           CAST((strlen(text) // 64) % 64 + 1 AS INT) AS height,
+           CAST(3 AS INT)                                   AS channels,
+           strlen(text)                               AS byte_len
+    FROM documents
+    """,
+    doc="binary payload decode plumbing (deterministic fake decoder via mapInPandas)",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs, "text", "doc_id")
+    return decode_media(media, fake=True)
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: every 4th 16-byte chunk, md5-fingerprinted.
+# --------------------------------------------------------------------------
+@register(
+    "mm_frame_sample",
+    """
+    WITH chunks AS (
+        SELECT doc_id AS id,
+               UNNEST(range(0, CAST(ceil(strlen(text) / 16.0) AS BIGINT), 4)) AS frame_idx
+        FROM documents
+    )
+    SELECT c.id, CAST(c.frame_idx AS INT) AS frame_idx,
+           md5(substr(d.text, CAST(c.frame_idx * 16 + 1 AS BIGINT), 16)) AS frame_md5
+    FROM chunks c JOIN documents d ON d.doc_id = c.id
+    """,
+    doc="video-frame-sampling plumbing: strided binary chunks fingerprinted",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs, "text", "doc_id")
+    return sample_frames(media, chunk_bytes=16, stride=4)
+
+
+# --------------------------------------------------------------------------
+# Metadata-only pruning: filter on the typed struct BEFORE any decode
+# (column pruning must keep the payload out of the scan).
+# --------------------------------------------------------------------------
+@register(
+    "mm_metadata_prune",
+    """
+    SELECT source, COUNT(*) AS n, SUM(strlen(text)) AS total_bytes
+    FROM documents
+    WHERE strlen(text) > 256
+    GROUP BY source
+    """,
+    doc="typed-metadata filter without touching payloads",
+)
+def mm_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs, "text", "doc_id").join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return (
+        media.where(F.col("meta.byte_len") > 256)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("meta.byte_len").alias("total_bytes"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Streaming-semantics queries, oracle-checked in batch mode.
+
+The transformations in streaming/jobs.py are mode-agnostic; here they
+run as batch DataFrames so DuckDB can verify the semantics
+(tests/test_streaming.py separately proves stream-mode ≡ batch-mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.catalog import load_table
+from listenbrainz_server_spark.queries import register
+from listenbrainz_server_spark.streaming.jobs import session_aggregate, windowed_counts
+
+
+# --------------------------------------------------------------------------
+# Tumbling event-time windows (watermarked in stream mode).
+# --------------------------------------------------------------------------
+@register(
+    "st_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS w_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="event-time tumbling-window counts (Structured Streaming shape, batch-checked)",
+)
+def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_counts(ev, "ts", ["event_type"], window="1 hour")
+    return out.select(
+        F.col("w.start").alias("w_start"),
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Native session windows: merge-within-gap semantics (session breaks
+# when the next event is >= gap after the previous one).
+# --------------------------------------------------------------------------
+@register(
+    "st_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts >= LAG(ts) OVER w + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="session_window aggregation (applyInPandasWithState-class semantics, batch-checked)",
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = session_aggregate(ev, "ts", "user_id", gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )

@@ -1,0 +1,93 @@
+"""Structured Streaming jobs.
+
+The reference has no Structured Streaming — its incremental model is
+batch-incremental with explicit state (SURVEY.md §2.9). This module
+provides the Spark-native streaming equivalents of its semantics:
+
+- file-source append log (the ``incremental/`` daily Parquet appends,
+  listens/dump.py:219-249) → ``read_parquet_stream``;
+- watermarked event-time windowed aggregation (the ``created``
+  high-water-mark filter, stats/incremental/user/entity.py:44-53) →
+  ``windowed_counts``;
+- session windows (the batch window-function sessionization,
+  similarity/recording/common.py:95-103) → ``session_aggregate``
+  using Spark's native ``session_window`` state merging.
+
+Every transformation here works identically on batch DataFrames —
+the queries layer runs them in batch mode for oracle checks, and
+tests/test_streaming.py proves stream-mode ≡ batch-mode on the same
+input (the property that makes the engine's incremental semantics
+trustworthy).
+
+Scale notes: watermarks bound state (late events beyond the watermark
+drop); session_window state is per-user and merges on arrival — at
+1000 executors the state store partitions on the grouping key, so
+skewed users are the thing to watch (cap session length upstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, schema: StructType, max_files: int = 16
+) -> DataFrame:
+    """File-source stream over a Parquet append log."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts (+sum of ``value`` when
+    present). Watermark bounds streaming state; harmless in batch."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if "value" in df.columns:
+        aggs.append(F.sum("value").alias("total_value"))
+    return df.groupBy(F.window(ts_col, window).alias("w"), *group_cols).agg(*aggs)
+
+
+def session_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Native session-window aggregation: events within ``gap`` of the
+    running session end merge; state is per-``user_col``."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n_events")] + list(extra_aggs or [])
+    return df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col)
+    ).agg(*aggs)
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, timeout_s: int = 120
+) -> None:
+    """Drain a stream with the available-now trigger into an in-memory
+    table (test/debug sink — S12's result-sink analog for streams)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
