@@ -1,0 +1,42 @@
+"""Driver-contract smoke tests (mirrors the harness in tools/check.py,
+which does the full oracle comparison; here: shape + determinism)."""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location("entry_mod", REPO / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty", "count_order"}
+
+
+def test_every_query_has_callable_and_most_have_oracles(spark):
+    mod = _load_entry()
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    assert len(qs) >= 50
+    missing = set(oracles) - set(qs)
+    assert not missing
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_smoke_all_queries_run_at_sf0001(spark):
+    """Every registered query must execute at the smoke scale."""
+    mod = _load_entry()
+    for name, fn in mod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name

@@ -1,0 +1,109 @@
+"""Incremental-engine invariants (SURVEY.md §7.4 hard part #1):
+recompute-from-scratch ≡ partial+delta combine, freshness
+invalidation, created-watermark filtering, affected-key pruning."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.incremental.engine import IncrementalEngine, IncrementalStat
+
+
+@pytest.fixture()
+def stat():
+    return IncrementalStat(
+        name="counts",
+        aggregate=lambda df: df.groupBy("user").agg(F.count(F.lit(1)).alias("n")),
+        keys=("user",),
+        sum_cols=("n",),
+    )
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user string, ts timestamp, created timestamp")
+
+
+T = "2024-01-{:02d} 00:00:00"
+
+
+def rows_for(users_days):
+    from datetime import datetime
+
+    return [
+        (u, datetime.fromisoformat(T.format(d)), datetime.fromisoformat(T.format(d)))
+        for u, d in users_days
+    ]
+
+
+def test_combine_equals_full_recompute(spark, stat, tmp_path):
+    full = _events(spark, rows_for([("a", 1), ("a", 2), ("b", 3)]))
+    delta = _events(spark, rows_for([("a", 20), ("c", 21)]))
+    eng = IncrementalEngine(spark, str(tmp_path))
+    out = eng.run(stat, full, delta, "2024-01-01", "2024-02-01", "2024-01-10")
+    got = {r.user: r.n for r in out.collect()}
+    assert got == {"a": 3, "b": 1, "c": 1}
+
+
+def test_partial_reused_when_fresh(spark, stat, tmp_path):
+    full = _events(spark, rows_for([("a", 1)]))
+    delta = _events(spark, rows_for([("b", 20)]))
+    eng = IncrementalEngine(spark, str(tmp_path))
+    eng.run(stat, full, delta, "2024-01-01", "2024-02-01", "2024-01-10")
+    # Second run with a DIFFERENT full df: fresh bookkeeping -> the
+    # stored partial wins, proving no base re-scan happened.
+    other_full = _events(spark, rows_for([("z", 1), ("z", 2)]))
+    out = eng.run(stat, other_full, delta, "2024-01-01", "2024-02-01", "2024-01-10")
+    got = {r.user: r.n for r in out.collect()}
+    assert got == {"a": 1, "b": 1}
+    assert "z" not in got
+
+
+def test_partial_invalidated_on_range_drift(spark, stat, tmp_path):
+    full = _events(spark, rows_for([("a", 1)]))
+    delta = _events(spark, rows_for([("b", 20)]))
+    eng = IncrementalEngine(spark, str(tmp_path))
+    eng.run(stat, full, delta, "2024-01-01", "2024-02-01", "2024-01-10")
+    assert eng.partial_usable(stat, "2024-01-01", "2024-02-01")
+    # Range rolls over (new week/month) -> partial must be rebuilt.
+    assert not eng.partial_usable(stat, "2024-02-01", "2024-03-01")
+    new_full = _events(spark, rows_for([("z", 2)]))
+    out = eng.run(stat, new_full, delta, "2024-02-01", "2024-03-01", "2024-02-10")
+    got = {r.user: r.n for r in out.collect()}
+    assert got == {"z": 1, "b": 1}
+
+
+def test_created_watermark_filters_delta(spark, stat, tmp_path):
+    eng = IncrementalEngine(spark, str(tmp_path))
+    full = _events(spark, rows_for([("a", 1)]))
+    eng.create_partial(stat, full, "2024-01-01", "2024-02-01", "2024-01-15 00:00:00")
+    delta = _events(spark, rows_for([("old", 10), ("new", 20)]))
+    agg = eng.delta_aggregate(stat, delta, created_col="created")
+    got = {r.user for r in agg.collect()}
+    assert got == {"new"}  # created 2024-01-10 < watermark 01-15 dropped
+
+
+def test_affected_key_pruning_limits_output(spark, stat, tmp_path):
+    full = _events(spark, rows_for([("a", 1), ("b", 2), ("b", 3)]))
+    delta = _events(spark, rows_for([("a", 20)]))
+    eng = IncrementalEngine(spark, str(tmp_path))
+    out = eng.run(
+        stat, full, delta, "2024-01-01", "2024-02-01", "2024-01-10", only_affected=True
+    )
+    got = {r.user: r.n for r in out.collect()}
+    assert got == {"a": 2}  # b untouched by delta -> pruned from recompute
+
+
+def test_bookkeeping_file_shape(spark, stat, tmp_path):
+    eng = IncrementalEngine(spark, str(tmp_path))
+    full = _events(spark, rows_for([("a", 1)]))
+    eng.create_partial(stat, full, "2024-01-01", "2024-02-01", "2024-01-10")
+    meta = json.load(open(os.path.join(str(tmp_path), "counts", "bookkeeping.json")))
+    assert meta == {
+        "from_date": "2024-01-01",
+        "to_date": "2024-02-01",
+        "created": "2024-01-10",
+    }

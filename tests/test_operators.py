@@ -1,0 +1,125 @@
+"""Unit tests for the operator library on small hand-checked fixtures
+(the reference's golden-output style, listenbrainz_spark
+stats/user/tests/test_user_stats.py:16-71, without HDFS)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.operators.aggregates import capped_count, combine_aggregates
+from listenbrainz_server_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash,
+)
+from listenbrainz_server_spark.operators.joins import anti_join, densify, semi_join
+from listenbrainz_server_spark.operators.sessionize import session_pairs, with_session_ids
+from listenbrainz_server_spark.operators.topk import top_k_per_group
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("u1", "a", 5), ("u1", "b", 3), ("u1", "c", 3), ("u2", "a", 1)],
+        "user string, item string, n int",
+    )
+    out = top_k_per_group(
+        df, ["user"], [F.col("n").desc(), F.col("item")], k=2
+    ).collect()
+    got = {(r.user, r.item, r.rank) for r in out}
+    assert got == {("u1", "a", 1), ("u1", "b", 2), ("u2", "a", 1)}
+
+
+def test_capped_count(spark):
+    rows = [("u1", "x")] * 10 + [("u2", "x")] * 2 + [("u2", "y")]
+    df = spark.createDataFrame(rows, "user string, item string")
+    out = {r.item: r.listen_count for r in capped_count(df, "user", ["item"], cap=3).collect()}
+    assert out == {"x": 5, "y": 1}  # u1 capped 10->3, u2 keeps 2
+
+
+def test_combine_aggregates_matches_direct(spark):
+    base = spark.createDataFrame([("a", 2), ("b", 1)], "k string, n long")
+    delta = spark.createDataFrame([("a", 3), ("c", 4)], "k string, n long")
+    out = {r.k: r.n for r in combine_aggregates(base, delta, ["k"], ["n"]).collect()}
+    assert out == {"a": 5, "b": 1, "c": 4}
+
+
+def test_anti_and_semi_join(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id int, v string")
+    keys = spark.createDataFrame([(2,)], "id int")
+    assert {r.id for r in anti_join(df, keys, ["id"]).collect()} == {1, 3}
+    assert {r.id for r in semi_join(df, keys, ["id"]).collect()} == {2}
+
+
+def test_densify_zero_fills(spark):
+    keys = spark.createDataFrame([("u1",), ("u2",)], "user string")
+    buckets = spark.createDataFrame([(0,), (1,)], "h int")
+    facts = spark.createDataFrame([("u1", 0, 7)], "user string, h int, n int")
+    out = densify(keys, buckets, facts, ["user", "h"], {"n": F.lit(0)})
+    got = {(r.user, r.h, r.n) for r in out.collect()}
+    assert got == {("u1", 0, 7), ("u1", 1, 0), ("u2", 0, 0), ("u2", 1, 0)}
+
+
+def test_sessionization_gap_semantics(spark):
+    rows = [
+        ("u", ts("2024-01-01 10:00:00")),
+        ("u", ts("2024-01-01 10:10:00")),   # 600s gap -> same session
+        ("u", ts("2024-01-01 11:00:01")),   # 3001s gap -> new session
+    ]
+    df = spark.createDataFrame(rows, "user string, t timestamp")
+    out = with_session_ids(df, "user", "t", gap_seconds=1800)
+    sids = [r.session_id for r in out.orderBy("t").collect()]
+    assert sids == [0, 0, 1]
+
+
+def test_session_pairs_canonical_order(spark):
+    df = spark.createDataFrame(
+        [("u", 0, "b"), ("u", 0, "a"), ("u", 0, "a"), ("u", 1, "c")],
+        "user string, sid int, item string",
+    )
+    out = {(r.item_a, r.item_b): r.score for r in session_pairs(df, "user", "sid", "item").collect()}
+    assert out == {("a", "b"): 2}  # two 'a' occurrences x one 'b'; c alone
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "id long, text string",
+    )
+    out = {r.id: r.dup_count for r in exact_dedup(df, "text", "id").collect()}
+    assert out == {1: 2, 3: 1}  # case/whitespace-normalized match
+
+
+def test_jaccard_identical_docs_score_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        "id long, text string",
+    )
+    out = jaccard_pairs(df, "id", "text", n=3, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_lsh_finds_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "q r s t u v w")],
+        "id long, text string",
+    )
+    out = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(df, "id", "text").collect()}
+    assert (1, 2) in out
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_simhash_identical_for_same_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "x y z")], "id long, text string"
+    )
+    out = {r.id: r.simhash for r in simhash(df, "id", "text").collect()}
+    assert out[1] == out[2]  # order-insensitive token multiset
+    assert out[1] != out[3]
+    assert len(out[1]) == 16 and set(out[1]) <= {"0", "1"}
