@@ -30,13 +30,18 @@ def with_session_ids(
     ts_col: str,
     gap_seconds: int,
     session_col: str = "session_id",
+    tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign per-user session ids: a session breaks when the gap from
-    the previous event exceeds ``gap_seconds``.
+    the previous event exceeds ``gap_seconds``. Pass ``tiebreak``
+    (e.g. an event id) to keep the ordering total when timestamps
+    collide — otherwise session assignment at a boundary is
+    nondeterministic across runs.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    order = [ts_col, *tiebreak]
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long"), 1).over(w)
-    run = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     is_break = F.when(gap > F.lit(gap_seconds), 1).otherwise(0)
     return df.withColumn("_gap", gap).withColumn(
         session_col, F.sum(is_break).over(run)

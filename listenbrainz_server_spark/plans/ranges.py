@@ -1,0 +1,69 @@
+"""Stats range selection, anchored to the latest event.
+
+Port of the reference's range-resolution semantics
+(listenbrainz_spark/stats/__init__.py:150-218): ranges are anchored to
+the **latest listen timestamp**, not wall clock — a stats job run over
+a stale dataset still produces the ranges its data supports. The
+``all_time`` floor is the LAST_FM_FOUNDING_YEAR constant
+(listenbrainz_spark/constants.py:1).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+ALL_TIME_FLOOR_YEAR = 2002  # LAST_FM_FOUNDING_YEAR analog
+
+
+def month_floor(dt: datetime) -> datetime:
+    return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+
+
+def week_floor(dt: datetime) -> datetime:
+    d = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    return d - timedelta(days=d.weekday())
+
+
+def year_floor(dt: datetime) -> datetime:
+    return dt.replace(
+        month=1, day=1, hour=0, minute=0, second=0, microsecond=0
+    )
+
+
+def resolve_range(anchor: datetime, range_name: str) -> tuple[datetime, datetime]:
+    """[from, to) for a named range, anchored at the latest event time.
+
+    ``week``/``month``/``year`` are the last *complete* period before
+    the anchor's current one (stats/__init__.py semantics);
+    ``this_week``/``this_month``/``this_year`` are the running period;
+    ``all_time`` starts at the founding-year floor.
+    """
+    if range_name == "all_time":
+        return (datetime(ALL_TIME_FLOOR_YEAR, 1, 1), anchor + timedelta(seconds=1))
+    if range_name == "this_week":
+        return (week_floor(anchor), anchor + timedelta(seconds=1))
+    if range_name == "this_month":
+        return (month_floor(anchor), anchor + timedelta(seconds=1))
+    if range_name == "this_year":
+        return (year_floor(anchor), anchor + timedelta(seconds=1))
+    if range_name == "week":
+        end = week_floor(anchor)
+        return (end - timedelta(days=7), end)
+    if range_name == "month":
+        end = month_floor(anchor)
+        prev = (end - timedelta(days=1)).replace(day=1)
+        return (prev, end)
+    if range_name == "quarter":
+        end_month = (month_floor(anchor).month - 1) // 3 * 3 + 1
+        end = month_floor(anchor).replace(month=end_month)
+        start_month = end_month - 3
+        start = (
+            end.replace(year=end.year - 1, month=start_month + 12)
+            if start_month < 1
+            else end.replace(month=start_month)
+        )
+        return (start, end)
+    if range_name == "year":
+        end = year_floor(anchor)
+        return (end.replace(year=end.year - 1), end)
+    raise ValueError(f"unknown range: {range_name}")
