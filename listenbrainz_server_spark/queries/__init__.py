@@ -49,6 +49,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module so the registry is populated."""
     from listenbrainz_server_spark.queries import (  # noqa: F401
         dedup,
+        extras,
         handlers,
         incremental,
         ml,

@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions — the scale contract. A query that
+silently loses predicate pushdown, column pruning, or its broadcast
+join still passes value checks at sf0.01 but dies at 100 TB; these
+tests make plan regressions loud."""
+
+from __future__ import annotations
+
+import pytest
+
+from listenbrainz_server_spark.queries import load_all
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(spark, registry, name: str) -> str:
+    df = registry[name].fn(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def tree_of(plan: str) -> str:
+    """The operator tree (detail sections repeat operator names)."""
+    return plan.split("\n\n")[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    plan = plan_of(spark, registry, "s1_pruned_scan")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reads_only_needed_cols(spark, registry):
+    plan = plan_of(spark, registry, "s1_pruned_scan")
+    # Count + group on shipdate alone: the 16-column lineitem scan
+    # must narrow to exactly one column.
+    assert "ReadSchema: struct<l_shipdate:timestamp_ntz>" in plan
+
+
+def test_dim_join_broadcasts(spark, registry):
+    plan = plan_of(spark, registry, "j1_dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_two_hop_dims_both_broadcast(spark, registry):
+    plan = plan_of(spark, registry, "j3_two_hop_join")
+    assert tree_of(plan).count("BroadcastHashJoin") == 2
+
+
+def test_semi_and_anti_join_strategies(spark, registry):
+    semi = plan_of(spark, registry, "p8_semi_join")
+    anti = plan_of(spark, registry, "p4_anti_join")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_global_topn_avoids_full_sort(spark, registry):
+    plan = plan_of(spark, registry, "o1_global_topn")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregate_is_partial_then_final(spark, registry):
+    plan = plan_of(spark, registry, "a1_pricing_summary")
+    # Two HashAggregates around one Exchange: map-side combine present.
+    assert tree_of(plan).count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_windowed_session_reuses_single_exchange(spark, registry):
+    # All three window steps share (user) partitioning — one shuffle.
+    plan = plan_of(spark, registry, "w6_sessionize")
+    assert tree_of(plan).count("Exchange") == 1

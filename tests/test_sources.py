@@ -1,0 +1,115 @@
+"""Read/write-path tests: union+tombstones composition, glob scans,
+partitioned/append/swap/upsert sinks, message chunking."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.messages import iter_message_chunks
+from listenbrainz_server_spark.sources.readers import (
+    apply_tombstones,
+    glob_scan,
+    union_base_incremental,
+)
+from listenbrainz_server_spark.sources.sinks import (
+    append_coalesced,
+    atomic_swap_write,
+    partitioned_overwrite,
+    registry_upsert,
+)
+
+SCHEMA = "user_id int, item string, created timestamp"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(u, i, datetime.fromisoformat(c)) for u, i, c in rows], SCHEMA
+    )
+
+
+def test_union_and_tombstones(spark):
+    base = _df(spark, [(1, "a", "2024-01-01"), (2, "b", "2024-01-01")])
+    inc = _df(spark, [(1, "c", "2024-01-05")])
+    df = union_base_incremental(base, inc, base.schema, spark)
+    assert df.count() == 3
+
+    deleted = _df(spark, [(1, "a", "2024-01-01")]).select("user_id", "item")
+    cutoff = spark.createDataFrame(
+        [(2, datetime.fromisoformat("2024-01-02"))], "user_id int, max_created timestamp"
+    )
+    out = apply_tombstones(
+        df, deleted, ["user_id", "item"], history_cutoff=cutoff, created_col="created"
+    )
+    got = {(r.user_id, r.item) for r in out.collect()}
+    # (1,a) tombstoned; (2,b) created before user-2 cutoff dropped.
+    assert got == {(1, "c")}
+
+
+def test_union_with_missing_side(spark):
+    inc = _df(spark, [(1, "c", "2024-01-05")])
+    assert union_base_incremental(None, inc, inc.schema, spark).count() == 1
+    assert union_base_incremental(None, None, inc.schema, spark).count() == 0
+
+
+def test_glob_scan_selects_matching_files(spark, tmp_path):
+    # pathGlobFilter matches leaf FILE names (the MLHD chunk layout is
+    # one parquet file per user, mlhd/download.py:45-52).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    pq.write_table(pa.table({"user_id": [1]}), d / "c0.parquet")
+    pq.write_table(pa.table({"user_id": [2]}), d / "d0.parquet")
+    out = glob_scan(spark, str(d), "c*.parquet")
+    assert [r.user_id for r in out.collect()] == [1]
+
+
+def test_partitioned_overwrite_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "part")
+    df1 = spark.createDataFrame([(1, 2024, 1), (2, 2024, 2)], "v int, year int, month int")
+    partitioned_overwrite(df1, path, ["year", "month"])
+    # Overwrite only month=2; month=1 must survive (dynamic mode).
+    df2 = spark.createDataFrame([(9, 2024, 2)], "v int, year int, month int")
+    partitioned_overwrite(df2, path, ["year", "month"])
+    got = {(r.month, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 1), (2, 9)}
+
+
+def test_append_coalesced_single_file(spark, tmp_path):
+    path = str(tmp_path / "append")
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int").repartition(8)
+    append_coalesced(df, path)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    append_coalesced(df, path)
+    assert spark.read.parquet(path).count() == 200
+
+
+def test_atomic_swap_write_replaces(spark, tmp_path):
+    path = str(tmp_path / "swap")
+    atomic_swap_write(spark.createDataFrame([(1,)], "v int"), path)
+    atomic_swap_write(spark.createDataFrame([(2,)], "v int"), path)
+    assert [r.v for r in spark.read.parquet(path).collect()] == [2]
+    assert not os.path.exists(path + "__tmp")
+
+
+def test_registry_upsert(spark, tmp_path):
+    path = str(tmp_path / "registry")
+    r1 = spark.createDataFrame([("dump-1", 10), ("dump-2", 20)], "name string, rows int")
+    registry_upsert(spark, path, r1, ["name"])
+    r2 = spark.createDataFrame([("dump-2", 99), ("dump-3", 30)], "name string, rows int")
+    out = registry_upsert(spark, path, r2, ["name"])
+    got = {(r.name, r.rows) for r in out.collect()}
+    assert got == {("dump-1", 10), ("dump-2", 99), ("dump-3", 30)}
+
+
+def test_message_chunking(spark):
+    df = spark.createDataFrame([(i,) for i in range(7)], "v int")
+    msgs = list(iter_message_chunks(df.orderBy("v"), chunk_size=3, message_type="t"))
+    assert [len(m["data"]) for m in msgs] == [3, 3, 1]
+    assert all(m["type"] == "t" for m in msgs)
+    assert msgs[0]["data"][0] == {"v": 0}
