@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         extras,
         handlers,
+        handlers2,
         incremental,
         ml,
         multimodal,
