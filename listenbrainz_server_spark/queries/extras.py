@@ -148,6 +148,53 @@ def a10_bool_or_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Skew: salted two-phase aggregation ≡ direct aggregation (the
+# aggregation-skew mitigation AQE doesn't provide; operators/skew.py).
+# --------------------------------------------------------------------------
+@register(
+    "x_salted_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="salted two-phase aggregation equals direct aggregation (skew path)",
+)
+def x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n": ("*", "count"), "total_value": ("value", "sum"), "max_user": ("user_id", "max")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type", "n", F.round("total_value", 2).alias("total_value"), "max_user"
+    )
+
+
+@register(
+    "x_salted_count_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS listener_count
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="hot-key-free exact count distinct (dedup-first two-phase)",
+)
+def x_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.skew import distinct_count_salted
+
+    ev = load_table(spark, sf_dir, "events")
+    return distinct_count_salted(ev, ["event_type"], "user_id", "listener_count")
+
+
+# --------------------------------------------------------------------------
 # P10: string-prefix chunk filter (user_id LIKE 'c%' 16-way chunking,
 # similarity/recording/mlhd.py:32-35).
 # --------------------------------------------------------------------------
