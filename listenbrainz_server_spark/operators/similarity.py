@@ -217,32 +217,46 @@ def lsh_bucketed_topk(
     sig_bits: int = 8,
     round_dp: int = 6,
 ) -> DataFrame:
-    """ANN top-k within sign-LSH buckets: one projection pass, then an
-    equi self-join on the signature, exact cosine re-rank inside."""
-    v = vectors.select(
-        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+    """ANN top-k within sign-LSH buckets.
+
+    Signatures are computed JVM-side (codegen column expression — the
+    ±1 hyperplane matrix folds into literals, no Python round-trip);
+    one shuffle groups vectors by signature; each bucket re-ranks
+    exactly with a numpy matmul (applyInPandas). This is the IVF
+    execution shape: the only shuffle key is the bucket id, candidate
+    scoring never leaves the executor, and bucket size — not corpus
+    size — bounds the quadratic term.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sigs = vectors.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        lsh_signature(as_double(F.col(vec_col)), dims, sig_bits).alias("sig"),
     )
-    v = v.withColumn("sig", lsh_signature(F.col("qv"), dims, sig_bits)).withColumn(
-        "qn", norm(F.col("qv"))
+
+    def bucket_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"qid": [], "nid": [], "score": [], "rank": []}
+            ).astype({"qid": "int64", "nid": "int64", "score": "float64", "rank": "int64"})
+        ids = pdf["qid"].to_numpy()
+        m = np.vstack(pdf["qv"].to_numpy()).astype("float64")
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        scores = np.round(m @ m.T, round_dp)
+        np.fill_diagonal(scores, -np.inf)
+        out_q, out_n, out_s, out_r = [], [], [], []
+        for i in range(n):
+            row = scores[i]
+            order = np.lexsort((ids, -row))[: min(k, n - 1)]
+            out_q.extend([ids[i]] * len(order))
+            out_n.extend(ids[order])
+            out_s.extend(row[order])
+            out_r.extend(range(1, len(order) + 1))
+        return pd.DataFrame({"qid": out_q, "nid": out_n, "score": out_s, "rank": out_r})
+
+    return sigs.groupBy("sig").applyInPandas(
+        bucket_topk, schema="qid bigint, nid bigint, score double, rank bigint"
     )
-    w = v.select(
-        F.col("qid").alias("nid"),
-        F.col("qv").alias("nv"),
-        F.col("qn").alias("nn"),
-        F.col("sig"),
-    )
-    pairs = v.join(w, "sig").where(F.col("qid") != F.col("nid"))
-    scored = pairs.select(
-        "qid",
-        "nid",
-        F.round(dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), round_dp).alias(
-            "score"
-        ),
-    )
-    return top_k_per_group(
-        scored,
-        partition_by=["qid"],
-        order_by=[F.col("score").desc(), F.col("nid")],
-        k=k,
-        rank_col="rank",
-    ).withColumn("rank", F.col("rank").cast("bigint"))
