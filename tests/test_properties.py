@@ -1,0 +1,109 @@
+"""Property-based invariants (hypothesis): the algebraic identities
+the engine's scale machinery relies on, checked over randomized
+small inputs rather than one fixture.
+
+- combine(partial(A), partial(B)) == aggregate(A ∪ B) for ANY split —
+  the incremental engine's soundness condition;
+- salted_agg == direct agg for any salt bucket count;
+- session ids are non-decreasing per user and break exactly at gaps.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.operators.aggregates import combine_aggregates
+from listenbrainz_server_spark.operators.sessionize import with_session_ids
+from listenbrainz_server_spark.operators.skew import salted_agg
+
+USERS = ["u1", "u2", "u3"]
+ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(USERS),
+        st.integers(min_value=0, max_value=50),  # measure
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS, split=st.integers(min_value=0, max_value=30))
+@SLOW
+def test_combine_equals_direct_for_any_split(spark, rows, split):
+    df = spark.createDataFrame(rows or [("u1", 0)], "k string, v long")
+    if not rows:
+        df = df.limit(0)
+    part_a = df.limit(min(split, len(rows)))
+    # Complement via subtraction on a row id column to keep multiset
+    # semantics (exceptAll handles duplicates).
+    part_b = df.exceptAll(part_a)
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    direct = {(r.k, r.n, r.s) for r in agg(df).collect()}
+    combined = {
+        (r.k, r.n, r.s)
+        for r in combine_aggregates(agg(part_a), agg(part_b), ["k"], ["n", "s"]).collect()
+    }
+    assert direct == combined
+
+
+@given(rows=ROWS, buckets=st.sampled_from([1, 2, 7, 32]))
+@SLOW
+def test_salted_agg_equals_direct(spark, rows, buckets):
+    df = spark.createDataFrame(rows or [("u1", 0)], "k string, v long")
+    if not rows:
+        df = df.limit(0)
+    direct = {
+        (r.k, r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.k, r.n, r.s)
+        for r in salted_agg(
+            df, ["k"], {"n": ("*", "count"), "s": ("v", "sum")}, salt_buckets=buckets
+        ).collect()
+    }
+    assert direct == salted
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=4000), min_size=1, max_size=12),
+    threshold=st.sampled_from([60, 1800]),
+)
+@SLOW
+def test_session_ids_monotone_and_break_exactly_at_gaps(spark, gaps, threshold):
+    from datetime import datetime, timedelta
+
+    t = datetime(2024, 1, 1)
+    times, cur = [], t
+    for g in gaps:
+        cur = cur + timedelta(seconds=g)
+        times.append(cur)
+    df = spark.createDataFrame([("u", ts) for ts in times], "user string, t timestamp")
+    out = (
+        with_session_ids(df, "user", "t", gap_seconds=threshold)
+        .orderBy("t")
+        .collect()
+    )
+    sids = [r.session_id for r in out]
+    # Non-decreasing, steps of ≤1, and a step exactly where gap > threshold.
+    expected, sid = [], 0
+    for i, g in enumerate(gaps):
+        if i > 0 and g > threshold:
+            sid += 1
+        expected.append(sid)
+    assert sids == expected
