@@ -331,6 +331,37 @@ def h_yim_new_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# cf.missing_mb_data (missing_mb_data/missing_mb_data.py:13-57): top
+# recent "unmapped" rows per user — P-status orders play the unmapped
+# role; row_number by recency.
+# --------------------------------------------------------------------------
+@register(
+    "h_missing_data",
+    """
+    SELECT * FROM (
+        SELECT o_custkey AS user_id, o_orderkey, o_orderdate,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey) AS BIGINT) AS rank
+        FROM orders WHERE o_orderstatus = 'P'
+    ) WHERE rank <= 3
+    """,
+    doc="cf.missing_mb_data handler: top recent unmapped rows per user",
+)
+def h_missing_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    unmapped = orders.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return top_k_per_group(
+        unmapped,
+        partition_by=["user_id"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey")],
+        k=3,
+    ).withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# --------------------------------------------------------------------------
 # year_in_music.top_discoveries shape (top_discoveries.py:75-86):
 # entities first seen this year AND interacted with > threshold times.
 # --------------------------------------------------------------------------
