@@ -148,6 +148,41 @@ def a10_bool_or_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J13: explode-both-sides equi join instead of arrays_overlap — the
+# reference's documented 3h→2min rewrite
+# (new_releases_of_top_artists.py:39-43). Array sides are built from
+# events (user→types, hour→types); overlap pairs come from the
+# exploded equi join, never a nested loop.
+# --------------------------------------------------------------------------
+@register(
+    "j13_explode_equi_join",
+    """
+    WITH user_types AS (SELECT DISTINCT user_id, event_type FROM events),
+         hour_types AS (
+            SELECT DISTINCT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, event_type
+            FROM events
+         )
+    SELECT u.user_id, COUNT(DISTINCT h.hour) AS overlapping_hours
+    FROM user_types u JOIN hour_types h ON u.event_type = h.event_type
+    GROUP BY u.user_id
+    """,
+    doc="J13 explode-to-equi-join arrays_overlap rewrite (3h->2min lesson)",
+)
+def j13_explode_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.joins import explode_equi_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.groupBy("user_id").agg(F.collect_set("event_type").alias("types_a"))
+    right = ev.groupBy(F.hour("ts").cast("bigint").alias("hour")).agg(
+        F.collect_set("event_type").alias("types_b")
+    )
+    joined = explode_equi_join(left, "types_a", right, "types_b")
+    return joined.groupBy("user_id").agg(
+        F.countDistinct("hour").alias("overlapping_hours")
+    )
+
+
+# --------------------------------------------------------------------------
 # Skew: salted two-phase aggregation ≡ direct aggregation (the
 # aggregation-skew mitigation AQE doesn't provide; operators/skew.py).
 # --------------------------------------------------------------------------
