@@ -26,7 +26,7 @@ from listenbrainz_server_spark.queries import register
     ),
     tot AS (
         SELECT user_id, event_type, listen_count,
-               SUM(listen_count) OVER (PARTITION BY user_id) AS total_count,
+               CAST(SUM(listen_count) OVER (PARTITION BY user_id) AS BIGINT) AS total_count,
                CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS entity_count
         FROM counts
     )
@@ -55,7 +55,7 @@ def h_user_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, LEAST(COUNT(*), 10) AS capped
         FROM events GROUP BY 1, 2
     )
-    SELECT event_type, SUM(capped) AS listen_count
+    SELECT event_type, CAST(SUM(capped) AS BIGINT) AS listen_count
     FROM per_user GROUP BY event_type
     ORDER BY listen_count DESC, event_type
     LIMIT 3

@@ -70,7 +70,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_metadata_prune",
     """
-    SELECT source, COUNT(*) AS n, SUM(strlen(text)) AS total_bytes
+    SELECT source, COUNT(*) AS n, CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
     FROM documents
     WHERE strlen(text) > 256
     GROUP BY source

@@ -393,7 +393,7 @@ def j4_densify_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j15_grand_total",
     """
-    SELECT o_orderpriority, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total_n
+    SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_n
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -450,7 +450,7 @@ def a2_incremental_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, LEAST(COUNT(*), 25) AS capped
         FROM events GROUP BY user_id, event_type
     )
-    SELECT event_type, SUM(capped) AS listen_count
+    SELECT event_type, CAST(SUM(capped) AS BIGINT) AS listen_count
     FROM per_user GROUP BY event_type
     """,
     doc="A3 per-user capped count before sitewide sum (sitewide/entity.py:50-59)",

@@ -33,7 +33,7 @@ def _sql_in_list(words) -> str:
     """
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
            MAX(len(string_split(text, ' '))) AS max_tokens
     FROM documents
