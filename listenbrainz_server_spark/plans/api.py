@@ -22,7 +22,13 @@ def _events_handler(fn: Callable, **defaults):
     return run
 
 
+def _echo(spark: SparkSession, sf_dir: str, **params) -> DataFrame:
+    """echo.echo health check (listenbrainz_spark/echo/echo.py:1-8)."""
+    return spark.createDataFrame([("echo", sf_dir)], "message string, data_dir string")
+
+
 QUERY_MAP: dict[str, Callable] = {
+    "echo.echo": _echo,
     "stats.user.entity": _events_handler(handlers.user_entity_stats),
     "stats.user.daily_activity": _events_handler(handlers.daily_activity),
     "stats.sitewide.entity": _events_handler(handlers.sitewide_entity_stats),

@@ -39,6 +39,8 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
         return fn
 

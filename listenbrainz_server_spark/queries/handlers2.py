@@ -331,6 +331,43 @@ def h_yim_new_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# year_in_music.top_missed_recordings (top_missed_recordings.py:54-62):
+# popular entities the user has NEVER interacted with — explicit ANTI
+# JOIN against the user's own history, ranked by global popularity.
+# --------------------------------------------------------------------------
+@register(
+    "h_yim_top_missed",
+    """
+    WITH global_counts AS (
+        SELECT o_orderpriority AS entity, COUNT(*) AS global_n
+        FROM orders GROUP BY 1
+    ),
+    users AS (SELECT DISTINCT o_custkey AS user_id FROM orders),
+    history AS (SELECT DISTINCT o_custkey AS user_id, o_orderpriority AS entity FROM orders)
+    SELECT u.user_id, g.entity, g.global_n
+    FROM users u CROSS JOIN global_counts g
+    WHERE NOT EXISTS (
+        SELECT 1 FROM history h WHERE h.user_id = u.user_id AND h.entity = g.entity
+    )
+    """,
+    doc="year_in_music.top_missed handler: popular entities anti-joined vs history",
+)
+def h_yim_top_missed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.joins import anti_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    global_counts = orders.groupBy(F.col("o_orderpriority").alias("entity")).agg(
+        F.count(F.lit(1)).alias("global_n")
+    )
+    users = orders.select(F.col("o_custkey").alias("user_id")).distinct()
+    history = orders.select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderpriority").alias("entity")
+    ).distinct()
+    candidates = users.crossJoin(F.broadcast(global_counts))
+    return anti_join(candidates, history, ["user_id", "entity"])
+
+
+# --------------------------------------------------------------------------
 # cf.missing_mb_data (missing_mb_data/missing_mb_data.py:13-57): top
 # recent "unmapped" rows per user — P-status orders play the unmapped
 # role; row_number by recency.
