@@ -54,14 +54,26 @@ def session_pairs(
     session_col: str,
     item_col: str,
     score_col: str = "score",
+    max_contribution: int | None = None,
 ) -> DataFrame:
     """Co-occurrence pairs within a session, canonicalized so
     item_a < item_b, counted across all sessions
     (similarity/recording/common.py:111-131 shape).
+
+    ``max_contribution`` caps one user's total contribution to a
+    pair's score — the reference's anti-abuse LEAST cap
+    (similarity/recording/common.py:126-131): a single obsessive user
+    can't dominate global pair scores, and the per-user pre-aggregate
+    also shrinks the final shuffle.
     """
     a = df.select(user_col, session_col, F.col(item_col).alias("item_a"))
     b = df.select(user_col, session_col, F.col(item_col).alias("item_b"))
     pairs = a.join(b, on=[user_col, session_col], how="inner").where(
         F.col("item_a") < F.col("item_b")
     )
-    return pairs.groupBy("item_a", "item_b").agg(F.count(F.lit(1)).alias(score_col))
+    if max_contribution is None:
+        return pairs.groupBy("item_a", "item_b").agg(F.count(F.lit(1)).alias(score_col))
+    per_user = pairs.groupBy(user_col, "item_a", "item_b").agg(
+        F.least(F.count(F.lit(1)), F.lit(max_contribution)).alias("_contrib")
+    )
+    return per_user.groupBy("item_a", "item_b").agg(F.sum("_contrib").alias(score_col))

@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         extras,
         handlers,
         handlers2,
+        handlers3,
         incremental,
         ml,
         multimodal,

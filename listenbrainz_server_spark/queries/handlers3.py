@@ -1,0 +1,152 @@
+"""Handler-API coverage, part 3: capped-contribution similarity and
+the composed troi periodic-jams pipeline (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.catalog import load_table
+from listenbrainz_server_spark.operators.joins import anti_join, dim_join
+from listenbrainz_server_spark.operators.sessionize import session_pairs, with_session_ids
+from listenbrainz_server_spark.operators.topk import global_top_k, top_k_per_group
+from listenbrainz_server_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# similarity with per-user contribution cap
+# (similarity/recording/common.py:126-131 LEAST cap).
+# --------------------------------------------------------------------------
+@register(
+    "h_similar_capped",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               DATE_DIFF('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap_s
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, event_type,
+               SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    ),
+    per_user AS (
+        SELECT a.user_id, a.event_type AS item_a, b.event_type AS item_b,
+               LEAST(COUNT(*), 5) AS contrib
+        FROM sessions a
+        JOIN sessions b ON a.user_id = b.user_id AND a.session_id = b.session_id
+                        AND a.event_type < b.event_type
+        GROUP BY 1, 2, 3
+    )
+    SELECT item_a, item_b, CAST(SUM(contrib) AS BIGINT) AS score
+    FROM per_user GROUP BY 1, 2
+    """,
+    doc="sessionized similarity with per-user LEAST contribution cap",
+)
+def h_similar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = with_session_ids(ev, "user_id", "ts", 1800, tiebreak=("event_id",))
+    return session_pairs(
+        sess, "user_id", "session_id", "event_type", max_contribution=5
+    )
+
+
+# --------------------------------------------------------------------------
+# troi.playlists periodic-jams, fully composed
+# (troi/periodic_jams.py:15-90): candidate generation (globally popular
+# brands) → recency anti-join (not bought in the recent window) →
+# negative-feedback anti-join (never returned by the user) →
+# deterministic md5 diversification picks.
+# --------------------------------------------------------------------------
+@register(
+    "h_troi_periodic_jams",
+    """
+    WITH purchases AS (
+        SELECT o.o_custkey AS user_id, p.p_brand AS brand,
+               l.l_returnflag, o.o_orderdate
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    top_brands AS (
+        SELECT brand, COUNT(*) AS global_n
+        FROM purchases GROUP BY brand
+        ORDER BY global_n DESC, brand LIMIT 10
+    ),
+    users AS (SELECT DISTINCT user_id FROM purchases),
+    recent AS (
+        SELECT DISTINCT user_id, brand FROM purchases
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    ),
+    hated AS (
+        SELECT DISTINCT user_id, brand FROM purchases WHERE l_returnflag = 'R'
+    ),
+    candidates AS (
+        SELECT u.user_id, t.brand, t.global_n
+        FROM users u CROSS JOIN top_brands t
+    ),
+    filtered AS (
+        SELECT c.user_id, c.brand, c.global_n
+        FROM candidates c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM recent r WHERE r.user_id = c.user_id AND r.brand = c.brand
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM hated h WHERE h.user_id = c.user_id AND h.brand = c.brand
+        )
+    )
+    SELECT * FROM (
+        SELECT user_id, brand, global_n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY MD5(brand)) AS BIGINT) AS pick
+        FROM filtered
+    ) WHERE pick <= 3
+    """,
+    doc="troi.playlists periodic-jams: candidates → recency/feedback anti-joins → md5 picks",
+)
+def h_troi_periodic_jams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    purchases = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("p_brand").alias("brand"),
+            "l_returnflag",
+            "o_orderdate",
+        )
+    )
+    top_brands = global_top_k(
+        purchases.groupBy("brand").agg(F.count(F.lit(1)).alias("global_n")),
+        [F.col("global_n").desc(), F.col("brand")],
+        10,
+    )
+    users = purchases.select("user_id").distinct()
+    recent = (
+        purchases.where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("user_id", "brand")
+        .distinct()
+    )
+    hated = (
+        purchases.where(F.col("l_returnflag") == "R").select("user_id", "brand").distinct()
+    )
+    candidates = users.crossJoin(F.broadcast(top_brands))
+    filtered = anti_join(
+        anti_join(candidates, recent, ["user_id", "brand"]), hated, ["user_id", "brand"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.md5("brand"))
+    return (
+        filtered.withColumn("pick", F.row_number().over(w).cast("bigint"))
+        .where(F.col("pick") <= 3)
+    )
