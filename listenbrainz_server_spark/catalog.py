@@ -54,7 +54,10 @@ def load_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             # Integer `div` — float division loses precision at 1e18 ns.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+
+    from listenbrainz_server_spark.schemas import validate
+
+    return validate(name, df)
 
 
 def register_views(spark: SparkSession, base_dir: str, tables=TPCH_TABLES) -> dict[str, DataFrame]:
