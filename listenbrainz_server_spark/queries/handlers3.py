@@ -57,6 +57,89 @@ def h_similar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# year_in_music.top_genres (top_genres.py:29-95), fully composed:
+# three overlapping tag sources with priorities (recording > artist >
+# release-group ≈ part-type > brand-word > order-priority here),
+# best-priority dedup per (user, genre), counts, then share-of-total.
+# --------------------------------------------------------------------------
+@register(
+    "h_top_genres",
+    """
+    WITH purchases AS (
+        SELECT o.o_custkey AS user_id, o.o_orderkey, o.o_orderpriority,
+               p.p_type, p.p_brand
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tagged AS (
+        SELECT user_id, o_orderkey, LOWER(p_type) AS genre, 1 AS priority FROM purchases
+        UNION ALL
+        SELECT user_id, o_orderkey, LOWER(p_brand) AS genre, 2 AS priority FROM purchases
+        UNION ALL
+        SELECT user_id, o_orderkey, LOWER(o_orderpriority) AS genre, 3 AS priority FROM purchases
+    ),
+    deduped AS (
+        SELECT user_id, o_orderkey, genre,
+               MIN(priority) AS best_priority
+        FROM tagged GROUP BY 1, 2, 3
+    ),
+    counts AS (
+        SELECT user_id, genre, CAST(MIN(best_priority) AS INT) AS priority,
+               COUNT(*) AS genre_count
+        FROM deduped GROUP BY 1, 2
+    )
+    SELECT user_id, genre, priority, genre_count,
+           ROUND(genre_count * 100.0 / SUM(genre_count) OVER (PARTITION BY user_id), 6)
+               AS genre_count_percent
+    FROM counts
+    """,
+    doc="year_in_music.top_genres handler: 3-source priority dedup + share of total",
+)
+def h_top_genres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    purchases = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderkey",
+            "o_orderpriority",
+            "p_type",
+            "p_brand",
+        )
+    )
+
+    def src(col: str, prio: int) -> DataFrame:
+        return purchases.select(
+            "user_id",
+            "o_orderkey",
+            F.lower(F.col(col)).alias("genre"),
+            F.lit(prio).alias("priority"),
+        )
+
+    tagged = src("p_type", 1).unionByName(src("p_brand", 2)).unionByName(
+        src("o_orderpriority", 3)
+    )
+    deduped = tagged.groupBy("user_id", "o_orderkey", "genre").agg(
+        F.min("priority").alias("best_priority")
+    )
+    counts = deduped.groupBy("user_id", "genre").agg(
+        F.min("best_priority").cast("int").alias("priority"),
+        F.count(F.lit(1)).alias("genre_count"),
+    )
+    w = Window.partitionBy("user_id")
+    return counts.withColumn(
+        "genre_count_percent",
+        F.round(F.col("genre_count") * 100.0 / F.sum("genre_count").over(w), 6),
+    )
+
+
+# --------------------------------------------------------------------------
 # troi.playlists periodic-jams, fully composed
 # (troi/periodic_jams.py:15-90): candidate generation (globally popular
 # brands) → recency anti-join (not bought in the recent window) →
