@@ -34,25 +34,28 @@ def main() -> None:
     registry["a1_pricing_summary"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(registry.items()):
         t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        # Force full execution of every operator in the plan.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = q.fn(spark, sf_dir)
+            # Force full execution of every operator in the plan.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
+            errors[name] = str(e).splitlines()[0][:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -57,6 +57,64 @@ def h_similar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# releases.fresh (fresh_releases/fresh_releases.py:44-115): per-user
+# affinity to "fresh" items — upcoming parts (stand-in: partkey%20==0)
+# scored by the user's historical affinity to the part's brand,
+# confidence-ranked per user.
+# --------------------------------------------------------------------------
+@register(
+    "h_fresh_releases",
+    """
+    WITH purchases AS (
+        SELECT o.o_custkey AS user_id, p.p_brand
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    affinity AS (
+        SELECT user_id, p_brand, COUNT(*) AS brand_count
+        FROM purchases GROUP BY 1, 2
+    ),
+    fresh AS (
+        SELECT p_partkey, p_name, p_brand FROM part WHERE p_partkey % 20 = 0
+    )
+    SELECT * FROM (
+        SELECT a.user_id, f.p_partkey, f.p_name, a.brand_count AS score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY a.user_id
+                   ORDER BY a.brand_count DESC, f.p_partkey) AS BIGINT) AS rank
+        FROM affinity a JOIN fresh f ON a.p_brand = f.p_brand
+    ) WHERE rank <= 3
+    """,
+    doc="releases.fresh handler: brand-affinity scoring of fresh items, top-K per user",
+)
+def h_fresh_releases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    purchases = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("o_custkey").alias("user_id"), "p_brand")
+    )
+    affinity = purchases.groupBy("user_id", "p_brand").agg(
+        F.count(F.lit(1)).alias("brand_count")
+    )
+    fresh = part.where(F.col("p_partkey") % 20 == 0)
+    scored = affinity.join(F.broadcast(fresh), "p_brand").select(
+        "user_id", "p_partkey", "p_name", F.col("brand_count").alias("score")
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["user_id"],
+        order_by=[F.col("score").desc(), F.col("p_partkey")],
+        k=3,
+    ).withColumn("rank", F.col("rank").cast("bigint")).select(
+        "user_id", "p_partkey", "p_name", "score", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
 # year_in_music.top_genres (top_genres.py:29-95), fully composed:
 # three overlapping tag sources with priorities (recording > artist >
 # release-group ≈ part-type > brand-word > order-priority here),
