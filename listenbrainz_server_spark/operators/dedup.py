@@ -154,6 +154,63 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-group assignment: connected components over candidate
+    pairs via iterative min-label propagation. Returns (id, group_id)
+    with group_id = the component's minimum id — the canonical
+    representative a dedup pipeline keeps.
+
+    Converges in O(component diameter) rounds; near-dup components are
+    shallow (stars/cliques around a template), so ``max_iter`` is a
+    safety bound, not the expected cost. Each round is one join + one
+    aggregate — all shuffles are on the id key. (GraphFrames does the
+    same thing; this keeps the engine dependency-free.)
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("group_id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("group_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.group_id") != F.col("o.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "group_id")
+
+
 def simhash_bit(token_hash: Column, bit: int) -> Column:
     """Bit ``bit`` of a token signature: hex char ``bit`` of md5,
     0-7 → -1 vote, 8-f → +1 vote."""

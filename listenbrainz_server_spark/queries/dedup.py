@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from listenbrainz_server_spark.catalog import load_table
 from listenbrainz_server_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -158,3 +159,47 @@ def _simhash_sql() -> str:
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text", bits=_BITS)
+
+
+# --------------------------------------------------------------------------
+# Duplicate-group assignment: connected components over the Jaccard
+# near-dup pairs (min-label propagation ≡ recursive-CTE transitive
+# closure in the oracle).
+# --------------------------------------------------------------------------
+@register(
+    "d_dup_groups",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    closure(id, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT c.id, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    )
+    SELECT id AS doc_id, MIN(reach) AS group_id
+    FROM closure GROUP BY id
+    """,
+    doc="dup-group assignment: connected components over near-dup pairs",
+)
+def d_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )

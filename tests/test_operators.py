@@ -115,6 +115,16 @@ def test_lsh_finds_identical_docs(spark):
     assert (1, 3) not in out and (2, 3) not in out
 
 
+def test_connected_components_groups(spark):
+    from listenbrainz_server_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    # chain 1-2-3, pair 4-5, singleton 6
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    out = {r.id: r.group_id for r in connected_components(nodes, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
 def test_simhash_identical_for_same_tokens(spark):
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "c b a"), (3, "x y z")], "id long, text string"
