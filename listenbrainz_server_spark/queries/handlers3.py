@@ -57,6 +57,125 @@ def h_similar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# popularity.popularity per-artist variant (popularity/main.py:15-33):
+# per (artist, recording) totals — brand plays artist, part plays
+# recording.
+# --------------------------------------------------------------------------
+@register(
+    "h_popularity_per_artist",
+    """
+    SELECT p.p_brand AS artist, l.l_partkey AS recording_id,
+           COUNT(*) AS total_listen_count,
+           COUNT(DISTINCT o.o_custkey) AS total_user_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+    doc="popularity per-artist variant: per (artist, item) totals + distinct listeners",
+)
+def h_popularity_per_artist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("artist"),
+            F.col("l_partkey").alias("recording_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_listen_count"),
+            F.countDistinct("o_custkey").alias("total_user_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# cf.recommendations.recording.discovery
+# (recommendations/recording/discovery.py:17-28): latest interaction
+# per (user, item) — feeds recommendation recency.
+# --------------------------------------------------------------------------
+@register(
+    "h_discovery",
+    """
+    SELECT o_custkey AS user_id, o_orderpriority AS entity,
+           MAX(o_orderdate) AS latest_listened_at,
+           MIN(o_orderdate) AS first_listened_at
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="cf.discovery handler: first/latest interaction per (user, entity)",
+)
+def h_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderpriority").alias("entity"),
+    ).agg(
+        F.max("o_orderdate").alias("latest_listened_at"),
+        F.min("o_orderdate").alias("first_listened_at"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stats.sitewide.listening_activity (sitewide variant of
+# listening_activity.py:63-84): global counts per time bucket,
+# zero-filled buckets included.
+# --------------------------------------------------------------------------
+@register(
+    "h_sitewide_listening_activity",
+    """
+    WITH buckets(bucket, bstart, bend) AS (
+        VALUES ('week1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+               ('week2', TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
+               ('week3', TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22'),
+               ('week4', TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29'),
+               ('week5', TIMESTAMP '2024-01-29', TIMESTAMP '2024-02-05'),
+               ('week6', TIMESTAMP '2024-02-05', TIMESTAMP '2024-02-12')
+    ),
+    agg AS (
+        SELECT b.bucket, COUNT(*) AS listen_count
+        FROM events e JOIN buckets b ON e.ts >= b.bstart AND e.ts < b.bend
+        GROUP BY 1
+    )
+    SELECT b.bucket, COALESCE(a.listen_count, 0) AS listen_count
+    FROM buckets b LEFT JOIN agg a ON a.bucket = b.bucket
+    """,
+    doc="stats.sitewide.listening_activity handler: global bucket counts, zero-filled",
+)
+def h_sitewide_listening_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timedelta
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = datetime(2024, 1, 1)
+    buckets = spark.createDataFrame(
+        [
+            (f"week{i + 1}", anchor + timedelta(days=7 * i), anchor + timedelta(days=7 * (i + 1)))
+            for i in range(6)
+        ],
+        "bucket string, start timestamp, end timestamp",
+    )
+    agg = (
+        ev.join(
+            F.broadcast(buckets),
+            (F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("listen_count"))
+    )
+    return (
+        buckets.select("bucket")
+        .join(agg, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("listen_count", F.lit(0).cast("bigint")).alias("listen_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # releases.fresh (fresh_releases/fresh_releases.py:44-115): per-user
 # affinity to "fresh" items — upcoming parts (stand-in: partkey%20==0)
 # scored by the user's historical affinity to the part's brand,
