@@ -179,6 +179,11 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # Materialize once: every iteration joins edges, and the pair
+        # generation upstream (shingle jaccard / LSH) is the expensive
+        # part — without this the whole candidate pipeline re-runs
+        # per round AND per convergence check.
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("group_id")
