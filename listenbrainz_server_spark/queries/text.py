@@ -123,6 +123,83 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic hash sampling (~20% per reproducible md5 coordinate).
+# --------------------------------------------------------------------------
+@register(
+    "x_hash_sample",
+    """
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+    GROUP BY lang
+    """,
+    doc="reproducible hash sampling (~20%), partition-independent",
+)
+def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split (80/10/10) by hash ranges.
+# --------------------------------------------------------------------------
+@register(
+    "x_hash_split",
+    """
+    WITH coords AS (
+        SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN h < 'cccccccc' THEN 'train'
+                WHEN h < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM coords
+    GROUP BY 1, 2
+    """,
+    doc="reproducible 80/10/10 train/val/test split by hash ranges",
+)
+def x_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-length histogram (pipeline QA: length distribution buckets).
+# --------------------------------------------------------------------------
+@register(
+    "t_length_histogram",
+    """
+    SELECT (len(string_split(text, ' ')) // 10) * 10 AS bucket_start,
+           COUNT(*) AS n_docs,
+           CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="token-length histogram (10-token buckets) for corpus QA",
+)
+def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    bucket = (F.floor(tc / 10) * 10).cast("bigint")
+    return docs.groupBy(bucket.alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(tc).alias("min_tokens"),
+        F.max(tc).alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Fingerprint: md5 of normalized text (rolling-hash analog).
 # --------------------------------------------------------------------------
 @register(

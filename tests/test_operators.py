@@ -115,6 +115,24 @@ def test_lsh_finds_identical_docs(spark):
     assert (1, 3) not in out and (2, 3) not in out
 
 
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from listenbrainz_server_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    out = hash_split(df, "id")
+    rows = out.collect()
+    assert len(rows) == 200  # exhaustive
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    # stable: same assignment on recompute and independent of partitioning
+    again = {r.id: r.split for r in hash_split(df.repartition(7), "id").collect()}
+    assert {r.id: r.split for r in rows} == again
+    # roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(r.split for r in rows)
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
 def test_connected_components_groups(spark):
     from listenbrainz_server_spark.operators.dedup import connected_components
 
