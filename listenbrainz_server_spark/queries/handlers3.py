@@ -57,6 +57,59 @@ def h_similar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# similarity.artist weighted variant (similarity/artist.py:28-43,64-73):
+# pair scores weighted per occurrence — featured credits contribute
+# 0.25 (IF(after_ft_jp, 0.25, 1)); here 'skip' events play the
+# featured role. Sum of min-weight products per pair.
+# --------------------------------------------------------------------------
+@register(
+    "h_similar_weighted",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type = 'skip' THEN 0.25 ELSE 1.0 END AS w,
+               DATE_DIFF('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap_s
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, event_type, w,
+               SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           ROUND(SUM(LEAST(a.w, b.w)), 2) AS score
+    FROM sessions a
+    JOIN sessions b ON a.user_id = b.user_id AND a.session_id = b.session_id
+                    AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    doc="similarity.artist weighted pairs: featured-credit 0.25 weighting",
+)
+def h_similar_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.sessionize import with_session_ids
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = with_session_ids(ev, "user_id", "ts", 1800, tiebreak=("event_id",))
+    weighted = sess.withColumn(
+        "w", F.when(F.col("event_type") == "skip", 0.25).otherwise(1.0)
+    )
+    a = weighted.select(
+        "user_id", "session_id", F.col("event_type").alias("item_a"), F.col("w").alias("w_a")
+    )
+    b = weighted.select(
+        "user_id", "session_id", F.col("event_type").alias("item_b"), F.col("w").alias("w_b")
+    )
+    pairs = a.join(b, ["user_id", "session_id"]).where(F.col("item_a") < F.col("item_b"))
+    return pairs.groupBy("item_a", "item_b").agg(
+        F.round(F.sum(F.least(F.col("w_a"), F.col("w_b"))), 2).alias("score")
+    )
+
+
+# --------------------------------------------------------------------------
 # popularity.popularity per-artist variant (popularity/main.py:15-33):
 # per (artist, recording) totals — brand plays artist, part plays
 # recording.
