@@ -230,6 +230,122 @@ def x_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Pivot: wide month × event_type matrix (beyond reference — SURVEY
+# notes the reference has no pivot; standard OLAP surface).
+# --------------------------------------------------------------------------
+@register(
+    "x_pivot",
+    """
+    SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="pivot: day × event_type wide counts (groupBy().pivot())",
+)
+def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.dayofmonth("ts").cast("bigint").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for absent cells; counts must be 0.
+    for c in ["click", "error", "purchase", "signup", "view"]:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("bigint"))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Rollup: subtotals + grand total (beyond reference — no grouping
+# sets/cube/rollup exist there; SURVEY §2.4 note).
+# --------------------------------------------------------------------------
+@register(
+    "x_rollup",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+           o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP(1, o_orderpriority)
+    """,
+    doc="rollup: per-(year,priority) + per-year subtotals + grand total",
+)
+def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").cast("bigint").alias("y"), "o_orderpriority"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Chunked-harness execution through the correctness gate: the MLHD
+# 16-chunk pattern (plans/chunked.py) must be invisible to results —
+# oracle is the plain unchunked pair count.
+# --------------------------------------------------------------------------
+@register(
+    "x_chunked_pairs",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               DATE_DIFF('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, event_type,
+               SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT a.event_type AS item_a, b.event_type AS item_b, COUNT(*) AS score
+    FROM sessions a
+    JOIN sessions b ON a.user_id = b.user_id AND a.session_id = b.session_id
+                    AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    doc="chunked execution harness ≡ unchunked (4 hash chunks, parquet barriers)",
+)
+def x_chunked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from listenbrainz_server_spark.operators.sessionize import (
+        session_pairs,
+        with_session_ids,
+    )
+    from listenbrainz_server_spark.plans.chunked import run_chunked
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def per_chunk(df: DataFrame) -> DataFrame:
+        sess = with_session_ids(df, "user_id", "ts", 1800, tiebreak=("event_id",))
+        return session_pairs(sess, "user_id", "session_id", "event_type")
+
+    return run_chunked(
+        spark,
+        ev,
+        key_col="user_id",
+        n_chunks=4,
+        per_chunk=per_chunk,
+        state_dir=tempfile.mkdtemp(prefix="lbs_chunk_"),
+        combine=lambda df: df.groupBy("item_a", "item_b").agg(
+            F.sum("score").cast("bigint").alias("score")
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # P10: string-prefix chunk filter (user_id LIKE 'c%' 16-way chunking,
 # similarity/recording/mlhd.py:32-35).
 # --------------------------------------------------------------------------
