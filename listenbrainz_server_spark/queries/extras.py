@@ -230,6 +230,67 @@ def x_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# RANGE-frame rolling window: 24h trailing count per user (beyond
+# reference — its windows are all default ROWS frames, SURVEY §2.5).
+# Timestamps truncated to seconds on both sides so the frame boundary
+# is engine-identical.
+# --------------------------------------------------------------------------
+@register(
+    "x_rolling_window",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS tsec FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY tsec
+               RANGE BETWEEN INTERVAL '24 hours' PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_trailing_24h
+    FROM e
+    """,
+    doc="RANGE-frame rolling 24h trailing count per user",
+)
+def x_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tsec = F.date_trunc("second", F.col("ts")).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(tsec)
+        .rangeBetween(-24 * 3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_24h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated percentiles (beyond reference — no percentile
+# aggregates there; Spark `percentile` ≡ DuckDB `quantile_cont`).
+# --------------------------------------------------------------------------
+@register(
+    "x_percentile",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="exact interpolated percentiles per group (p50/p90)",
+)
+def x_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Pivot: wide month × event_type matrix (beyond reference — SURVEY
 # notes the reference has no pivot; standard OLAP surface).
 # --------------------------------------------------------------------------
