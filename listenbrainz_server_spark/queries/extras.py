@@ -322,6 +322,43 @@ def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Unpivot/melt: wide metrics → long (quantity/price/discount as rows).
+# --------------------------------------------------------------------------
+@register(
+    "x_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, ROUND(val, 4) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+        FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        FROM lineitem WHERE l_linenumber = 1
+    )
+    """,
+    doc="unpivot/melt wide metric columns to long rows",
+)
+def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    mapping = {"l_quantity": "quantity", "l_discount": "discount", "l_tax": "tax"}
+    metric = F.col("metric")
+    for src, dst in mapping.items():
+        metric = F.when(F.col("metric") == src, dst).otherwise(metric)
+    return out.select(
+        "l_orderkey", "l_linenumber", metric.alias("metric"), F.round("val", 4).alias("val")
+    )
+
+
+# --------------------------------------------------------------------------
 # Rollup: subtotals + grand total (beyond reference — no grouping
 # sets/cube/rollup exist there; SURVEY §2.4 note).
 # --------------------------------------------------------------------------
