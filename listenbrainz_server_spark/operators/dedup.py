@@ -185,9 +185,10 @@ def connected_components(
         # per round AND per convergence check.
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("group_id")
-    )
+    # Propagate only over nodes that have edges; the (dominant)
+    # singleton majority short-circuits to group_id = id at the end.
+    paired_nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = paired_nodes.withColumn("group_id", F.col("node"))
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -213,7 +214,14 @@ def connected_components(
         labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), "group_id")
+    singletons = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(paired_nodes, "node", "left_anti")
+        .withColumn("group_id", F.col("node"))
+    )
+    return labels.unionByName(singletons).select(
+        F.col("node").alias(id_col), "group_id"
+    )
 
 
 def simhash_bit(token_hash: Column, bit: int) -> Column:
