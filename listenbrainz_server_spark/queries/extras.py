@@ -230,6 +230,28 @@ def x_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Approximate count-distinct (HLL): the 100TB upgrade path for A4 —
+# SURVEY §2.4 notes the reference's popularity combine already accepts
+# approximation (it sums exact partial distincts across batches);
+# approx_count_distinct makes the trade explicit and mergeable. HLL
+# estimates differ per engine → rows-only check; the exact variant
+# (a4_count_distinct / x_salted_count_distinct) is the oracle-checked
+# baseline.
+# --------------------------------------------------------------------------
+@register(
+    "x_approx_distinct",
+    None,
+    doc="approx_count_distinct (HLL) listener counts — mergeable scale path for A4",
+)
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_listeners"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # RANGE-frame rolling window: 24h trailing count per user (beyond
 # reference — its windows are all default ROWS frames, SURVEY §2.5).
 # Timestamps truncated to seconds on both sides so the frame boundary
