@@ -69,12 +69,22 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    materialize_index: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     shared(a,b) via shingle equi-join; |a∪b| = |a|+|b|-shared.
+
+    The inverted index feeds three plan branches (sizes + both join
+    sides). ``materialize_index`` persists it once instead of
+    re-tokenizing 3× — worth it when tokenization dominates (large
+    corpus; at 100 TB persist(DISK_ONLY), the reference's dim-cache
+    pattern, postgres/artist.py:54-62). At small scale recompute is
+    cheaper than the serialization round-trip, so default off.
     """
     idx = shingle_index(df, id_col, text_col, n)
+    if materialize_index:
+        idx = idx.localCheckpoint(eager=True)
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = idx.select(F.col(id_col).alias("id_a"), "shingle")
