@@ -1,11 +1,16 @@
-"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE compact JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...}.
 
-Each query is timed to full materialization (count of a cached-free
-plan — same work the correctness gate does, minus driver-side
-collection of wide rows).
+The headline set is one representative per operator family (agg, join
+pipeline, window, dedup/LSH, ANN, CF, text, skew, streaming-batch,
+multimodal, incremental) — the full 100+ registry sweep is available
+with --all, but the default output stays small enough for a log-tail
+parser to recover the JSON line intact.
+
+Each query is timed to full materialization (noop-format write — same
+work the correctness gate does, minus driver-side collection).
 """
 
 from __future__ import annotations
@@ -20,14 +25,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from listenbrainz_server_spark.queries import load_all
 from listenbrainz_server_spark.session import get_session
 
+# One per family; the expensive ones stay in so regressions in the
+# heavy paths (ALS, cosine join, LSH re-rank, Arrow decode) are visible.
+HEADLINE = (
+    "a1_pricing_summary",
+    "a4_count_distinct",
+    "h_top_genres",
+    "h_user_entity_stats",
+    "h_troi_periodic_jams",
+    "j13_explode_equi_join",
+    "w1_topk_per_group",
+    "d_minhash_lsh",
+    "d_dup_groups",
+    "v_lsh_topk",
+    "v_cosine_topk",
+    "m_user_cosine",
+    "m_als_recommend",
+    "t_token_stats",
+    "x_salted_agg",
+    "i_incremental_lifecycle",
+    "mm_decode_features",
+    "st_session_window",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    run_all = "--all" in sys.argv
 
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
+    names = sorted(registry) if run_all else [n for n in HEADLINE if n in registry]
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # query execution, not session cold-start.
@@ -35,19 +65,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, q in sorted(registry.items()):
+    for name in names:
         t0 = time.time()
         try:
-            df = q.fn(spark, sf_dir)
+            df = registry[name].fn(spark, sf_dir)
             # Force full execution of every operator in the plan.
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            timings[name] = round(time.time() - t0, 2)
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
-            errors[name] = str(e).splitlines()[0][:200]
+            errors[name] = str(e).splitlines()[0][:120]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
     out = {
-        "metric": "total_query_wall_seconds",
+        "metric": "headline_query_wall_seconds" if not run_all else "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -55,7 +85,7 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

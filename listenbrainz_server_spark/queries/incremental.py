@@ -6,6 +6,7 @@ invariant (SURVEY.md §7.4 hard part #1).
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -17,6 +18,28 @@ from listenbrainz_server_spark.incremental.engine import IncrementalEngine, Incr
 from listenbrainz_server_spark.queries import register
 
 _CUTOFF = "2024-01-20"
+
+_STATE_ROOT: str | None = None
+
+
+def _state_dir(sf_dir: str) -> str:
+    """Process-lifetime incremental state dir, one subdir per input
+    dataset (a partial built over sf0.001 must never satisfy the
+    freshness check for an sf0.01 run — the date range alone matches).
+
+    Outlives the returned DataFrame's lazy plan (the plan reads the
+    Parquet partial on execution — a driver-side collect to 'rescue'
+    rows from a vanishing temp dir would be a hot-path anti-pattern at
+    aggregate cardinality ×100). Cleaned at interpreter exit."""
+    global _STATE_ROOT
+    if _STATE_ROOT is None:
+        _STATE_ROOT = tempfile.mkdtemp(prefix="lbs_incr_state_")
+        atexit.register(shutil.rmtree, _STATE_ROOT, ignore_errors=True)
+    import hashlib
+
+    sub = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{_STATE_ROOT}/{sub}"
+    return path
 
 
 def _user_type_stat() -> IncrementalStat:
@@ -50,29 +73,22 @@ def _user_type_stat() -> IncrementalStat:
 def i_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cutoff = F.lit(_CUTOFF).cast("timestamp")
-    state_dir = tempfile.mkdtemp(prefix="lbs_incr_")
-    try:
-        engine = IncrementalEngine(spark, state_dir)
-        stat = _user_type_stat()
-        combined = engine.run(
-            stat,
-            full_df=ev.where(F.col("ts") < cutoff),
-            delta_df=ev.where(F.col("ts") >= cutoff),
-            from_date="2024-01-01",
-            to_date="2024-02-01",
-            created="2024-01-20",
-        )
-        result = combined.select(
-            "user_id",
-            "event_type",
-            F.col("listen_count").cast("bigint").alias("listen_count"),
-            F.round("total_value", 2).alias("total_value"),
-        )
-        # Materialize before the temp state dir disappears.
-        result = spark.createDataFrame(result.collect(), result.schema)
-        return result
-    finally:
-        shutil.rmtree(state_dir, ignore_errors=True)
+    engine = IncrementalEngine(spark, _state_dir(sf_dir))
+    stat = _user_type_stat()
+    combined = engine.run(
+        stat,
+        full_df=ev.where(F.col("ts") < cutoff),
+        delta_df=ev.where(F.col("ts") >= cutoff),
+        from_date="2024-01-01",
+        to_date="2024-02-01",
+        created="2024-01-20",
+    )
+    return combined.select(
+        "user_id",
+        "event_type",
+        F.col("listen_count").cast("bigint").alias("listen_count"),
+        F.round("total_value", 2).alias("total_value"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -97,30 +113,24 @@ def i_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def i_affected_key_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cutoff = F.lit(_CUTOFF).cast("timestamp")
-    state_dir = tempfile.mkdtemp(prefix="lbs_incr_")
-    try:
-        engine = IncrementalEngine(spark, state_dir)
-        stat = IncrementalStat(
-            name="user_event_counts_pruned",
-            aggregate=lambda df: df.groupBy("user_id", "event_type").agg(
-                F.count(F.lit(1)).alias("listen_count")
-            ),
-            keys=("user_id", "event_type"),
-            sum_cols=("listen_count",),
-        )
-        combined = engine.run(
-            stat,
-            full_df=ev.where(F.col("ts") < cutoff),
-            delta_df=ev.where(F.col("ts") >= cutoff),
-            from_date="2024-01-01",
-            to_date="2024-02-01",
-            created="2024-01-20",
-            only_affected=True,
-        )
-        result = combined.select(
-            "user_id", "event_type", F.col("listen_count").cast("bigint").alias("listen_count")
-        )
-        result = spark.createDataFrame(result.collect(), result.schema)
-        return result
-    finally:
-        shutil.rmtree(state_dir, ignore_errors=True)
+    engine = IncrementalEngine(spark, _state_dir(sf_dir))
+    stat = IncrementalStat(
+        name="user_event_counts_pruned",
+        aggregate=lambda df: df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("listen_count")
+        ),
+        keys=("user_id", "event_type"),
+        sum_cols=("listen_count",),
+    )
+    combined = engine.run(
+        stat,
+        full_df=ev.where(F.col("ts") < cutoff),
+        delta_df=ev.where(F.col("ts") >= cutoff),
+        from_date="2024-01-01",
+        to_date="2024-02-01",
+        created="2024-01-20",
+        only_affected=True,
+    )
+    return combined.select(
+        "user_id", "event_type", F.col("listen_count").cast("bigint").alias("listen_count")
+    )

@@ -35,12 +35,22 @@ def append_coalesced(df: DataFrame, path: str, files: int = 1) -> None:
 def atomic_swap_write(df: DataFrame, path: str) -> None:
     """Write to a temp sibling then rename into place
     (listens/dump.py:204-208 / delete.py:27-34 swap pattern) — readers
-    never observe a half-written dataset on a posix-rename filesystem."""
+    never observe a half-written dataset on a posix-rename filesystem.
+
+    The old dataset is renamed ASIDE first (rename is atomic; delete is
+    not), so the path is absent only for the instant between two
+    renames — not for the duration of a recursive delete."""
     tmp = path.rstrip("/") + "__tmp"
+    old = path.rstrip("/") + "__old"
     df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    had_old = os.path.exists(path)
+    if had_old:
+        os.rename(path, old)
     os.rename(tmp, path)
+    if had_old:
+        shutil.rmtree(old)
 
 
 def registry_upsert(

@@ -1,0 +1,72 @@
+"""Blocked-broadcast similarity + shingle df-cap tests.
+
+The blocked loop (operators/similarity.py) must produce results
+identical to the single-block path regardless of block count — the
+100 TB contract is "driver memory bounded by block_rows, answer
+unchanged".
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.catalog import load_table
+from listenbrainz_server_spark.operators.dedup import connected_components, shingle_index
+from listenbrainz_server_spark.operators.similarity import (
+    brute_force_topk,
+    neardup_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon_topk(df):
+    return sorted(
+        (r.qid, r.nid, round(r.score, 6), r.rank) for r in df.collect()
+    )
+
+
+def test_brute_force_topk_blocked_equals_single(spark):
+    emb = load_table(spark, SF, "embeddings")
+    single = brute_force_topk(emb, "vec_id", "embedding", k=5)
+    blocked = brute_force_topk(emb, "vec_id", "embedding", k=5, block_rows=17)
+    assert _canon_topk(blocked) == _canon_topk(single)
+
+
+def test_neardup_pairs_blocked_equals_single(spark):
+    emb = load_table(spark, SF, "embeddings")
+    single = neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    blocked = neardup_pairs(emb, "vec_id", "embedding", threshold=0.4, block_rows=13)
+    canon = lambda df: sorted((r.id_a, r.id_b, round(r.score, 6)) for r in df.collect())
+    assert canon(blocked) == canon(single)
+
+
+def test_shingle_df_cap_drops_hot_shingle(spark):
+    # "the the the" 3-gram appears in every doc (hot); unique tails don't.
+    docs = spark.createDataFrame(
+        [(i, f"the the the unique{i} tail{i} word{i}") for i in range(6)],
+        "doc_id long, body string",
+    )
+    uncapped = shingle_index(docs, "doc_id", "body", n=3)
+    capped = shingle_index(docs, "doc_id", "body", n=3, max_shingle_df=3)
+    hot = {r.shingle for r in uncapped.groupBy("shingle").count().where("count > 3").collect()}
+    assert hot  # fixture really has a hot shingle
+    kept = {r.shingle for r in capped.select("shingle").distinct().collect()}
+    assert not (hot & kept), "df-capped index must drop hot shingles"
+    # max_shingle_df=0 must drop EVERYTHING (regression: old ternary
+    # silently disabled the filter for 0).
+    assert shingle_index(docs, "doc_id", "body", n=3, max_shingle_df=0).count() == 0
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    # A 6-node path graph has diameter 5; max_iter=1 cannot converge.
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="not converged"):
+        connected_components(nodes, pairs, max_iter=1).collect()
+    # And with enough rounds it converges to a single min-label group.
+    out = connected_components(nodes, pairs, max_iter=10)
+    assert {r.group_id for r in out.collect()} == {0}
