@@ -31,9 +31,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["a1_pricing_summary"].fn(spark, SMOKE_SF_DIR)
 
 
+# Names whose plans are expensive at sweep time (iterative ALS, CC
+# label propagation, Arrow decode) — deprioritized so a time-budgeted
+# sweep verifies the many cheap queries first.
+_EXPENSIVE = {
+    "m_als_recommend",
+    "m_als_cv",
+    "m_user_cosine",
+    "d_dup_groups",
+    "d_minhash_lsh",
+    "mm_decode_features",
+    "x_chunked_pairs",
+    "v_lsh_topk",
+    "h_top_genres",
+    "i_incremental_lifecycle",
+    "i_affected_key_pruning",
+}
+
+
+def _verified_in_prior_rounds() -> set[str]:
+    """Query names that already have a driver verdict in any
+    CORRECTNESS_r*.json. Round 1's sweep stopped partway through the
+    registry, so we surface never-verified queries first each round —
+    the ordering rotates automatically as verdicts accumulate."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _sweep_order() -> list[str]:
+    names = sorted(load_all())
+    seen = _verified_in_prior_rounds()
+    key = lambda n: (n in seen, n in _EXPENSIVE, n)  # noqa: E731
+    return sorted(names, key=key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in sorted(load_all().items())}
+    registry = load_all()
+    return {name: registry[name].fn for name in _sweep_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in sorted(load_all().items()) if q.oracle is not None}
+    registry = load_all()
+    return {
+        name: registry[name].oracle
+        for name in _sweep_order()
+        if registry[name].oracle is not None
+    }

@@ -50,11 +50,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def load_all() -> dict[str, Query]:
     """Import every query module so the registry is populated."""
     from listenbrainz_server_spark.queries import (  # noqa: F401
+        api_variants,
         dedup,
         extras,
         handlers,
         handlers2,
         handlers3,
+        handlers4,
         incremental,
         ml,
         multimodal,

@@ -1,0 +1,137 @@
+"""Oracle-checked parameterized dispatch variants: the named handler
+surface (plans/api.QUERY_MAP) exercised with the reference's request
+params — entity/range/k — proving the param plumbing end-to-end
+(query_map.py names + stats/__init__.py:150-218 range selection).
+
+Ranges anchor to the latest listen timestamp, so the oracles compute
+the same anchor with max(ts) instead of hardcoding dates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from listenbrainz_server_spark.plans.api import dispatch
+from listenbrainz_server_spark.queries import register
+
+# --------------------------------------------------------------------------
+# stats.user.entity at range=week: last COMPLETE week before the
+# anchor's week (stats/__init__.py week semantics).
+# --------------------------------------------------------------------------
+@register(
+    "api_user_entity_week",
+    """
+    WITH a AS (SELECT date_trunc('week', max(ts)) AS wk FROM events),
+    ranged AS (
+        SELECT e.* FROM events e, a
+        WHERE e.ts >= a.wk - INTERVAL 7 DAY AND e.ts < a.wk
+    ),
+    counts AS (
+        SELECT user_id, event_type, COUNT(*) AS listen_count
+        FROM ranged GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, event_type, listen_count,
+               CAST(SUM(listen_count) OVER (PARTITION BY user_id) AS BIGINT) AS total_count,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS entity_count
+        FROM counts
+    )
+    SELECT * FROM (
+        SELECT user_id, event_type, listen_count, total_count, entity_count,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY listen_count DESC, event_type) AS BIGINT) AS rank
+        FROM tot
+    ) WHERE rank <= 3
+    """,
+    doc="stats.user.entity dispatched with stats_range=week, k=3",
+)
+def api_user_entity_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("stats.user.entity", spark, sf_dir, stats_range="week", k=3)
+
+
+# --------------------------------------------------------------------------
+# stats.sitewide.entity at range=this_month (running period).
+# --------------------------------------------------------------------------
+@register(
+    "api_sitewide_entity_this_month",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
+    ranged AS (
+        SELECT e.* FROM events e, a
+        WHERE e.ts >= date_trunc('month', a.anchor)
+          AND e.ts < a.anchor + INTERVAL 1 SECOND
+    ),
+    per_user AS (
+        SELECT user_id, event_type, LEAST(COUNT(*), 10) AS capped
+        FROM ranged GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(SUM(capped) AS BIGINT) AS listen_count
+    FROM per_user GROUP BY event_type
+    ORDER BY listen_count DESC, event_type
+    LIMIT 5
+    """,
+    doc="stats.sitewide.entity dispatched with stats_range=this_month, cap=10, k=5",
+)
+def api_sitewide_entity_this_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch(
+        "stats.sitewide.entity", spark, sf_dir, stats_range="this_month", cap=10, k=5
+    )
+
+
+# --------------------------------------------------------------------------
+# stats.user.listening_activity at range=this_week: running week as
+# generated day buckets, user-densified, zero-filled.
+# --------------------------------------------------------------------------
+@register(
+    "api_listening_activity_this_week",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
+    days AS (
+        SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS bucket,
+               CAST(d AS TIMESTAMP) AS bstart,
+               CAST(d AS TIMESTAMP) + INTERVAL 1 DAY AS bend
+        FROM generate_series(DATE '2024-01-01', DATE '2025-12-31', INTERVAL 1 DAY) t(d), a
+        WHERE CAST(d AS TIMESTAMP) >= date_trunc('week', a.anchor)
+          AND CAST(d AS TIMESTAMP) <= a.anchor
+    ),
+    ranged AS (
+        SELECT e.* FROM events e, a
+        WHERE e.ts >= date_trunc('week', a.anchor)
+          AND e.ts < a.anchor + INTERVAL 1 SECOND
+    ),
+    users AS (SELECT DISTINCT user_id FROM ranged),
+    agg AS (
+        SELECT r.user_id, d.bucket, COUNT(*) AS listen_count
+        FROM ranged r JOIN days d ON r.ts >= d.bstart AND r.ts < d.bend
+        GROUP BY 1, 2
+    )
+    SELECT u.user_id, d.bucket, COALESCE(a2.listen_count, 0) AS listen_count
+    FROM users u CROSS JOIN days d
+    LEFT JOIN agg a2 ON a2.user_id = u.user_id AND a2.bucket = d.bucket
+    """,
+    doc="stats.user.listening_activity dispatched with stats_range=this_week",
+)
+def api_listening_activity_this_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch(
+        "stats.user.listening_activity", spark, sf_dir, stats_range="this_week"
+    )
+
+
+# --------------------------------------------------------------------------
+# stats.sitewide.era_activity: the sitewide param variant of the era
+# handler (user dimension dropped).
+# --------------------------------------------------------------------------
+@register(
+    "api_sitewide_era_activity",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS era_year,
+           COUNT(*) AS listen_count
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) >= 1800
+    GROUP BY 1
+    """,
+    doc="stats.sitewide.era_activity dispatched (sitewide param variant)",
+)
+def api_sitewide_era_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("stats.sitewide.era_activity", spark, sf_dir)

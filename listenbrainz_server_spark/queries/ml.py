@@ -52,40 +52,44 @@ def m_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (similarity/user.py:89-115): normalize per user, join on shared
 # item, sum of products. Exact (threshold=0 DIMSUM), no sampling.
 # --------------------------------------------------------------------------
-@register(
-    "m_user_cosine",
+def user_cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.15,
+    item_degree_cap: int | None = None,
+) -> DataFrame:
+    """Cosine pairs (user_a < user_b, similarity_raw ≥ threshold).
+
+    ``item_degree_cap``: per-item cap on participating users — the
+    shared-item self-join generates |users(item)|²/2 rows per item, so
+    one viral item is a straight scale-killer at 100×. Capping keeps
+    the top-C users per item by playcount (deterministic user tie-break)
+    before the join — the reference's own per-user LEAST cap precedent
+    (sitewide/entity.py:50-59) applied on the item axis; DIMSUM's
+    sampling bounds the same term probabilistically.
     """
-    WITH pc AS (
-        SELECT o_custkey AS user_id, l_partkey AS item_id, COUNT(*) AS playcount
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY 1, 2
-    ),
-    norms AS (
-        SELECT user_id, sqrt(SUM(playcount * playcount * 1.0)) AS nrm FROM pc GROUP BY 1
-    ),
-    dots AS (
-        SELECT a.user_id AS user_a, b.user_id AS user_b,
-               SUM(a.playcount * b.playcount * 1.0) AS dot
-        FROM pc a JOIN pc b ON a.item_id = b.item_id AND a.user_id < b.user_id
-        GROUP BY 1, 2
-    )
-    SELECT user_a, user_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS similarity
-    FROM dots
-    JOIN norms na ON na.user_id = user_a
-    JOIN norms nb ON nb.user_id = user_b
-    WHERE dot / (na.nrm * nb.nrm) >= 0.3
-    """,
-    doc="M4 user-user cosine similarity (DIMSUM semantics, DataFrame-native)",
-)
-def m_user_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = _playcounts(spark, sf_dir)
+    # Norms over the FULL vector (capping affects candidate pairs, not
+    # the definition of a user's vector length).
     norms = pc.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("playcount") * F.col("playcount") * F.lit(1.0))).alias("nrm")
     )
-    a = pc.select(
+    joined_pc = pc
+    if item_degree_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("item_id").orderBy(
+            F.col("playcount").desc(), F.col("user_id")
+        )
+        joined_pc = (
+            pc.withColumn("_idr", F.row_number().over(w))
+            .where(F.col("_idr") <= item_degree_cap)
+            .drop("_idr")
+        )
+    a = joined_pc.select(
         F.col("user_id").alias("user_a"), "item_id", F.col("playcount").alias("pc_a")
     )
-    b = pc.select(
+    b = joined_pc.select(
         F.col("user_id").alias("user_b"), "item_id", F.col("playcount").alias("pc_b")
     )
     dots = (
@@ -100,11 +104,72 @@ def m_user_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(na, "user_a")
         .join(nb, "user_b")
         .withColumn("similarity_raw", F.col("dot") / (F.col("na") * F.col("nb")))
-        .where(F.col("similarity_raw") >= 0.3)
-        .select(
-            "user_a", "user_b", F.round("similarity_raw", 6).alias("similarity")
-        )
+        .where(F.col("similarity_raw") >= threshold)
     )
+
+
+_COSINE_SQL = """
+    WITH pc AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id, COUNT(*) AS playcount
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    {capped_pc}
+    norms AS (
+        SELECT user_id, sqrt(SUM(playcount * playcount * 1.0)) AS nrm FROM pc GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               SUM(a.playcount * b.playcount * 1.0) AS dot
+        FROM {pair_src} a JOIN {pair_src} b
+          ON a.item_id = b.item_id AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS similarity
+    FROM dots
+    JOIN norms na ON na.user_id = user_a
+    JOIN norms nb ON nb.user_id = user_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.15
+"""
+
+
+@register(
+    "m_user_cosine",
+    _COSINE_SQL.format(capped_pc="", pair_src="pc"),
+    doc="M4 user-user cosine similarity (DIMSUM semantics, DataFrame-native)",
+)
+def m_user_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_cosine_pairs(spark, sf_dir, threshold=0.15).select(
+        "user_a", "user_b", F.round("similarity_raw", 6).alias("similarity")
+    )
+
+
+_ITEM_DEGREE_CAP = 20
+
+
+@register(
+    "m_user_cosine_capped",
+    _COSINE_SQL.format(
+        capped_pc=f"""
+    capped AS (
+        SELECT user_id, item_id, playcount FROM (
+            SELECT user_id, item_id, playcount,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY item_id
+                       ORDER BY playcount DESC, user_id
+                   ) AS idr
+            FROM pc
+        ) WHERE idr <= {_ITEM_DEGREE_CAP}
+    ),""",
+        pair_src="capped",
+    ),
+    doc="M4 cosine with per-item degree cap — bounds the |users(item)|² "
+    "hot-item pair blowup (the A3/LEAST cap precedent on the item axis)",
+)
+def m_user_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_cosine_pairs(
+        spark, sf_dir, threshold=0.15, item_degree_cap=_ITEM_DEGREE_CAP
+    ).select("user_a", "user_b", F.round("similarity_raw", 6).alias("similarity"))
 
 
 # --------------------------------------------------------------------------
@@ -150,3 +215,131 @@ def m_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").cast("bigint").alias("item_id"),
         F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
     )
+
+
+# --------------------------------------------------------------------------
+# M1+M2 full training parity: 5:1 train/test split, 2-fold
+# CrossValidator grid over (rank, regParam, alpha), RMSE evaluation of
+# the best model on the held-out test split, model save + metadata
+# registry append, latest-model lookup + load, and
+# recommendForUserSubset inference — the complete
+# train_models.py:71-252 / recommend.py:36-60,285-305 lifecycle.
+# Iterative factorization — rows-only driver check (no oracle entry).
+# --------------------------------------------------------------------------
+def als_cv_lifecycle(
+    spark: SparkSession,
+    sf_dir: str,
+    registry_dir: str,
+    ranks=(4, 8),
+    reg_params=(0.1,),
+    alphas=(1.0,),
+    max_iter: int = 3,
+    num_folds: int = 2,
+) -> DataFrame:
+    """Returns one row per grid candidate (params, avg CV RMSE) plus
+    the winner's held-out test RMSE and registered model_id."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from listenbrainz_server_spark.operators.model_registry import (
+        save_model_with_metadata,
+    )
+    from listenbrainz_server_spark.operators.sampling import hash_split
+
+    pc = _playcounts(spark, sf_dir)
+    ratings = pc.select(
+        F.col("user_id").cast("int").alias("user"),
+        F.col("item_id").cast("int").alias("item"),
+        F.least(F.col("playcount"), F.lit(20)).cast("float").alias("rating"),
+    )
+    # 5:1 split, leak-safe on the interaction key (train_models.py:71-85
+    # uses randomSplit; hash_split is reproducible across runs/engines).
+    split = hash_split(
+        ratings.withColumn(
+            "split_key", F.concat_ws("|", F.col("user"), F.col("item"))
+        ),
+        "split_key",
+        weights=(5 / 6, 1 / 6),
+        labels=("train", "test"),
+    )
+    train = split.where(F.col("split") == "train").drop("split", "split_key")
+    test = split.where(F.col("split") == "test").drop("split", "split_key")
+
+    als = ALS(
+        implicitPrefs=True,
+        seed=45,  # the reference's split seed (train_models.py:78)
+        coldStartStrategy="drop",
+        maxIter=max_iter,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(als.rank, list(ranks))
+        .addGrid(als.regParam, list(reg_params))
+        .addGrid(als.alpha, list(alphas))
+        .build()
+    )
+    evaluator = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    )
+    cv = CrossValidator(
+        estimator=als,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        parallelism=2,
+        seed=45,
+    )
+    cv_model = cv.fit(train)
+
+    test_rmse = evaluator.evaluate(cv_model.bestModel.transform(test))
+    best_idx = min(range(len(grid)), key=lambda i: cv_model.avgMetrics[i])
+    best_params = {
+        "rank": grid[best_idx][als.rank],
+        "regParam": grid[best_idx][als.regParam],
+        "alpha": grid[best_idx][als.alpha],
+    }
+    model_id = save_model_with_metadata(
+        spark,
+        registry_dir,
+        cv_model.bestModel,
+        params=best_params,
+        metrics={
+            "validation_rmse": cv_model.avgMetrics[best_idx],
+            "test_rmse": test_rmse,
+        },
+    )
+
+    rows = [
+        (
+            int(pm[als.rank]),
+            float(pm[als.regParam]),
+            float(pm[als.alpha]),
+            round(float(m), 4),
+            i == best_idx,
+            model_id if i == best_idx else None,
+            round(float(test_rmse), 4) if i == best_idx else None,
+        )
+        for i, (pm, m) in enumerate(zip(grid, cv_model.avgMetrics))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, reg_param double, alpha double, cv_rmse double, "
+        "is_best boolean, model_id string, test_rmse double",
+    )
+
+
+@register(
+    "m_als_cv",
+    None,
+    doc="M1-M2 ALS CrossValidator grid + RMSE eval + model registry "
+    "(train_models.py:71-252; rows-only check)",
+)
+def m_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    registry_dir = tempfile.mkdtemp(prefix="lbs_model_registry_")
+    return als_cv_lifecycle(spark, sf_dir, registry_dir)

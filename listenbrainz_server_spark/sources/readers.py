@@ -80,3 +80,39 @@ def rows_source(
     time-range dimensions — fresh_releases.py:20-41,
     listening_activity.py:188-202). Keep such tables broadcast-small."""
     return spark.createDataFrame(rows, schema)
+
+
+MLHD_LISTEN_SCHEMA = (
+    "listened_at BIGINT, artist_credit_mbids STRING, "
+    "release_mbid STRING, recording_mbid STRING"
+)
+
+
+def mlhd_csv_ingest(
+    spark: SparkSession,
+    csv_glob: str,
+    out_path: str | None = None,
+    user_files: int = 4,
+) -> DataFrame:
+    """S7: MLHD+ TSV → Parquet ingest (mlhd/download.py:63-110).
+
+    The reference loops pandas.read_csv per user file on the driver
+    because its workers can't see the leader's local files; with a
+    shared filesystem the Spark-first shape is one distributed
+    ``spark.read.csv`` over the whole glob — schema'd, headerless,
+    tab-separated — with user_id recovered from each file's name
+    (every user has their own file) via input_file_name(), then a
+    user-partitioned Parquet rewrite so downstream per-user jobs prune.
+    """
+    df = spark.read.csv(csv_glob, sep="\t", schema=MLHD_LISTEN_SCHEMA, header=False)
+    df = df.withColumn(
+        "user_id",
+        F.regexp_extract(F.input_file_name(), r"([^/]+?)\.(txt|tsv|csv)", 1),
+    )
+    if out_path is not None:
+        # Small fixed file count per chunk (the reference's "smaller
+        # number of large parquet files" goal) — at 100 TB raise
+        # user_files or drop the coalesce and let AQE size outputs.
+        df.coalesce(user_files).write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path)
+    return df

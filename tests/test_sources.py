@@ -113,3 +113,21 @@ def test_message_chunking(spark):
     assert [len(m["data"]) for m in msgs] == [3, 3, 1]
     assert all(m["type"] == "t" for m in msgs)
     assert msgs[0]["data"][0] == {"v": 0}
+
+
+def test_mlhd_csv_ingest(spark, tmp_path):
+    """S7: tab-separated per-user files -> one schema'd DataFrame with
+    user_id from the file name, round-tripped through Parquet."""
+    from listenbrainz_server_spark.sources.readers import mlhd_csv_ingest
+
+    d = tmp_path / "mlhd"
+    d.mkdir()
+    (d / "userA.txt").write_text("100\tmbid1,mbid2\trel1\trec1\n200\tmbid3\trel2\trec2\n")
+    (d / "userB.txt").write_text("300\tmbid4\trel3\trec3\n")
+    out = mlhd_csv_ingest(spark, str(d / "*.txt"), out_path=str(tmp_path / "pq"))
+    rows = out.collect()
+    assert len(rows) == 3
+    assert {r.user_id for r in rows} == {"userA", "userB"}
+    by_user = {r.recording_mbid: r.user_id for r in rows}
+    assert by_user == {"rec1": "userA", "rec2": "userA", "rec3": "userB"}
+    assert out.schema["listened_at"].dataType.typeName() == "long"
