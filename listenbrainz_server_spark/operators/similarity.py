@@ -333,3 +333,84 @@ def lsh_bucketed_topk(
     return sigs.groupBy("sig").applyInPandas(
         bucket_topk, schema="qid bigint, nid bigint, score double, rank bigint"
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    round_dp: int = 6,
+    seed: int = 45,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k with a learned coarse quantizer.
+
+    The classic IVF execution shape on Spark:
+
+    1. TRAIN: seeded KMeans fits ``n_centroids`` cluster centers
+       (MLlib, iterative — the one non-SQL step).
+    2. ASSIGN: every vector gets its nearest-centroid bucket via
+       ``model.transform`` (JVM-side).
+    3. PROBE: every query row computes distances to all centroids —
+       a broadcast cross join against the tiny centroid table with a
+       pure-expression squared-distance fold — and keeps its
+       ``n_probe`` closest buckets (recall/cost dial).
+    4. SEARCH: probe assignments equi-join bucket members on the
+       bucket id (the ONLY shuffle key), exact cosine re-ranks inside
+       — per-bucket population, not corpus size, bounds the quadratic
+       term.
+
+    vs sign-LSH buckets: centroids adapt to the data distribution, so
+    bucket sizes stay balanced where hyperplanes would shear dense
+    regions. Seeded + deterministic; scores are exact cosine.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    feats = vectors.select(
+        F.col(id_col).alias("qid"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("features", array_to_vector("qv"))
+
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    members = model.transform(feats).select(
+        F.col("qid").alias("nid"),
+        F.col("qv").alias("nv"),
+        F.col(model.getPredictionCol()).alias("bucket"),
+    )
+
+    centroids = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "bucket int, center array<double>",
+    )
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("center"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("bucket"))
+    probes = (
+        feats.select("qid", "qv")
+        .join(F.broadcast(centroids))
+        .withColumn("dist", sq_dist)
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= n_probe)
+        .select("qid", "qv", "bucket")
+    )
+
+    score = F.round(
+        dot(F.col("qv"), F.col("nv")) / (norm(F.col("qv")) * norm(F.col("nv"))),
+        round_dp,
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    return (
+        probes.join(members, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "score", "rank")
+    )

@@ -134,3 +134,22 @@ def v_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# IVF ANN top-k — learned coarse quantizer (seeded KMeans) + probed
+# bucket search. Iterative training step → rows-only driver check;
+# recall vs the exact brute-force baseline is asserted in
+# tests/test_similarity_blocks.py.
+# --------------------------------------------------------------------------
+@register(
+    "v_ivf_topk",
+    None,
+    doc="IVF ANN top-5: KMeans coarse quantizer, n_probe=2 bucket probe, "
+    "exact cosine re-rank (rows-only: iterative trainer)",
+)
+def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2)

@@ -70,3 +70,34 @@ def test_connected_components_warns_when_not_converged(spark):
     # And with enough rounds it converges to a single min-label group.
     out = connected_components(nodes, pairs, max_iter=10)
     assert {r.group_id for r in out.collect()} == {0}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from listenbrainz_server_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.qid, r.nid)
+        for r in brute_force_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r.qid, r.nid)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", k=5, n_centroids=4, n_probe=2
+        ).collect()
+    }
+    # Probing half the coarse buckets must recover most true neighbors;
+    # scores of returned pairs are exact, so overlap == recall.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # Every approx pair's score must equal the exact cosine (re-rank is
+    # exact within probed buckets).
+    exact_scores = {
+        (r.qid, r.nid): r.score
+        for r in brute_force_topk(emb, "vec_id", "embedding", k=50).collect()
+    }
+    for r in ivf_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids=4, n_probe=2
+    ).collect():
+        if (r.qid, r.nid) in exact_scores:
+            assert abs(r.score - exact_scores[(r.qid, r.nid)]) < 1e-9

@@ -56,12 +56,30 @@ def main() -> None:
             # inside Spark ML — that IS the blocked algorithm (bounded
             # by rank×block sizes), not a planning miss.
             bad.append(f"{name}: cartesian product")
+    # Source-level sweep: no driver-side .collect() in any registered
+    # query's hot path (queries/ modules). The blessed exceptions are
+    # driver-coordinated small-state ops documented inline.
+    import pathlib
+    import re
+
+    qdir = pathlib.Path("/root/repo/listenbrainz_server_spark/queries")
+    collect_hits = []
+    for py in sorted(qdir.glob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"\.collect\(\)", line) and "# audit-ok" not in line:
+                collect_hits.append(f"{py.name}:{i}: {line.strip()}")
+    if collect_hits:
+        bad.extend(f"driver-side collect in query module — {h}" for h in collect_hits)
+
     lines.append("")
     if bad:
         lines.append("## RED FLAGS")
         lines += [f"- {b}" for b in bad]
     else:
-        lines.append("No row-at-a-time Python UDFs, no cartesian products.")
+        lines.append(
+            "No row-at-a-time Python UDFs, no cartesian products, "
+            "no .collect() in any registered query module."
+        )
     with open("/root/repo/PLAN_AUDIT.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines[-6:]))
