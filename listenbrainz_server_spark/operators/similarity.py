@@ -414,3 +414,80 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "score", "rank")
     )
+
+
+def _flip_bit(sig: Column, i: int, sig_bits: int) -> Column:
+    """Signature with bit i flipped (bitstring column, 1-indexed substr)."""
+    flipped = F.when(F.substring(sig, i + 1, 1) == "1", "0").otherwise("1")
+    return F.concat(
+        F.substring(sig, 1, i), flipped, F.substring(sig, i + 2, sig_bits)
+    )
+
+
+def lsh_multiprobe_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    k: int = 5,
+    sig_bits: int = 8,
+    n_flip: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN top-k — pure column expressions end to
+    end (no Python workers).
+
+    Single-bucket LSH misses neighbors that land one hyperplane away;
+    multi-probe recovers them WITHOUT doubling buckets: each query
+    probes its own signature bucket plus every bucket at Hamming
+    distance ≤ ``n_flip`` (the classic multi-probe LSH trick — flip the
+    weakest bits; with ±1 hyperplanes all bits are equal so we flip
+    each). Probe fan-out is sig_bits+1 for n_flip=1.
+
+    Execution shape: signatures and per-vector norms are one projection
+    pass each; the probe explode multiplies only the QUERY side rows
+    (never vectors²); the candidate join shuffles on the signature key
+    alone; scoring is an exact-cosine expression; one window ranks per
+    query. A (q, n) pair meets at most once — probe signatures are
+    distinct and n has one signature — so no pair dedup is needed.
+    """
+    from pyspark.sql import Window
+
+    base = vectors.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("vec"),
+        lsh_signature(as_double(F.col(vec_col)), dims, sig_bits).alias("sig"),
+    ).withColumn("nrm", norm(F.col("vec")))
+
+    members = base.select(
+        F.col("vid").alias("nid"),
+        F.col("vec").alias("nv"),
+        F.col("nrm").alias("n_nrm"),
+        "sig",
+    )
+    if n_flip >= 1:
+        probe_sigs = F.array(
+            F.col("sig"),
+            *[_flip_bit(F.col("sig"), i, sig_bits) for i in range(sig_bits)],
+        )
+    else:
+        probe_sigs = F.array(F.col("sig"))
+    probes = base.select(
+        F.col("vid").alias("qid"),
+        F.col("vec").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(probe_sigs).alias("sig"),
+    )
+
+    score = F.round(
+        dot(F.col("qv"), F.col("nv")) / (F.col("q_nrm") * F.col("n_nrm")), round_dp
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    return (
+        probes.join(members, "sig")
+        .where(F.col("qid") != F.col("nid"))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "score", "rank")
+    )

@@ -74,17 +74,26 @@ def h_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.queries.ml import user_cosine_pairs
 
     pairs = user_cosine_pairs(spark, sf_dir, threshold=0.15)
-    forward = pairs.select(
-        F.col("user_a").alias("user_id"),
-        F.col("user_b").alias("other_user_id"),
-        F.col("similarity_raw"),
-    )
-    backward = pairs.select(
-        F.col("user_b").alias("user_id"),
-        F.col("user_a").alias("other_user_id"),
-        F.col("similarity_raw"),
-    )
-    combined = forward.unionByName(backward)
+    # Symmetric expansion via explode, not UNION ALL of two selects —
+    # a union would run the whole cosine pipeline twice (the reference
+    # unions because its CoordinateMatrix is already materialized,
+    # similarity/user.py:70-81); explode reads each pair once.
+    combined = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("user_a").alias("user_id"),
+                    F.col("user_b").alias("other_user_id"),
+                    F.col("similarity_raw"),
+                ),
+                F.struct(
+                    F.col("user_b").alias("user_id"),
+                    F.col("user_a").alias("other_user_id"),
+                    F.col("similarity_raw"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     top = top_k_per_group(
         combined,
         partition_by=["user_id"],

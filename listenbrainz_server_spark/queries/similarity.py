@@ -153,3 +153,69 @@ def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2)
+
+
+# --------------------------------------------------------------------------
+# Multi-probe sign-LSH ANN top-k: each query probes its own signature
+# bucket plus all Hamming-distance-1 buckets — the standard recall
+# boost without growing the bucket count. Pure column expressions
+# (zero Python workers); fully SQL-expressible, so the oracle checks
+# it exactly.
+# --------------------------------------------------------------------------
+def _lsh_multiprobe_sql() -> str:
+    bit_exprs = []
+    for h in range(_SIG_BITS):
+        comps = ", ".join(
+            str(float(hyperplane_component(h, d))) for d in range(_DIMS)
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, {_DIMS} + 1), "
+            f"i -> (embedding[i]::DOUBLE) * ([{comps}][i])))"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(bit_exprs)
+    flips = "\n        UNION ALL ".join(
+        "SELECT vec_id, embedding, nrm, "
+        f"substr(sig, 1, {i}) || (CASE WHEN substr(sig, {i + 1}, 1) = '1' "
+        f"THEN '0' ELSE '1' END) || substr(sig, {i + 2}) AS psig FROM sigs"
+        for i in range(_SIG_BITS)
+    )
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig} AS sig,
+               sqrt(list_sum(list_transform(range(1, {_DIMS} + 1),
+                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id, embedding, nrm, sig AS psig FROM sigs
+        UNION ALL {flips}
+    ),
+    scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+        FROM probes a JOIN sigs b ON a.psig = b.sig AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT qid, nid, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, score, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "v_lsh_multiprobe",
+    _lsh_multiprobe_sql(),
+    doc=f"multi-probe sign-LSH ANN top-5 (Hamming-1 probe fan-out over "
+    f"{_SIG_BITS}-bit buckets, pure-expression exact re-rank)",
+)
+def v_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(
+        emb, "vec_id", "embedding", dims=_DIMS, k=5, sig_bits=_SIG_BITS, n_flip=1
+    )

@@ -79,3 +79,29 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sw.end").alias("session_end"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming exact dedup (dropDuplicatesWithinWatermark in stream mode,
+# dropDuplicates in batch): at-least-once delivery is simulated by
+# unioning exact copies of every 5th event — identical rows, so the
+# surviving representative is deterministic and the result must equal
+# the original table. Stream≡batch equivalence is proven in
+# tests/test_streaming.py::test_stream_dedup_stream_equals_batch.
+# --------------------------------------------------------------------------
+@register(
+    "st_stream_dedup",
+    "SELECT event_id, user_id, event_type FROM events",
+    doc="streaming exact dedup of an at-least-once append log "
+    "(dropDuplicatesWithinWatermark; ON CONFLICT identity analog)",
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.streaming.jobs import stream_dedup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    redelivered = ev.unionByName(ev.where(F.col("event_id") % 5 == 0))
+    return stream_dedup(redelivered, ["event_id"], "ts").select(
+        "event_id", "user_id", "event_type"
+    )

@@ -91,3 +91,27 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def stream_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on the
+    identity keys — the streaming analog of the reference's ON CONFLICT
+    identity insert (timescale_listenstore.py:170-176) and this
+    engine's batch exact_dedup.
+
+    Watermark bounds the dedup state store: a duplicate arriving later
+    than ``watermark`` after the original is NOT suppressed (and a
+    correctly configured upstream should not produce one) — that is the
+    state-size/completeness trade every streaming dedup makes. In batch
+    mode plain dropDuplicates gives the exact answer.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return df.dropDuplicates(key_cols)

@@ -101,3 +101,34 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     ).collect():
         if (r.qid, r.nid) in exact_scores:
             assert abs(r.score - exact_scores[(r.qid, r.nid)]) < 1e-9
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark):
+    from listenbrainz_server_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        lsh_multiprobe_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.qid, r.nid)
+        for r in brute_force_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    # 3-bit signatures: the smoke corpus (~50 vectors) needs dense
+    # buckets for recall numbers to mean anything (8 buckets, probe 4).
+    single = {
+        (r.qid, r.nid)
+        for r in lsh_bucketed_topk(
+            emb, "vec_id", "embedding", dims=64, k=5, sig_bits=3
+        ).collect()
+    }
+    multi = {
+        (r.qid, r.nid)
+        for r in lsh_multiprobe_topk(
+            emb, "vec_id", "embedding", dims=64, k=5, sig_bits=3, n_flip=1
+        ).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= 0.5, f"multi-probe recall too low: {r_multi:.2f}"

@@ -63,3 +63,34 @@ def test_session_window_stream_equals_batch(spark, event_dir):
     # Sanity: user 1 has two sessions (10:00-10:10 merged, 12:00 alone).
     u1 = [r for r in got.collect() if r.user_id == 1]
     assert sorted(r.n_events for r in u1) == [1, 2]
+
+
+def test_stream_dedup_stream_equals_batch(spark, event_dir):
+    """Streaming dedup ≡ batch dedup when all duplicates arrive within
+    the watermark (exactly the append-log duplicate-delivery case)."""
+    from pyspark.sql import functions as F
+
+    import listenbrainz_server_spark.streaming.jobs as jobs
+    from listenbrainz_server_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # Duplicate every 5th event to simulate at-least-once delivery.
+    dupes = ev.where(F.col("event_id") % 5 == 0)
+    batch_in = ev.unionByName(dupes)
+    batch_out = jobs.stream_dedup(batch_in, ["event_id"], "ts").count()
+    assert batch_out == ev.count()
+
+    dup_dir = str(event_dir) + "_dup"
+    batch_in.write.mode("overwrite").parquet(dup_dir)
+    stream = jobs.read_parquet_stream(spark, dup_dir, batch_in.schema)
+    deduped = jobs.stream_dedup(stream, ["event_id"], "ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_sink").count()
+    assert got == ev.count()
