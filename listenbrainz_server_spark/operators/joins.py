@@ -90,3 +90,26 @@ def symmetric_pairs(pairs: DataFrame, a: str, b: str) -> DataFrame:
     fwd = pairs
     bwd = pairs.withColumnRenamed(a, "_tmp").withColumnRenamed(b, a).withColumnRenamed("_tmp", b)
     return fwd.unionByName(bwd)
+
+
+def priority_pick(
+    df: DataFrame, keys: Sequence[str], priority_col: str = "priority"
+) -> DataFrame:
+    """Keep, per key group, the single row with the lowest (= best)
+    priority — the reference's multi-source tag merge
+    (year_in_music/top_genres.py:62-79: recording > release-group >
+    artist genre sources, the winner's genre_count survives).
+
+    Callers must guarantee one row per (keys, priority) — the
+    reference's tag tables are pre-aggregated per source, which is what
+    makes the ROW_NUMBER pick deterministic. One window (single hash
+    shuffle on ``keys``), no join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(priority_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", priority_col)
+    )

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from listenbrainz_server_spark.catalog import load_table
-from listenbrainz_server_spark.operators.joins import densify, explode_equi_join
+from listenbrainz_server_spark.operators.joins import (
+    densify,
+    explode_equi_join,
+    priority_pick,
+)
 from listenbrainz_server_spark.operators.topk import top_k_per_group
 from listenbrainz_server_spark.queries import register
 
@@ -399,4 +403,149 @@ def h_yim_listen_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("listen_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# year_in_music.top_genres EXACT semantics (top_genres.py:29-110):
+# h_top_genres covers the priority dedup but counts occurrences; the
+# reference keeps the PRIORITY-WINNING SOURCE'S genre_count value
+# (ROW_NUMBER pick), sums those, computes percent, keeps RANK <= 25,
+# and packs a descending-sorted struct list per user. This handler
+# reproduces that exactly; the struct list is serialized to a string
+# (genre:count:pct_micro joined by '|') so both engines hash it
+# identically. Sources mirror the reference's three pre-aggregated tag
+# tables: each emits one row per (user, item, genre) with its own
+# count, over OVERLAPPING row subsets so the priority pick is
+# exercised (recording-tags ≈ returnflag-N lines, release-group-tags ≈
+# low line numbers, artist-tags ≈ all lines).
+# --------------------------------------------------------------------------
+@register(
+    "h_top_genres_exact",
+    """
+    WITH purchases AS (
+        SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+               LOWER(split_part(p.p_type, ' ', 1)) AS genre,
+               l.l_quantity, l.l_linenumber, l.l_returnflag
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    src1 AS (
+        SELECT user_id, item_id, genre, 1 AS priority,
+               CAST(MAX(l_quantity) AS BIGINT) AS genre_count
+        FROM purchases WHERE l_returnflag = 'N' GROUP BY 1, 2, 3
+    ),
+    src2 AS (
+        SELECT user_id, item_id, genre, 2 AS priority,
+               CAST(SUM(l_quantity) AS BIGINT) AS genre_count
+        FROM purchases WHERE l_linenumber <= 3 GROUP BY 1, 2, 3
+    ),
+    src3 AS (
+        SELECT user_id, item_id, genre, 3 AS priority,
+               COUNT(*) AS genre_count
+        FROM purchases GROUP BY 1, 2, 3
+    ),
+    all_genres AS (
+        SELECT * FROM src1 UNION ALL SELECT * FROM src2 UNION ALL SELECT * FROM src3
+    ),
+    prioritized AS (
+        SELECT user_id, item_id, genre, genre_count FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, item_id, genre ORDER BY priority ASC) AS rn
+            FROM all_genres
+        ) WHERE rn = 1
+    ),
+    together AS (
+        SELECT user_id, genre, SUM(genre_count) AS genre_count
+        FROM prioritized GROUP BY 1, 2
+    ),
+    percentage AS (
+        SELECT user_id, genre, genre_count,
+               CAST(ROUND(genre_count * 1000000.0 /
+                    SUM(genre_count) OVER (PARTITION BY user_id), 0) AS BIGINT)
+                   AS pct_micro,
+               RANK() OVER (PARTITION BY user_id ORDER BY genre_count DESC) AS ranking
+        FROM together
+    )
+    SELECT user_id,
+           STRING_AGG(genre || ':' || genre_count || ':' || pct_micro, '|'
+                      ORDER BY genre_count DESC, genre DESC, pct_micro DESC) AS data
+    FROM percentage WHERE ranking <= 25 GROUP BY user_id
+    """,
+    doc="year_in_music.top_genres exact handler: priority-winner count pick, "
+    "RANK<=25, sorted struct list (top_genres.py:29-110)",
+)
+def h_top_genres_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_linenumber", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    purchases = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+            F.lower(F.substring_index("p_type", " ", 1)).alias("genre"),
+            "l_quantity",
+            "l_linenumber",
+            "l_returnflag",
+        )
+    )
+
+    def tag_source(flt, agg, prio: int) -> DataFrame:
+        return (
+            purchases.where(flt)
+            .groupBy("user_id", "item_id", "genre")
+            .agg(agg.alias("genre_count"))
+            .withColumn("priority", F.lit(prio))
+        )
+
+    all_genres = (
+        tag_source(F.col("l_returnflag") == "N", F.max("l_quantity").cast("bigint"), 1)
+        .unionByName(
+            tag_source(F.col("l_linenumber") <= 3, F.sum("l_quantity").cast("bigint"), 2)
+        )
+        .unionByName(tag_source(F.lit(True), F.count(F.lit(1)), 3))
+    )
+    prioritized = priority_pick(
+        all_genres, keys=["user_id", "item_id", "genre"]
+    ).select("user_id", "genre", "genre_count")
+    together = prioritized.groupBy("user_id", "genre").agg(
+        F.sum("genre_count").alias("genre_count")
+    )
+    user_w = Window.partitionBy("user_id")
+    percentage = together.withColumn(
+        "pct_micro",
+        F.round(
+            F.col("genre_count") * 1000000.0 / F.sum("genre_count").over(user_w), 0
+        ).cast("bigint"),
+    ).withColumn(
+        "ranking",
+        F.rank().over(Window.partitionBy("user_id").orderBy(F.col("genre_count").desc())),
+    )
+    # sort_array on struct(genre_count, genre, pct_micro) descending ==
+    # ORDER BY genre_count DESC, genre DESC, pct_micro DESC.
+    packed = (
+        percentage.where(F.col("ranking") <= 25)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("genre_count", "genre", "pct_micro")), False
+            ).alias("arr")
+        )
+    )
+    return packed.select(
+        "user_id",
+        F.array_join(
+            F.transform(
+                "arr",
+                lambda s: F.concat_ws(
+                    ":", s["genre"], s["genre_count"], s["pct_micro"]
+                ),
+            ),
+            "|",
+        ).alias("data"),
     )

@@ -151,3 +151,35 @@ def test_simhash_identical_for_same_tokens(spark):
     assert out[1] == out[2]  # order-insensitive token multiset
     assert out[1] != out[3]
     assert len(out[1]) == 16 and set(out[1]) <= {"0", "1"}
+
+
+def test_priority_pick_overlap_fixture(spark):
+    """The reference's top_genres overlap case (top_genres.py:62-79):
+    the same (user, item, genre) arrives from several sources with
+    DIFFERENT counts — the best-priority source's count must survive,
+    not the min/max/sum of counts."""
+    from listenbrainz_server_spark.operators.joins import priority_pick
+
+    rows = [
+        # (user, item, genre, priority, genre_count)
+        (1, 10, "rock", 1, 7),   # recording tag — must win
+        (1, 10, "rock", 2, 99),  # release-group tag — loses
+        (1, 10, "rock", 3, 42),  # artist tag — loses
+        (1, 10, "jazz", 2, 5),   # only release-group — wins by default
+        (1, 11, "rock", 3, 3),   # only artist
+        (2, 10, "rock", 2, 8),   # different user: priority-2 wins
+        (2, 10, "rock", 3, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "item_id", "genre", "priority", "genre_count"]
+    )
+    got = {
+        (r.user_id, r.item_id, r.genre): r.genre_count
+        for r in priority_pick(df, ["user_id", "item_id", "genre"]).collect()
+    }
+    assert got == {
+        (1, 10, "rock"): 7,
+        (1, 10, "jazz"): 5,
+        (1, 11, "rock"): 3,
+        (2, 10, "rock"): 8,
+    }
