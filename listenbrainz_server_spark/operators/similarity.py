@@ -491,3 +491,164 @@ def lsh_multiprobe_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "score", "rank")
     )
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    vec_col: str,
+    dims: int,
+    m: int = 4,
+    k_sub: int = 16,
+    seed: int = 45,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: one seeded KMeans per
+    subspace over the sub-vectors (the PQ training step of Jégou et
+    al.'s "Product Quantization for Nearest Neighbor Search").
+
+    Returns ``codebooks[j][c]`` = centroid ``c`` of subspace ``j`` as
+    plain Python floats — small enough (m × k_sub × dims/m = dims ×
+    k_sub doubles) to fold into column-expression literals, so encode
+    and ADC scoring never leave the JVM.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dims // m
+    if sub * m != dims:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    books: list[list[list[float]]] = []
+    base = vectors.select(as_double(F.col(vec_col)).alias("v"))
+    for j in range(m):
+        feats = base.select(
+            array_to_vector(F.slice("v", j * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(k=k_sub, seed=seed + j, featuresCol="features").fit(feats)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def _pq_subspace_dists(vec: Column, book: list[list[float]], j: int, sub: int) -> Column:
+    """Array of squared distances from subspace j of ``vec`` to every
+    centroid of ``book`` — literal-folded, pure column expression."""
+    sv = F.slice(vec, j * sub + 1, sub)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    sv,
+                    F.array(*[F.lit(float(x)) for x in center]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for center in book
+        ]
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    k: int = 5,
+    m: int = 4,
+    k_sub: int = 16,
+    sig_bits: int = 8,
+    n_flip: int = 1,
+    oversample: int = 3,
+    round_dp: int = 6,
+    seed: int = 45,
+) -> DataFrame:
+    """Product-quantization ANN top-k (ADC) over sign-LSH buckets —
+    the memory-bound tier: candidates are scored from ``m`` byte-sized
+    codes (m·log2(k_sub) bits/vector ≈ 2 bytes at defaults vs 256
+    bytes raw), so at 100 TB the candidate table that must stay hot is
+    ~100× smaller than the raw embeddings.
+
+    Execution shape, all JVM-side column expressions (the codebooks
+    fold into literals like the LSH hyperplanes):
+
+    1. TRAIN: per-subspace seeded KMeans (``pq_train_codebooks``).
+    2. ENCODE: each vector → m argmin codes (pure expression).
+    3. BUCKET: multi-probe sign-LSH signature join restricts
+       candidates (query side probes Hamming-≤``n_flip`` buckets) —
+       the only shuffle key; PQ itself is a compressor, not a pruner,
+       so it composes with any coarse index (IVF-PQ shape).
+    4. ADC: per query, a literal-folded lookup table of subspace
+       distances; candidate approx distance = sum of m table lookups
+       on its codes — never touches the candidate's raw vector.
+    5. RE-RANK: the ``oversample``·k best ADC candidates get exact
+       cosine; top-k of those is returned.
+    """
+    from pyspark.sql import Window
+
+    sub = dims // m
+    # Unit-normalize first: ||a-b||² = 2 - 2·cos(a,b) on the unit
+    # sphere, so ADC's L2 ordering IS the cosine ordering — without
+    # this, norm variance across the corpus scrambles ADC ranks.
+    unit = vectors.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("raw"),
+    ).select(
+        "vid",
+        F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec"),
+    )
+    books = pq_train_codebooks(unit, "vec", dims, m=m, k_sub=k_sub, seed=seed)
+
+    base = unit.select(
+        "vid",
+        "vec",
+        lsh_signature(F.col("vec"), dims, sig_bits).alias("sig"),
+    )
+
+    def code(j: int) -> Column:
+        dists = _pq_subspace_dists(F.col("vec"), books[j], j, sub)
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    members = base.select(
+        F.col("vid").alias("nid"),
+        F.col("vec").alias("nv"),
+        F.array(*[code(j) for j in range(m)]).alias("codes"),
+        "sig",
+    )
+    if n_flip >= 1:
+        probe_sigs = F.array(
+            F.col("sig"),
+            *[_flip_bit(F.col("sig"), i, sig_bits) for i in range(sig_bits)],
+        )
+    else:
+        probe_sigs = F.array(F.col("sig"))
+    probes = base.select(
+        F.col("vid").alias("qid"),
+        F.col("vec").alias("qv"),
+        F.array(
+            *[_pq_subspace_dists(F.col("vec"), books[j], j, sub) for j in range(m)]
+        ).alias("lut"),
+        F.explode(probe_sigs).alias("sig"),
+    )
+
+    adc = sum(
+        F.element_at(F.col("lut").getItem(j), F.element_at("codes", j + 1) + F.lit(1))
+        for j in range(m)
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.col("approx").asc(), F.col("nid"))
+    candidates = (
+        probes.join(members, "sig")
+        .where(F.col("qid") != F.col("nid"))
+        .withColumn("approx", adc)
+        .withColumn("_ar", F.row_number().over(w_adc))
+        .where(F.col("_ar") <= oversample * k)
+    )
+    score = F.round(
+        dot(F.col("qv"), F.col("nv")) / (norm(F.col("qv")) * norm(F.col("nv"))),
+        round_dp,
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    return (
+        candidates.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "score", "rank")
+    )

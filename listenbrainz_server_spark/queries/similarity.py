@@ -219,3 +219,22 @@ def v_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_multiprobe_topk(
         emb, "vec_id", "embedding", dims=_DIMS, k=5, sig_bits=_SIG_BITS, n_flip=1
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN top-k (rows-only: per-subspace KMeans
+# training is not SQL-expressible — same precedent as v_ivf_topk).
+# The memory-bound tier: candidates score from 2-byte codes, not raw
+# vectors; composes with any coarse index (IVF-PQ shape).
+# --------------------------------------------------------------------------
+@register(
+    "v_pq_topk",
+    None,
+    doc="product-quantization ADC ANN top-5 over sign-LSH buckets with "
+    "exact re-rank (Jégou et al. PQ; rows-only — KMeans codebooks)",
+)
+def v_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, "vec_id", "embedding", dims=_DIMS, k=5, m=8, k_sub=16)

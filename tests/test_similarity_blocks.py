@@ -132,3 +132,35 @@ def test_multiprobe_recall_dominates_single_bucket(spark):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single, (r_multi, r_single)
     assert r_multi >= 0.5, f"multi-probe recall too low: {r_multi:.2f}"
+
+
+def test_pq_adc_recall_and_exact_scores(spark):
+    """PQ ADC + exact re-rank: surviving (qid, nid) pairs carry EXACT
+    cosine scores, and recall vs brute force is meaningful despite the
+    lossy codes (oversample + re-rank recovers ADC ranking noise)."""
+    from listenbrainz_server_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    exact_rows = brute_force_topk(emb, "vec_id", "embedding", k=5).collect()
+    exact_scores = {(r.qid, r.nid): r.score for r in exact_rows}
+    # m=16 on the ~50-vector smoke corpus: coarse codes (m=4) drown
+    # ADC in quantization noise; finer subspaces recover the ranking
+    # up to the multi-probe candidate-coverage ceiling.
+    got = pq_topk(
+        emb, "vec_id", "embedding", dims=64, k=5, m=16, k_sub=8, sig_bits=3
+    ).collect()
+    assert got, "PQ returned no rows"
+    for r in got:
+        if (r.qid, r.nid) in exact_scores:
+            assert abs(r.score - exact_scores[(r.qid, r.nid)]) < 1e-9
+    recall = len({(r.qid, r.nid) for r in got} & set(exact_scores)) / len(exact_scores)
+    assert recall >= 0.4, f"PQ recall too low: {recall:.2f}"
+
+
+def test_pq_codebooks_deterministic(spark):
+    from listenbrainz_server_spark.operators.similarity import pq_train_codebooks
+
+    emb = load_table(spark, SF, "embeddings")
+    b1 = pq_train_codebooks(emb, "embedding", 64, m=2, k_sub=4)
+    b2 = pq_train_codebooks(emb, "embedding", 64, m=2, k_sub=4)
+    assert b1 == b2
