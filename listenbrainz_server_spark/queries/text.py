@@ -214,3 +214,114 @@ def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+# heuristics, re-expressed for a training-data pipeline): per document
+# the duplicate-word fraction, most-frequent-word share, most-frequent
+# -bigram share, and mean word length, plus a composed pass/fail flag.
+# Execution shape: one explode + two hash aggregations keyed by
+# (doc_id, gram) then doc_id — fully distributed, no per-doc Python,
+# bigrams via a lead() window per doc (single shuffle on doc_id).
+# --------------------------------------------------------------------------
+@register(
+    "t_repetition_signals",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    uni AS (SELECT doc_id, w, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+    uni_doc AS (
+        SELECT doc_id, MAX(n) AS top_n, SUM(n) AS total, COUNT(*) AS n_distinct
+        FROM uni GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS b
+        FROM toks WHERE len(ws) >= 2
+    ),
+    bi AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    bi_doc AS (
+        SELECT doc_id, MAX(n) AS top_bn, SUM(n) AS btotal FROM bi GROUP BY doc_id
+    ),
+    lens AS (
+        SELECT doc_id,
+               ROUND(list_sum(list_transform(ws, w -> len(w))) * 1.0 / len(ws), 6)
+                   AS mean_word_len
+        FROM toks
+    )
+    SELECT u.doc_id,
+           CAST(u.total AS BIGINT) AS n_tokens,
+           ROUND(1.0 - u.n_distinct * 1.0 / u.total, 6) AS dup_word_frac,
+           ROUND(u.top_n * 1.0 / u.total, 6) AS top_word_frac,
+           ROUND(b.top_bn * 1.0 / b.btotal, 6) AS top_bigram_frac,
+           l.mean_word_len,
+           (u.total >= 20 AND u.top_n * 1.0 / u.total <= 0.25
+                AND b.top_bn * 1.0 / b.btotal <= 0.15) AS quality_pass
+    FROM uni_doc u JOIN bi_doc b USING (doc_id) JOIN lens l USING (doc_id)
+    """,
+    doc="Gopher-style repetition/quality signals per document "
+    "(dup-word frac, top word/bigram share, mean word length, pass flag)",
+)
+def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    ex = docs.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+
+    uni = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    uni_doc = uni.groupBy("doc_id").agg(
+        F.max("n").alias("top_n"),
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+
+    lead_w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        ex.withColumn("nxt", F.lead("w").over(lead_w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "nxt").alias("b"))
+    )
+    bi = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    bi_doc = bi.groupBy("doc_id").agg(
+        F.max("n").alias("top_bn"), F.sum("n").alias("btotal")
+    )
+
+    lens = docs.select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                F.transform("ws", F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+            )
+            * 1.0
+            / F.size("ws"),
+            6,
+        ).alias("mean_word_len"),
+    )
+
+    return (
+        uni_doc.join(bi_doc, "doc_id")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            F.col("total").cast("bigint").alias("n_tokens"),
+            F.round(1.0 - F.col("n_distinct") * 1.0 / F.col("total"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top_n") * 1.0 / F.col("total"), 6).alias("top_word_frac"),
+            F.round(F.col("top_bn") * 1.0 / F.col("btotal"), 6).alias(
+                "top_bigram_frac"
+            ),
+            "mean_word_len",
+            (
+                (F.col("total") >= 20)
+                & (F.col("top_n") * 1.0 / F.col("total") <= 0.25)
+                & (F.col("top_bn") * 1.0 / F.col("btotal") <= 0.15)
+            ).alias("quality_pass"),
+        )
+    )
