@@ -276,3 +276,45 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     )
     bit_chars = [F.when(F.col(f"v{i}") >= 0, "1").otherwise("0") for i in range(bits)]
     return votes.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_containment: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination detection: (train doc, benchmark doc)
+    pairs where ≥ ``min_containment`` of the benchmark doc's distinct
+    word n-grams appear verbatim in the training doc — the standard
+    n-gram-overlap decontamination check run before training.
+
+    Execution shape: both sides go through the same shingle inverted
+    index; candidates come from the shingle equi join (shuffle key =
+    shingle, never train × bench all-pairs); containment denominators
+    join broadcast (the benchmark corpus is tiny relative to training
+    data — at 100 TB the bench index itself is broadcastable, and the
+    ``max_shingle_df`` cap bounds hot-shingle skew on the train side).
+    """
+    ti = shingle_index(train, id_col, text_col, n, max_shingle_df).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    bi = shingle_index(bench, id_col, text_col, n, max_shingle_df).select(
+        F.col(id_col).alias("bench_id"), "shingle"
+    )
+    bench_sz = bi.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_sz"))
+    shared = (
+        ti.join(bi, "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    containment = F.round(F.col("shared_ngrams") * 1.0 / F.col("bench_sz"), 6)
+    return (
+        shared.join(F.broadcast(bench_sz), "bench_id")
+        .withColumn("containment", containment)
+        .where(F.col("containment") >= min_containment)
+        .select("train_id", "bench_id", "shared_ngrams", "containment")
+    )

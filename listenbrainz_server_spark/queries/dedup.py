@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from listenbrainz_server_spark.catalog import load_table
 from listenbrainz_server_spark.operators.dedup import (
     connected_components,
+    contamination_pairs,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -203,3 +204,44 @@ def d_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination detection: the held-out "benchmark" split is
+# a deterministic hash slice of documents; training docs containing
+# >= 50% of a benchmark doc's distinct 3-grams are flagged. The
+# standard pre-training decontamination sweep, shaped as a bucketed
+# shingle join (never all-pairs).
+# --------------------------------------------------------------------------
+@register(
+    "d_contamination",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, len(t) - 1),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks
+        WHERE len(t) >= 3
+    ),
+    ti AS (SELECT doc_id AS train_id, shingle FROM idx WHERE doc_id % 17 <> 3),
+    bi AS (SELECT doc_id AS bench_id, shingle FROM idx WHERE doc_id % 17 = 3),
+    bench_sz AS (SELECT bench_id, COUNT(*) AS bench_sz FROM bi GROUP BY 1),
+    shared AS (
+        SELECT train_id, bench_id, COUNT(*) AS shared_ngrams
+        FROM ti JOIN bi USING (shingle)
+        GROUP BY 1, 2
+    )
+    SELECT train_id, bench_id, shared_ngrams,
+           ROUND(shared_ngrams * 1.0 / bench_sz, 6) AS containment
+    FROM shared JOIN bench_sz USING (bench_id)
+    WHERE shared_ngrams * 1.0 / bench_sz >= 0.5
+    """,
+    doc="benchmark-contamination pairs: 3-gram containment >= 0.5 of a "
+    "hash-sliced benchmark split (pre-training decontamination sweep)",
+)
+def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 3)
+    train = docs.where(F.col("doc_id") % 17 != 3)
+    return contamination_pairs(train, bench, "doc_id", "text", n=3, min_containment=0.5)

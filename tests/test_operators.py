@@ -183,3 +183,30 @@ def test_priority_pick_overlap_fixture(spark):
         (1, 11, "rock"): 3,
         (2, 10, "rock"): 8,
     }
+
+
+def test_contamination_pairs_planted(spark):
+    """A train doc that quotes a benchmark doc verbatim is flagged with
+    containment 1.0; an unrelated train doc is not flagged."""
+    from listenbrainz_server_spark.operators.dedup import contamination_pairs
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # Quotes the whole benchmark doc inside extra context.
+            (1, "intro words the quick brown fox jumps over the lazy dog outro"),
+            # Shares a few words but no 3-gram run above threshold.
+            (2, "a quick dog sat over a brown log entirely elsewhere today"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.train_id: r.containment
+        for r in contamination_pairs(
+            train, bench, "doc_id", "text", n=3, min_containment=0.5
+        ).collect()
+    }
+    assert got == {1: 1.0}
