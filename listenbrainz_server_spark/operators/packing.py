@@ -1,0 +1,59 @@
+"""Sequence packing for training batches.
+
+The GPT-style concat-and-chunk pack: documents are laid out in a
+deterministic order, token offsets accumulate, and fixed
+``budget``-token windows over the concatenated stream become training
+sequences. A document whose span crosses a window boundary straddles
+two sequences (the standard trade — no padding waste, occasional
+cross-doc attention masked downstream).
+
+Scale shape: a single global ordering would funnel the whole corpus
+through one window partition. Packing instead runs per hash shard —
+``pmod(hash(id), n_shards)`` — so each shard's running-offset window is
+independent (shuffle on shard, window within shard); sequence identity
+is (shard, seq_in_shard). Shard count scales with the cluster, order
+within a shard is deterministic by id, so output is reproducible
+regardless of input partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    budget: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign each document a (shard, seq_id) training-sequence slot.
+
+    Returns one row per document: shard, within-shard start offset,
+    token count, seq_id = floor(offset / budget), and whether the
+    document straddles into the next sequence.
+    """
+    w = Window.partitionBy("shard").orderBy(id_col)
+    sized = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        token_count_col.cast("bigint").alias("n_tokens"),
+    )
+    return (
+        sized.withColumn(
+            "start_offset",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn("seq_id", F.floor(F.col("start_offset") / budget).cast("bigint"))
+        .withColumn(
+            "straddles",
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
+            > F.col("seq_id"),
+        )
+        .select(id_col, "shard", "seq_id", "start_offset", "n_tokens", "straddles")
+    )

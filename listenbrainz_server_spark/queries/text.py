@@ -325,3 +325,43 @@ def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quality_pass"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk, per hash shard): every document
+# gets a (shard, seq_id) training-sequence slot from a running token
+# offset — the distributed form of GPT-style packing (per-shard
+# windows; never one global ordering).
+# --------------------------------------------------------------------------
+@register(
+    "t_sequence_pack",
+    """
+    WITH sized AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+        FROM sized
+    )
+    SELECT doc_id, shard,
+           CAST(FLOOR(start_offset / 256) AS BIGINT) AS seq_id,
+           start_offset, n_tokens,
+           (FLOOR((start_offset + n_tokens - 1) / 256) >
+                FLOOR(start_offset / 256)) AS straddles
+    FROM offs
+    """,
+    doc="sequence packing: per-shard concat-and-chunk (budget 256 tokens)",
+)
+def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", token_count(F.col("text")), budget=256, n_shards=8
+    )

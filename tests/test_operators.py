@@ -210,3 +210,31 @@ def test_contamination_pairs_planted(spark):
         ).collect()
     }
     assert got == {1: 1.0}
+
+
+def test_pack_sequences_fixture(spark):
+    """Concat-and-chunk invariants on a hand-computed fixture:
+    contiguous offsets per shard, seq_id = offset // budget, straddle
+    flagged exactly when a doc spans a window boundary."""
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.operators.packing import pack_sequences
+
+    # One shard (n_shards=1): sizes 4, 5, 3, 7 with budget 8 →
+    # offsets 0, 4, 9, 12; seqs 0, 0, 1, 1; straddles F, T, F, T.
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d e"), (2, "a b c"), (3, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.start_offset, r.seq_id, r.straddles)
+        for r in pack_sequences(
+            docs, "doc_id", F.size(F.split("text", " ")), budget=8, n_shards=1
+        ).collect()
+    }
+    assert got == {
+        0: (0, 0, False),
+        1: (4, 0, True),
+        2: (9, 1, False),
+        3: (12, 1, True),
+    }
