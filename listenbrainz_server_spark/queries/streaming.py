@@ -105,3 +105,40 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup(redelivered, ["event_id"], "ts").select(
         "event_id", "user_id", "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# foreachBatch aggregate-state sink, driven end to end: the events
+# table streams through read_parquet_stream, each micro-batch combines
+# into a Parquet state dir (UNION ALL + re-GROUP BY + atomic swap),
+# and the final state is returned. Oracle = the plain batch aggregate
+# — the stream must land exactly there.
+# --------------------------------------------------------------------------
+@register(
+    "st_foreach_batch",
+    """
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    """,
+    doc="foreachBatch incremental upsert sink (partial+combine per "
+    "micro-batch, atomic swap), state compared against batch aggregate",
+)
+def st_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from listenbrainz_server_spark.streaming.jobs import (
+        foreach_batch_upsert,
+        read_parquet_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # The file stream source monitors a DIRECTORY (an append log);
+    # stage the single-file table as one, split so several
+    # micro-batches actually exercise the combine.
+    root = tempfile.mkdtemp(prefix="st_fb_")
+    log_dir, state = root + "/log", root + "/agg"
+    ev.repartition(4).write.mode("overwrite").parquet(log_dir)
+    stream = read_parquet_stream(
+        spark, log_dir, spark.read.parquet(log_dir).schema, max_files=1
+    ).withColumn("n", F.lit(1).cast("bigint"))
+    foreach_batch_upsert(stream, state, keys=["user_id"], sum_cols=["n"])
+    return spark.read.parquet(state)

@@ -115,3 +115,54 @@ def stream_dedup(
             key_cols
         )
     return df.dropDuplicates(key_cols)
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    timeout_s: int = 120,
+) -> None:
+    """Drain a stream into a Parquet aggregate-state sink via
+    ``foreachBatch``: each micro-batch is pre-aggregated (map-side
+    partial per batch), combined with the existing state by
+    UNION ALL + re-GROUP BY + SUM, and atomically swapped into place —
+    the streaming form of the reference's partial+delta combine
+    (stats/incremental/user/artist.py:50-73) over its swap-on-write
+    sink (listens/dump.py:204-208).
+
+    foreachBatch runs the combine as a BATCH plan per micro-batch, so
+    arbitrary sinks and multi-step merges are available where
+    writeStream's built-in sinks are not; exactly-once comes from the
+    atomic swap (a replayed batch re-merges idempotently only if the
+    upstream replays whole batches — the availableNow/file-source
+    case).
+    """
+    from listenbrainz_server_spark.operators.aggregates import combine_aggregates
+    from listenbrainz_server_spark.sources.sinks import atomic_swap_write
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+        import os
+
+        if os.path.exists(state_path):
+            existing = spark.read.parquet(state_path)
+            merged = combine_aggregates(existing, delta, keys, sum_cols)
+        else:
+            merged = delta
+        # The state feeding the swap must be fully materialized BEFORE
+        # the old dir is renamed aside (the plan reads state_path).
+        merged = merged.localCheckpoint(eager=True)
+        atomic_swap_write(merged, state_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_path.rstrip("/") + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_s)

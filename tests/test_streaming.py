@@ -94,3 +94,32 @@ def test_stream_dedup_stream_equals_batch(spark, event_dir):
     q.awaitTermination(120)
     got = spark.table("dedup_sink").count()
     assert got == ev.count()
+
+
+def test_foreach_batch_upsert_equals_batch(spark, event_dir, tmp_path):
+    """foreachBatch aggregate-state sink: draining the stream in
+    several micro-batches (maxFilesPerTrigger=1) must leave exactly
+    the batch groupBy result in the state dir."""
+    from pyspark.sql import functions as F
+
+    import listenbrainz_server_spark.streaming.jobs as jobs
+    from listenbrainz_server_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    ).withColumn("n", F.lit(1).cast("bigint"))
+    multi_dir = str(tmp_path / "ev_multi")
+    ev.repartition(4).write.mode("overwrite").parquet(multi_dir)
+
+    state = str(tmp_path / "state")
+    stream = jobs.read_parquet_stream(
+        spark, multi_dir, spark.read.parquet(multi_dir).schema, max_files=1
+    )
+    jobs.foreach_batch_upsert(stream, state, keys=["user_id"], sum_cols=["n"])
+
+    got = {r.user_id: r.n for r in spark.read.parquet(state).collect()}
+    want = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.sum("n").alias("n")).collect()
+    }
+    assert got == want
