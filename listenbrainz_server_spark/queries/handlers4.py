@@ -495,20 +495,45 @@ def h_top_genres_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def tag_source(flt, agg, prio: int) -> DataFrame:
-        return (
-            purchases.where(flt)
-            .groupBy("user_id", "item_id", "genre")
-            .agg(agg.alias("genre_count"))
-            .withColumn("priority", F.lit(prio))
-        )
-
+    # One pass over the join: three per-source aggregations as separate
+    # frames would execute the fact join three times. Instead each row
+    # emits its applicable (priority, value) entries via a filtered
+    # inline array, and one grouped aggregation computes every
+    # source's statistic; the priority-appropriate one is selected per
+    # group (MAX for source 1, SUM for source 2, COUNT for source 3).
+    entries = F.filter(
+        F.array(
+            F.struct(
+                F.lit(1).alias("priority"),
+                F.when(F.col("l_returnflag") == "N", F.col("l_quantity")).alias("v"),
+            ),
+            F.struct(
+                F.lit(2).alias("priority"),
+                F.when(F.col("l_linenumber") <= 3, F.col("l_quantity")).alias("v"),
+            ),
+            F.struct(F.lit(3).alias("priority"), F.lit(1.0).alias("v")),
+        ),
+        lambda s: s["v"].isNotNull(),
+    )
     all_genres = (
-        tag_source(F.col("l_returnflag") == "N", F.max("l_quantity").cast("bigint"), 1)
-        .unionByName(
-            tag_source(F.col("l_linenumber") <= 3, F.sum("l_quantity").cast("bigint"), 2)
+        purchases.select(
+            "user_id", "item_id", "genre", F.explode(entries).alias("pv")
         )
-        .unionByName(tag_source(F.lit(True), F.count(F.lit(1)), 3))
+        .select("user_id", "item_id", "genre", "pv.priority", "pv.v")
+        .groupBy("user_id", "item_id", "genre", "priority")
+        .agg(
+            F.max("v").alias("_mx"),
+            F.sum("v").alias("_sm"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .withColumn(
+            "genre_count",
+            F.when(F.col("priority") == 1, F.col("_mx"))
+            .when(F.col("priority") == 2, F.col("_sm"))
+            .otherwise(F.col("_cnt"))
+            .cast("bigint"),
+        )
+        .drop("_mx", "_sm", "_cnt")
     )
     prioritized = priority_pick(
         all_genres, keys=["user_id", "item_id", "genre"]
