@@ -245,3 +245,130 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 17 == 3)
     train = docs.where(F.col("doc_id") % 17 != 3)
     return contamination_pairs(train, bench, "doc_id", "text", n=3, min_containment=0.5)
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus cleaning — the composed training-data pipeline:
+# quality gate (Gopher-style repetition thresholds) → exact dedup
+# (fingerprint, min-id representative) → near-dup collapse (Jaccard
+# pairs → connected components, keep the group representative) →
+# sequence packing of the survivors. One query, every stage an
+# operator this engine ships; the oracle replicates all four stages
+# (connected components as a recursive-CTE closure).
+# --------------------------------------------------------------------------
+@register(
+    "d_clean_corpus",
+    r"""
+    WITH RECURSIVE toksq AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, w, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(ws) AS w FROM toksq) GROUP BY 1, 2
+    ),
+    quality AS (
+        SELECT doc_id FROM uni GROUP BY doc_id
+        HAVING SUM(n) >= 20 AND MAX(n) * 1.0 / SUM(n) <= 0.25
+    ),
+    qdocs AS (
+        SELECT t.doc_id, t.text, t.ws FROM toksq t
+        JOIN quality q ON t.doc_id = q.doc_id
+    ),
+    fps AS (
+        SELECT doc_id,
+               md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+        FROM qdocs
+    ),
+    exact_reps AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+    sdocs AS (
+        SELECT q.doc_id, q.ws FROM qdocs q JOIN exact_reps r ON q.doc_id = r.doc_id
+    ),
+    idx AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, len(ws) - 1),
+                      i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+        FROM sdocs WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    closure(id, reach) AS (
+        SELECT doc_id, doc_id FROM sdocs
+        UNION
+        SELECT c.id, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    ),
+    groups AS (SELECT id AS doc_id, MIN(reach) AS group_id FROM closure GROUP BY id),
+    kept AS (
+        SELECT s.doc_id, CAST(len(s.ws) AS BIGINT) AS n_tokens
+        FROM sdocs s JOIN groups g ON s.doc_id = g.doc_id
+        WHERE g.doc_id = g.group_id
+    ),
+    offs AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+        FROM kept
+    )
+    SELECT doc_id, shard,
+           CAST(FLOOR(start_offset / 256) AS BIGINT) AS seq_id,
+           start_offset, n_tokens,
+           (FLOOR((start_offset + n_tokens - 1) / 256) >
+                FLOOR(start_offset / 256)) AS straddles
+    FROM offs
+    """,
+    doc="end-to-end corpus cleaning: quality gate -> exact dedup -> "
+    "near-dup component collapse -> sequence packing of survivors",
+)
+def d_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.functions.text import token_count
+    from listenbrainz_server_spark.operators.joins import semi_join
+    from listenbrainz_server_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. Quality gate: total tokens >= 20, top-word share <= 0.25.
+    uni = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    quality = (
+        uni.groupBy("doc_id")
+        .agg(F.sum("n").alias("total"), F.max("n").alias("top_n"))
+        .where((F.col("total") >= 20) & (F.col("top_n") * 1.0 / F.col("total") <= 0.25))
+        .select("doc_id")
+    )
+    qdocs = semi_join(docs, quality, ["doc_id"])
+
+    # 2. Exact dedup: min-id representative per fingerprint.
+    exact_reps = exact_dedup(qdocs, "text", "doc_id").select("doc_id")
+    sdocs = semi_join(qdocs, exact_reps, ["doc_id"])
+
+    # 3. Near-dup collapse: component representative (min id) survives.
+    pairs = jaccard_pairs(sdocs, "doc_id", "text", n=3, threshold=0.5)
+    groups = connected_components(
+        sdocs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    reps = groups.where(F.col("doc_id") == F.col("group_id")).select("doc_id")
+    kept = semi_join(sdocs, reps, ["doc_id"])
+
+    # 4. Pack the survivors into training sequences.
+    return pack_sequences(
+        kept, "doc_id", token_count(F.col("text")), budget=256, n_shards=8
+    )
