@@ -142,3 +142,63 @@ def st_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n", F.lit(1).cast("bigint"))
     foreach_batch_upsert(stream, state, keys=["user_id"], sum_cols=["n"])
     return spark.read.parquet(state)
+
+
+# --------------------------------------------------------------------------
+# Custom stateful streaming operator, driven end to end:
+# applyInPandasWithState keeps running per-user (count, sum) state
+# across micro-batches (update mode emits a row per key per trigger);
+# the LAST emission per user must equal the batch aggregate. The one
+# genuinely non-SQL streaming op in the engine — still oracle-checked,
+# because its converged output is batch-expressible.
+# --------------------------------------------------------------------------
+@register(
+    "st_stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS total_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="applyInPandasWithState running per-user totals across "
+    "micro-batches; final state compared against the batch aggregate",
+)
+def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from listenbrainz_server_spark.streaming.jobs import read_parquet_stream
+    from listenbrainz_server_spark.streaming.stateful import running_user_totals
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="st_state_")
+    log_dir = root + "/log"
+    ev.repartition(4).write.mode("overwrite").parquet(log_dir)
+
+    stream = read_parquet_stream(
+        spark, log_dir, spark.read.parquet(log_dir).schema, max_files=2
+    )
+    sink_name = "st_stateful_totals_sink"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # Update mode appends one row per key per trigger; the final state
+    # per user is the one with the largest running count (monotonic).
+    emitted = spark.table(sink_name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("total_events").desc())
+    return (
+        emitted.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "user_id",
+            "total_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+    )
