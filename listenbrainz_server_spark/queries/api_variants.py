@@ -135,3 +135,78 @@ def api_listening_activity_this_week(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def api_sitewide_era_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch("stats.sitewide.era_activity", spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# stats.user.entity at range=all_time: floor anchored at the
+# founding-year constant (2002) — on this corpus, every event.
+# --------------------------------------------------------------------------
+@register(
+    "api_user_entity_all_time",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
+    ranged AS (
+        SELECT e.* FROM events e, a
+        WHERE e.ts >= TIMESTAMP '2002-01-01'
+          AND e.ts < a.anchor + INTERVAL 1 SECOND
+    ),
+    counts AS (
+        SELECT user_id, event_type, COUNT(*) AS listen_count
+        FROM ranged GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, event_type, listen_count,
+               CAST(SUM(listen_count) OVER (PARTITION BY user_id) AS BIGINT) AS total_count,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS entity_count
+        FROM counts
+    )
+    SELECT * FROM (
+        SELECT user_id, event_type, listen_count, total_count, entity_count,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY listen_count DESC, event_type) AS BIGINT) AS rank
+        FROM tot
+    ) WHERE rank <= 3
+    """,
+    doc="stats.user.entity dispatched with stats_range=all_time (2002 floor), k=3",
+)
+def api_user_entity_all_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("stats.user.entity", spark, sf_dir, stats_range="all_time", k=3)
+
+
+# --------------------------------------------------------------------------
+# stats.user.entity at range=this_month: the running month (the
+# corpus spans a single month, so complete-prior-period ranges are
+# empty — the running ranges are the non-degenerate checks here).
+# --------------------------------------------------------------------------
+@register(
+    "api_user_entity_this_month",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
+    ranged AS (
+        SELECT e.* FROM events e, a
+        WHERE e.ts >= date_trunc('month', a.anchor)
+          AND e.ts < a.anchor + INTERVAL 1 SECOND
+    ),
+    counts AS (
+        SELECT user_id, event_type, COUNT(*) AS listen_count
+        FROM ranged GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, event_type, listen_count,
+               CAST(SUM(listen_count) OVER (PARTITION BY user_id) AS BIGINT) AS total_count,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS entity_count
+        FROM counts
+    )
+    SELECT * FROM (
+        SELECT user_id, event_type, listen_count, total_count, entity_count,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY listen_count DESC, event_type) AS BIGINT) AS rank
+        FROM tot
+    ) WHERE rank <= 3
+    """,
+    doc="stats.user.entity dispatched with stats_range=this_month (running), k=3",
+)
+def api_user_entity_this_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("stats.user.entity", spark, sf_dir, stats_range="this_month", k=3)
