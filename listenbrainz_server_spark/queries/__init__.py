@@ -63,6 +63,7 @@ def load_all() -> dict[str, Query]:
         relational,
         similarity,
         streaming,
+        temporal,
         text,
         windows,
     )

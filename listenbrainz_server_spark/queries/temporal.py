@@ -1,0 +1,103 @@
+"""Temporal-join queries: as-of join and bucketized range join over
+the events table (operators/asof.py). DuckDB verifies the as-of with
+its native ASOF JOIN — an independent implementation of the same
+semantics, so agreement is a strong check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.catalog import load_table
+from listenbrainz_server_spark.operators.asof import asof_join, range_join_bucketed
+from listenbrainz_server_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# As-of join: each click matched to the user's latest purchase at or
+# before the click. Union-tag sweep (one shuffle), never a per-key
+# nested loop.
+# --------------------------------------------------------------------------
+@register(
+    "j_asof_join",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts, ROUND(MAX(value), 2) AS purch_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, p.purch_value, p.ts AS asof_ts
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="as-of join: latest purchase at-or-before each click per user "
+    "(union-tag sweep vs DuckDB native ASOF JOIN)",
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purch_value"))
+    )
+    return asof_join(
+        clicks,
+        purch,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["purch_value"],
+    ).select("event_id", "user_id", "purch_value", "asof_ts")
+
+
+# --------------------------------------------------------------------------
+# Range join: clicks falling inside [signup, signup + 2h) windows of
+# the same user, counted per signup — bucketized equi join (1-hour
+# buckets), the inequality only as a residual filter.
+# --------------------------------------------------------------------------
+@register(
+    "j_range_join",
+    """
+    WITH signups AS (
+        SELECT event_id AS signup_id, user_id, ts AS w_start,
+               ts + INTERVAL 2 HOUR AS w_end
+        FROM events WHERE event_type = 'signup'
+    ),
+    clicks AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT s.signup_id, s.user_id, COUNT(c.ts) AS n_clicks
+    FROM signups s JOIN clicks c
+      ON c.user_id = s.user_id AND c.ts >= s.w_start AND c.ts < s.w_end
+    GROUP BY 1, 2
+    """,
+    doc="range join: clicks within 2h after each signup, bucketized "
+    "equi join (never |L|x|R|)",
+)
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = range_join_bucketed(
+        clicks,
+        signups,
+        keys=["user_id"],
+        left_ts="ts",
+        right_start="w_start",
+        right_end="w_end",
+        bucket_seconds=3600,
+    )
+    return joined.groupBy("signup_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )

@@ -1,0 +1,87 @@
+"""As-of / range join operator fixtures: no-prior-match NULLs,
+at-the-same-instant inclusion, tolerance cutoff, bucket-boundary
+spanning intervals."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.operators.asof import asof_join, range_join_bucketed
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # after r1 -> 100.0
+            (2, 10, _ts("2024-01-01 12:00:00")),  # exactly at r2 -> 200.0
+            (3, 10, _ts("2024-01-01 09:00:00")),  # before any right -> NULL
+            (4, 20, _ts("2024-01-01 10:00:00")),  # other key, no right -> NULL
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:30:00"), 100.0),
+            (10, _ts("2024-01-01 12:00:00"), 200.0),
+        ],
+        "user_id bigint, rts timestamp, val double",
+    )
+    got = {
+        r.event_id: (r.val, r.asof_ts)
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "rts", ["val"]
+        ).collect()
+    }
+    assert got[1] == (100.0, _ts("2024-01-01 09:30:00"))
+    assert got[2] == (200.0, _ts("2024-01-01 12:00:00"))  # ties include
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 08:00:00"), 7.0)],
+        "user_id bigint, rts timestamp, val double",
+    )
+    within = asof_join(
+        left, right, ["user_id"], "ts", "rts", ["val"], tolerance_seconds=3 * 3600
+    ).collect()[0]
+    beyond = asof_join(
+        left, right, ["user_id"], "ts", "rts", ["val"], tolerance_seconds=3600
+    ).collect()[0]
+    assert within.val == 7.0
+    assert beyond.val is None and beyond.asof_ts is None
+
+
+def test_range_join_bucket_spanning(spark):
+    """An interval spanning several buckets still matches rows in each
+    of them; half-open [start, end) excludes the endpoint."""
+    clicks = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:05:00")),  # in
+            (10, _ts("2024-01-01 12:59:00")),  # in (3rd bucket)
+            (10, _ts("2024-01-01 13:00:00")),  # end boundary -> out
+            (10, _ts("2024-01-01 09:59:00")),  # before start -> out
+            (20, _ts("2024-01-01 10:05:00")),  # other key -> out
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 13:00:00"))],
+        "iv_id bigint, user_id bigint, w_start timestamp, w_end timestamp",
+    )
+    got = range_join_bucketed(
+        clicks, iv, ["user_id"], "ts", "w_start", "w_end", bucket_seconds=3600
+    )
+    assert sorted(r.ts for r in got.collect()) == [
+        _ts("2024-01-01 10:05:00"),
+        _ts("2024-01-01 12:59:00"),
+    ]
