@@ -67,3 +67,34 @@ def hash_split(
     """Disjoint, exhaustive, reproducible splits keyed on ``key_col``
     (use a group key to keep groups un-leaked across splits)."""
     return df.withColumn(label_col, split_label(F.col(key_col), weights, labels))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum reproducible sampling: each stratum keeps its own
+    hash-threshold fraction (the deterministic form of ``sampleBy``).
+    The workhorse of source-mix rebalancing in training-data pipelines
+    — e.g. downsample crawl data to 10% while keeping 100% of curated
+    sources — with membership still a pure function of (key, stratum
+    fractions), independent of partitioning and engine.
+
+    Salting the coordinate with the stratum keeps per-stratum samples
+    independent: a key kept at 10% in one stratum is not automatically
+    kept in another.
+    """
+    coord = F.substring(
+        F.md5(F.concat_ws("|", F.col(stratum_col), F.col(key_col).cast("string"))),
+        1,
+        8,
+    )
+    expr = F.lit(_hex_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(stratum_col) == stratum, F.lit(_hex_threshold(frac))
+        ).otherwise(expr)
+    return df.where(coord < expr)

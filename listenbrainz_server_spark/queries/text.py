@@ -365,3 +365,40 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, "doc_id", token_count(F.col("text")), budget=256, n_shards=8
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified source-mix sampling: per-source hash fractions (keep all
+# of 'wiki', downsample the rest) — deterministic sampleBy.
+# --------------------------------------------------------------------------
+_STRATA = {"src0": 1.0, "src1": 0.25, "src2": 0.5}
+_DEFAULT_FRAC = 0.1
+
+
+def _strata_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{format(min(int(f * 16**8), 16**8 - 1), '08x')}'"
+        for s, f in sorted(_STRATA.items())
+    )
+    default = format(min(int(_DEFAULT_FRAC * 16**8), 16**8 - 1), "08x")
+    return f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          (CASE {cases} ELSE '{default}' END)
+    """
+
+
+@register(
+    "t_stratified_sample",
+    _strata_sql(),
+    doc="stratified hash sampling: per-source keep fractions "
+    "(deterministic sampleBy for source-mix rebalancing)",
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_hash_sample(
+        docs, "doc_id", "source", _STRATA, default_fraction=_DEFAULT_FRAC
+    )

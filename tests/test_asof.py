@@ -85,3 +85,27 @@ def test_range_join_bucket_spanning(spark):
         _ts("2024-01-01 10:05:00"),
         _ts("2024-01-01 12:59:00"),
     ]
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The union-tag sweep must cost ONE hash exchange (the key
+    window) — no join node, no nested loop, no range explosion."""
+    from listenbrainz_server_spark.catalog import cache_disabled, load_table
+
+    with cache_disabled():
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("rts"), "value"
+    )
+    plan = (
+        asof_join(clicks, purch, ["user_id"], "ts", "rts", ["value"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, bad
