@@ -48,6 +48,16 @@ HEADLINE = (
     "st_session_window",
 )
 
+# Families added after the r01 bench; kept separate so the historical
+# total stays comparable ("value_comparable" = HEADLINE subtotal).
+HEADLINE_NEW = (
+    "v_pq_topk",
+    "j_asof_join",
+    "d_contamination",
+    "t_repetition_signals",
+    "t_sequence_pack",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,7 +67,11 @@ def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
-    names = sorted(registry) if run_all else [n for n in HEADLINE if n in registry]
+    names = (
+        sorted(registry)
+        if run_all
+        else [n for n in HEADLINE + HEADLINE_NEW if n in registry]
+    )
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # query execution, not session cold-start.
@@ -83,6 +97,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if not run_all:
+        out["value_comparable"] = round(
+            sum(t for n, t in timings.items() if n in HEADLINE), 2
+        )
     if errors:
         out["errors"] = errors
     print(json.dumps(out, separators=(",", ":")))

@@ -500,51 +500,113 @@ def pq_train_codebooks(
     m: int = 4,
     k_sub: int = 16,
     seed: int = 45,
+    max_iter: int = 10,
+    sample_cap: int = 4096,
 ) -> list[list[list[float]]]:
-    """Train product-quantization codebooks: one seeded KMeans per
-    subspace over the sub-vectors (the PQ training step of Jégou et
-    al.'s "Product Quantization for Nearest Neighbor Search").
+    """Train product-quantization codebooks: seeded Lloyd's k-means per
+    subspace over a bounded deterministic sample (the PQ training step
+    of Jégou et al.'s "Product Quantization for Nearest Neighbor
+    Search"; codebook quality saturates on a few thousand samples, so
+    training is a BOUNDED model-fit step regardless of corpus size).
+
+    Execution shape: one distributed TakeOrdered pulls ``sample_cap``
+    rows (ordered by content hash — partitioning-independent), then m
+    tiny k-means fits run driver-side in numpy. Distributed iterative
+    KMeans here would cost m × max_iter job launches to fit what is at
+    most a (sample_cap × dims) matrix — pure scheduler overhead at any
+    scale. Driver memory is bounded by the cap, never the corpus.
 
     Returns ``codebooks[j][c]`` = centroid ``c`` of subspace ``j`` as
-    plain Python floats — small enough (m × k_sub × dims/m = dims ×
-    k_sub doubles) to fold into column-expression literals, so encode
-    and ADC scoring never leave the JVM.
+    plain Python floats — small enough (dims × k_sub doubles) to fold
+    into column-expression literals, so encode and ADC scoring never
+    leave the JVM.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     sub = dims // m
     if sub * m != dims:
         raise ValueError(f"dims={dims} not divisible by m={m}")
+    sample = (
+        vectors.select(as_double(F.col(vec_col)).alias("v"))
+        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
+        .orderBy("_h")
+        .limit(sample_cap)
+        .collect()
+    )
+    data = np.array([r.v for r in sample], dtype="float64")
+    if len(data) < k_sub:
+        raise ValueError(f"need >= {k_sub} vectors to train, got {len(data)}")
+
     books: list[list[list[float]]] = []
-    base = vectors.select(as_double(F.col(vec_col)).alias("v"))
     for j in range(m):
-        feats = base.select(
-            array_to_vector(F.slice("v", j * sub + 1, sub)).alias("features")
-        )
-        model = KMeans(k=k_sub, seed=seed + j, featuresCol="features").fit(feats)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        x = data[:, j * sub : (j + 1) * sub]
+        rng = np.random.default_rng(seed + j)
+        centers = x[rng.choice(len(x), size=k_sub, replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_sub):
+                mask = assign == c
+                if mask.any():
+                    centers[c] = x[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in centers])
     return books
 
 
-def _pq_subspace_dists(vec: Column, book: list[list[float]], j: int, sub: int) -> Column:
-    """Array of squared distances from subspace j of ``vec`` to every
-    centroid of ``book`` — literal-folded, pure column expression."""
-    sv = F.slice(vec, j * sub + 1, sub)
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    sv,
-                    F.array(*[F.lit(float(x)) for x in center]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+def _pq_index_builder(
+    books: list[list[list[float]]], dims: int, m: int, k_sub: int, sig_bits: int
+):
+    """mapInPandas factory: one vectorized numpy pass computes the PQ
+    index row (unit vector, LSH signature, codes, flattened ADC LUT)
+    per input vector.
+
+    Why Python here and not column expressions: folding m × k_sub
+    codebook centroids into expression literals produces a 1000+-node
+    tree whose Catalyst analysis + codegen costs ~10 s per action
+    REGARDLESS of data size (measured: 12 s on a 50-row corpus).
+    A single Arrow-batched numpy pass does the same math in
+    milliseconds and keeps the rest of the plan small — exactly the
+    "built-ins genuinely can't express it efficiently" escape hatch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sub = dims // m
+    cb = np.array(books, dtype="float64")  # (m, k_sub, sub)
+    hp = np.array(
+        [[hyperplane_component(h, d) for d in range(dims)] for h in range(sig_bits)],
+        dtype="float64",
+    )  # (sig_bits, dims)
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sig_bits_mat = (v @ hp.T) >= 0  # (n, sig_bits)
+            sigs = [
+                "".join("1" if b else "0" for b in row) for row in sig_bits_mat
+            ]
+            codes = np.empty((len(v), m), dtype="int32")
+            luts = np.empty((len(v), m * k_sub), dtype="float64")
+            for j in range(m):
+                x = v[:, j * sub : (j + 1) * sub]  # (n, sub)
+                # (n, k_sub) squared distances to subspace-j centroids
+                d2 = ((x[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+                luts[:, j * k_sub : (j + 1) * k_sub] = d2
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(),
+                    "vec": list(v),
+                    "sig": sigs,
+                    "codes": list(codes),
+                    "lut": list(luts),
+                }
             )
-            for center in book
-        ]
-    )
+
+    return build
 
 
 def pq_topk(
@@ -560,6 +622,7 @@ def pq_topk(
     oversample: int = 3,
     round_dp: int = 6,
     seed: int = 45,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Product-quantization ANN top-k (ADC) over sign-LSH buckets —
     the memory-bound tier: candidates are scored from ``m`` byte-sized
@@ -567,24 +630,27 @@ def pq_topk(
     bytes raw), so at 100 TB the candidate table that must stay hot is
     ~100× smaller than the raw embeddings.
 
-    Execution shape, all JVM-side column expressions (the codebooks
-    fold into literals like the LSH hyperplanes):
+    Execution shape:
 
-    1. TRAIN: per-subspace seeded KMeans (``pq_train_codebooks``).
-    2. ENCODE: each vector → m argmin codes (pure expression).
+    1. TRAIN: per-subspace seeded Lloyd's on a bounded sample
+       (``pq_train_codebooks``).
+    2. INDEX: ONE Arrow-batched numpy pass (``mapInPandas``) builds
+       (unit vector, LSH signature, codes, ADC lookup table) per
+       vector — the persisted ANN index; no shuffle. (Literal-folded
+       column expressions were tried first and cost ~10 s of Catalyst
+       analysis/codegen per action regardless of data size.)
     3. BUCKET: multi-probe sign-LSH signature join restricts
        candidates (query side probes Hamming-≤``n_flip`` buckets) —
        the only shuffle key; PQ itself is a compressor, not a pruner,
        so it composes with any coarse index (IVF-PQ shape).
-    4. ADC: per query, a literal-folded lookup table of subspace
-       distances; candidate approx distance = sum of m table lookups
-       on its codes — never touches the candidate's raw vector.
-    5. RE-RANK: the ``oversample``·k best ADC candidates get exact
-       cosine; top-k of those is returned.
+    4. ADC: candidate approx distance = sum of m LUT lookups on its
+       codes (small JVM expression) — never touches the candidate's
+       raw vector; only (qid, nid, approx) ride the ranking shuffle.
+    5. RE-RANK: the ``oversample``·k best ADC candidates re-fetch
+       vectors and get exact cosine; top-k of those is returned.
     """
     from pyspark.sql import Window
 
-    sub = dims // m
     # Unit-normalize first: ||a-b||² = 2 - 2·cos(a,b) on the unit
     # sphere, so ADC's L2 ordering IS the cosine ordering — without
     # this, norm variance across the corpus scrambles ADC ranks.
@@ -595,22 +661,27 @@ def pq_topk(
         "vid",
         F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec"),
     )
-    books = pq_train_codebooks(unit, "vec", dims, m=m, k_sub=k_sub, seed=seed)
+    # Codebooks train on a deterministic hash sample — the standard PQ
+    # practice (codebook quality saturates long before full-corpus
+    # coverage; at 100 TB training on everything is pure waste).
+    train = unit
+    if train_fraction < 1.0:
+        from listenbrainz_server_spark.operators.sampling import hash_sample
 
-    base = unit.select(
-        "vid",
-        "vec",
-        lsh_signature(F.col("vec"), dims, sig_bits).alias("sig"),
+        train = hash_sample(unit, "vid", train_fraction)
+    books = pq_train_codebooks(train, "vec", dims, m=m, k_sub=k_sub, seed=seed)
+
+    base = unit.mapInPandas(
+        _pq_index_builder(books, dims, m, k_sub, sig_bits),
+        schema=(
+            "vid bigint, vec array<double>, sig string, "
+            "codes array<int>, lut array<double>"
+        ),
     )
-
-    def code(j: int) -> Column:
-        dists = _pq_subspace_dists(F.col("vec"), books[j], j, sub)
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     members = base.select(
         F.col("vid").alias("nid"),
-        F.col("vec").alias("nv"),
-        F.array(*[code(j) for j in range(m)]).alias("codes"),
+        "codes",
         "sig",
     )
     if n_flip >= 1:
@@ -622,32 +693,36 @@ def pq_topk(
         probe_sigs = F.array(F.col("sig"))
     probes = base.select(
         F.col("vid").alias("qid"),
-        F.col("vec").alias("qv"),
-        F.array(
-            *[_pq_subspace_dists(F.col("vec"), books[j], j, sub) for j in range(m)]
-        ).alias("lut"),
+        "lut",
         F.explode(probe_sigs).alias("sig"),
     )
 
     adc = sum(
-        F.element_at(F.col("lut").getItem(j), F.element_at("codes", j + 1) + F.lit(1))
+        F.element_at("lut", F.lit(j * k_sub) + F.element_at("codes", j + 1) + F.lit(1))
         for j in range(m)
     )
     w_adc = Window.partitionBy("qid").orderBy(F.col("approx").asc(), F.col("nid"))
-    candidates = (
+    # The ADC path stays NARROW: only (qid, nid, approx) go through the
+    # ranking shuffle — codes/LUT/raw vectors must not ride along (at
+    # 144k candidates × 1 KB of arrays that's the whole shuffle).
+    survivors = (
         probes.join(members, "sig")
         .where(F.col("qid") != F.col("nid"))
-        .withColumn("approx", adc)
+        .select("qid", "nid", adc.alias("approx"))
         .withColumn("_ar", F.row_number().over(w_adc))
         .where(F.col("_ar") <= oversample * k)
+        .select("qid", "nid")
     )
-    score = F.round(
-        dot(F.col("qv"), F.col("nv")) / (norm(F.col("qv")) * norm(F.col("nv"))),
-        round_dp,
-    )
+    # Exact re-rank re-fetches raw vectors for the (oversample·k)-
+    # bounded survivor set only.
+    qv = base.select(F.col("vid").alias("qid"), F.col("vec").alias("qv"))
+    nv = base.select(F.col("vid").alias("nid"), F.col("vec").alias("nv"))
+    score = F.round(dot(F.col("qv"), F.col("nv")), round_dp)
     w_rank = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
     return (
-        candidates.withColumn("score", score)
+        survivors.join(qv, "qid")
+        .join(nv, "nid")
+        .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("qid", "nid", "score", "rank")

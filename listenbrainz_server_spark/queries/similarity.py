@@ -237,4 +237,13 @@ def v_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.similarity import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(emb, "vec_id", "embedding", dims=_DIMS, k=5, m=8, k_sub=16)
+    return pq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        dims=_DIMS,
+        k=5,
+        m=8,
+        k_sub=8,
+        train_fraction=0.5,
+    )
