@@ -106,3 +106,19 @@ def shingles(text: Column | str, n: int = 3, delim: str = " ") -> Column:
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
     make = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
     return F.when(k >= 1, F.transform(idx, make)).otherwise(F.array().cast("array<string>"))
+
+
+# BPE-ish tokenization: greedy max-8-char word chunks + digit runs +
+# single punctuation marks — a deterministic stand-in for subword
+# vocabularies (long words split into several tokens, punctuation is
+# its own token), engine-portable as one regex.
+BPE_ISH_PATTERN = r"[a-z]{1,8}|[0-9]{1,8}|[^a-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Subword-style token array (see BPE_ISH_PATTERN)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text)).cast("bigint")

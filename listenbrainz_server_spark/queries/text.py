@@ -402,3 +402,40 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(
         docs, "doc_id", "source", _STRATA, default_fraction=_DEFAULT_FRAC
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting: subword-style tokens (greedy 8-char chunks,
+# digit runs, punctuation) next to whitespace tokens — the expansion
+# factor a training-cost estimate needs before the real tokenizer
+# runs.
+# --------------------------------------------------------------------------
+@register(
+    "t_bpe_token_stats",
+    r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(LOWER(text),
+                '[a-z]{1,8}|[0-9]{1,8}|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           ROUND(SUM(len(regexp_extract_all(LOWER(text),
+                '[a-z]{1,8}|[0-9]{1,8}|[^a-z0-9\s]'))) * 1.0 /
+                 SUM(len(string_split(text, ' '))), 6) AS expansion
+    FROM documents
+    GROUP BY source
+    """,
+    doc="BPE-ish subword token counts per source + expansion factor "
+    "vs whitespace tokens",
+)
+def t_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.functions.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    bc = bpe_ish_token_count(F.col("text"))
+    wc = token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bc).alias("bpe_tokens"),
+        F.sum(wc).alias("ws_tokens"),
+        F.round(F.sum(bc) * 1.0 / F.sum(wc), 6).alias("expansion"),
+    )
