@@ -247,3 +247,44 @@ def v_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_sub=8,
         train_fraction=0.5,
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-dedup pipeline: cosine near-dup pairs (>= 0.4) feed
+# connected components; each vector maps to its group representative
+# (min id) — semantic dedup, the embedding-space twin of the text
+# pipeline's d_dup_groups. Oracle: exact pair join + recursive-CTE
+# closure.
+# --------------------------------------------------------------------------
+@register(
+    "v_embedding_dup_groups",
+    f"""
+    WITH RECURSIVE {_NORM_CTE},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+        WHERE {_DOT} / (a.nrm * b.nrm) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    closure(id, reach) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT c.id, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    )
+    SELECT id AS vec_id, MIN(reach) AS group_id FROM closure GROUP BY id
+    """,
+    doc="embedding semantic-dedup groups: cosine near-dup pairs -> "
+    "connected components -> min-id representative",
+)
+def v_embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return connected_components(
+        emb.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
