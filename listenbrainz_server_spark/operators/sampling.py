@@ -98,3 +98,33 @@ def stratified_hash_sample(
             F.col(stratum_col) == stratum, F.lit(_hex_threshold(frac))
         ).otherwise(expr)
     return df.where(coord < expr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    rate_per_unit: float,
+    max_weight: float,
+) -> DataFrame:
+    """Weighted Bernoulli sampling: P(keep) = weight × rate_per_unit
+    (clamped at 1) with membership a pure function of the key — the
+    deterministic form of importance-weighted data mixing (upsample
+    high-quality docs, downsample boilerplate) used when building
+    training mixes.
+
+    The keep test compares the key's integer hash coordinate against
+    ``weight × rate × space`` computed in integer space — no ln/pow,
+    so the predicate is bit-identical in any engine with md5 (float
+    transcendentals differ at ULP level across engines and would flip
+    rows near the threshold).
+    """
+    coord = F.conv(hash_bucket(F.col(key_col)), 16, 10).cast("decimal(20,0)")
+    threshold = F.least(
+        (F.col(weight_col) * F.lit(rate_per_unit) * F.lit(_SPACE)).cast(
+            "decimal(20,0)"
+        ),
+        F.lit(_SPACE).cast("decimal(20,0)"),
+    )
+    _ = max_weight  # documented calibration aid: rate_per_unit ≈ target_rate / max_weight
+    return df.where(coord < threshold)

@@ -439,3 +439,28 @@ def t_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(wc).alias("ws_tokens"),
         F.round(F.sum(bc) * 1.0 / F.sum(wc), 6).alias("expansion"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted Bernoulli sampling: longer documents kept with
+# proportionally higher probability (importance-weighted mix
+# building), integer-exact hash thresholds.
+# --------------------------------------------------------------------------
+@register(
+    "t_weighted_sample",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+          CAST(LEAST(n_chars * 0.001 * 4294967296.0, 4294967296.0) AS DECIMAL(20,0))
+    """,
+    doc="weighted Bernoulli sample: P(keep) = n_chars x 0.001 "
+    "(importance-weighted mixing, integer-exact thresholds)",
+)
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_hash_sample(
+        docs, "doc_id", "n_chars", rate_per_unit=0.001, max_weight=1000.0
+    )
