@@ -288,3 +288,61 @@ def v_embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         emb.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental ANN index maintenance: the reference's partial/delta
+# combine (stats/incremental) applied to the signature index. The
+# "base" index is built from existing vectors and persisted; a delta
+# batch of new vectors is indexed ALONE (delta-sized work, never a
+# full rebuild) and appended. The combined index must be
+# indistinguishable from indexing everything at once — the oracle
+# computes every signature directly, so the check is exact.
+# --------------------------------------------------------------------------
+def _incr_index_sql() -> str:
+    bit_exprs = []
+    for h in range(_SIG_BITS):
+        comps = ", ".join(
+            str(float(hyperplane_component(h, d))) for d in range(_DIMS)
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, {_DIMS} + 1), "
+            f"i -> (embedding[i]::DOUBLE) * ([{comps}][i])))"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(bit_exprs)
+    return f"SELECT vec_id, {sig} AS sig FROM embeddings"
+
+
+@register(
+    "v_incremental_index",
+    _incr_index_sql(),
+    doc="incremental ANN index maintenance: persisted base signatures "
+    "+ delta-only indexing of new vectors == full recompute",
+)
+def v_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from listenbrainz_server_spark.operators.similarity import as_double, lsh_signature
+    from listenbrainz_server_spark.sources.sinks import atomic_swap_write
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def index_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            lsh_signature(as_double(F.col("embedding")), _DIMS, _SIG_BITS).alias(
+                "sig"
+            ),
+        )
+
+    # "Existing" corpus = 90% of vectors; the delta batch = the rest.
+    base_rows = emb.where(F.col("vec_id") % 10 != 7)
+    delta_rows = emb.where(F.col("vec_id") % 10 == 7)
+
+    state = tempfile.mkdtemp(prefix="ann_index_") + "/sig_index"
+    atomic_swap_write(index_of(base_rows), state)
+
+    # Incremental step: index ONLY the delta, append to the state.
+    index_of(delta_rows).write.mode("append").parquet(state)
+    return spark.read.parquet(state)

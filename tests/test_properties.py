@@ -107,3 +107,64 @@ def test_session_ids_monotone_and_break_exactly_at_gaps(spark, gaps, threshold):
             sid += 1
         expected.append(sid)
     assert sids == expected
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # key
+        st.integers(min_value=0, max_value=100),  # ts (seconds)
+    ),
+    min_size=1,
+    max_size=15,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=100),
+        st.integers(min_value=0, max_value=9),    # value
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT)
+@SLOW
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join == 'latest right at-or-before, per key' computed by
+    exhaustive Python for ANY input. Right side is deduped to one row
+    per (key, ts) — the operator's documented determinism contract."""
+    from datetime import datetime, timezone
+
+    from listenbrainz_server_spark.operators.asof import asof_join
+
+    def ts(s):
+        return datetime.fromtimestamp(1700000000 + s, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # Dedup right per (key, ts): keep max value (deterministic).
+    rbest = {}
+    for k, t, v in right:
+        rbest[(k, t)] = max(rbest.get((k, t), -1), v)
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(left)],
+        "row_id long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(t), float(v)) for (k, t), v in rbest.items()] or [],
+        "k long, rts timestamp, val double",
+    )
+    got = {
+        r.row_id: (r.val, r.asof_ts)
+        for r in asof_join(ldf, rdf, ["k"], "ts", "rts", ["val"]).collect()
+    }
+
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt), v in rbest.items() if rk == k and rt <= t]
+        if cands:
+            bt, bv = max(cands)
+            assert got[i] == (float(bv), ts(bt)), (i, k, t)
+        else:
+            assert got[i] == (None, None), (i, k, t)
