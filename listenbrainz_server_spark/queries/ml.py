@@ -69,6 +69,17 @@ def user_cosine_pairs(
     sampling bounds the same term probabilistically.
     """
     pc = _playcounts(spark, sf_dir)
+    return cosine_pairs_from_playcounts(pc, threshold, item_degree_cap)
+
+
+def cosine_pairs_from_playcounts(
+    pc: DataFrame,
+    threshold: float = 0.15,
+    item_degree_cap: int | None = None,
+) -> DataFrame:
+    """Core of ``user_cosine_pairs``, taking a (user_id, item_id,
+    playcount) frame directly — unit tests feed skewed fixtures here.
+    """
     # Norms over the FULL vector (capping affects candidate pairs, not
     # the definition of a user's vector length).
     norms = pc.groupBy("user_id").agg(

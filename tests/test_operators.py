@@ -238,3 +238,26 @@ def test_pack_sequences_fixture(spark):
         2: (9, 1, False),
         3: (12, 1, True),
     }
+
+
+def test_item_degree_cap_bounds_viral_item(spark):
+    """The per-item degree cap must bound the pair blowup from a viral
+    item: 40 users sharing one item generate C(40,2)=780 candidate
+    pairs uncapped, but only C(5,2)=10 with cap=5 — and the kept users
+    are the top-5 by playcount (deterministic tie-break)."""
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.queries.ml import cosine_pairs_from_playcounts
+
+    # Viral item 99: users 1..40, playcount = user id (10 > 9 > ...).
+    rows = [(u, 99, u) for u in range(1, 41)]
+    pc = spark.createDataFrame(rows, "user_id long, item_id long, playcount long")
+
+    uncapped = cosine_pairs_from_playcounts(pc, threshold=0.0)
+    capped = cosine_pairs_from_playcounts(pc, threshold=0.0, item_degree_cap=5)
+    assert uncapped.count() == 780
+    got = capped.collect()
+    assert len(got) == 10
+    # Top-5 by playcount are users 36..40.
+    kept_users = {u for r in got for u in (r.user_a, r.user_b)}
+    assert kept_users == {36, 37, 38, 39, 40}
