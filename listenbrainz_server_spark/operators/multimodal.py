@@ -112,3 +112,47 @@ def sample_frames(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_md5": hashes})
 
     return df.select("id", "payload").mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "id bigint, width int, height int, out_width int, out_height int, "
+    "out_bytes bigint"
+)
+
+
+def resize_media(df: DataFrame, max_side: int = 32, fake: bool = False) -> DataFrame:
+    """Aspect-preserving resize to fit ``max_side`` — the image-resize
+    stage of a multimodal ingest pipeline.
+
+    ``fake=False`` (real pixel resampling) needs PIL and raises here;
+    the stand-in computes the real resize GEOMETRY (scale = min(1,
+    max_side/longest side), floor to >=1 px) from the fake-decoded
+    dims and the exact output byte size w·h·3 — so the Spark-side
+    plumbing (batch shape, schema, Arrow round-trip) is fully
+    exercised and oracle-checkable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resampling requires PIL; pass fake=True for the "
+            "deterministic geometry stand-in"
+        )
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                w, h, c = fake_decode_dims(payload)
+                scale = min(1.0, max_side / max(w, h))
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                rows.append((rid, w, h, ow, oh, ow * oh * c))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "out_width", "out_height", "out_bytes",
+                ],
+            )
+
+    return df.select("id", "payload").mapInPandas(resize_batches, schema=RESIZE_SCHEMA)

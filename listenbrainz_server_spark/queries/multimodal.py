@@ -90,3 +90,38 @@ def mm_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("meta.byte_len").alias("total_bytes"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Resize plumbing: aspect-preserving fit to 32px from the fake-decoded
+# dims; geometry + output byte size are exact, so the oracle checks
+# the whole pipeline.
+# --------------------------------------------------------------------------
+@register(
+    "mm_resize",
+    """
+    WITH dims AS (
+        SELECT doc_id AS id,
+               CAST(strlen(text) % 64 + 1 AS INT) AS width,
+               CAST((strlen(text) // 64) % 64 + 1 AS INT) AS height
+        FROM documents
+    )
+    SELECT id, width, height,
+           CAST(GREATEST(1, FLOOR(width * LEAST(1.0, 32.0 / GREATEST(width, height))))
+                AS INT) AS out_width,
+           CAST(GREATEST(1, FLOOR(height * LEAST(1.0, 32.0 / GREATEST(width, height))))
+                AS INT) AS out_height,
+           CAST(GREATEST(1, FLOOR(width * LEAST(1.0, 32.0 / GREATEST(width, height)))) *
+                GREATEST(1, FLOOR(height * LEAST(1.0, 32.0 / GREATEST(width, height))))
+                * 3 AS BIGINT) AS out_bytes
+    FROM dims
+    """,
+    doc="image-resize plumbing: aspect-preserving fit geometry + exact "
+    "output byte size (mapInPandas, deterministic stand-in)",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs, "text", "doc_id")
+    return resize_media(media, max_side=32, fake=True)
