@@ -486,3 +486,53 @@ def p10_prefix_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE: all grouping-set combinations over (status, priority) —
+# completes the grouping-sets family next to x_rollup.
+# --------------------------------------------------------------------------
+@register(
+    "x_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="cube: every grouping-set combination + subtotals + grand total",
+)
+def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentile sketch (rows-only: Spark's implementation is
+# a KLL-class mergeable quantile sketch, DuckDB's approx_quantile is a
+# different sketch — per-engine values legitimately differ; the
+# error-bound contract vs the exact percentile is asserted in
+# tests/test_operators.py).
+# --------------------------------------------------------------------------
+@register(
+    "x_approx_percentile",
+    None,
+    doc="approx_percentile quantile sketch per order priority "
+    "(mergeable sketch; rows-only, error-bounded vs exact in tests)",
+)
+def x_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 1000).alias("pct"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "o_orderpriority",
+        F.col("pct").getItem(0).alias("p50"),
+        F.col("pct").getItem(1).alias("p90"),
+        F.col("pct").getItem(2).alias("p99"),
+        "n",
+    )

@@ -261,3 +261,24 @@ def test_item_degree_cap_bounds_viral_item(spark):
     # Top-5 by playcount are users 36..40.
     kept_users = {u for r in got for u in (r.user_a, r.user_b)}
     assert kept_users == {36, 37, 38, 39, 40}
+
+
+def test_approx_percentile_error_bound(spark):
+    """percentile_approx(accuracy=1000) must land within the sketch's
+    documented rank-error bound (1/accuracy) of the exact percentile
+    on the sf0.001 orders table."""
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.catalog import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    vals = sorted(r.o_totalprice for r in orders.select("o_totalprice").collect())
+    n = len(vals)
+    approx = orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p")
+    ).collect()[0].p
+    # Rank of the approximate answer must be within n/1000 + 1 of n/2.
+    import bisect
+
+    rank = bisect.bisect_left(vals, approx)
+    assert abs(rank - n // 2) <= n / 1000 + 1, (rank, n)
