@@ -112,7 +112,7 @@ def load_table(
     carry per-column stats and batch-level filtering).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     path = table_path(base_dir, name)
     key = None
@@ -129,9 +129,18 @@ def load_table(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+        if col not in df.columns:
+            continue
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, LongType):
             # Integer `div` — float division loses precision at 1e18 ns.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(dtype, TimestampNTZType):
+            # Newer testdata stores native parquet timestamps with
+            # isAdjustedToUTC=false; normalize to TimestampType so both
+            # generations present one schema (wall clock preserved —
+            # rendering happens in the same session timezone).
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
 
     from listenbrainz_server_spark.schemas import validate
 
