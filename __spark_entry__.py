@@ -31,22 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["a1_pricing_summary"].fn(spark, SMOKE_SF_DIR)
 
 
-# Names whose plans are expensive at sweep time (iterative ALS, CC
-# label propagation, Arrow decode) — deprioritized so a time-budgeted
-# sweep verifies the many cheap queries first.
-_EXPENSIVE = {
-    "m_als_recommend",
-    "m_als_cv",
-    "m_user_cosine",
-    "d_dup_groups",
-    "d_minhash_lsh",
-    "mm_decode_features",
-    "x_chunked_pairs",
-    "v_lsh_topk",
-    "h_top_genres",
-    "i_incremental_lifecycle",
-    "i_affected_key_pruning",
-}
+# Round 3: the _EXPENSIVE demotion set is gone. It existed to let a
+# time-budgeted sweep verify many cheap queries first, but by round 2
+# it was starving exactly the never-verified tail (m_user_cosine,
+# v_lsh_topk, mm_decode_features, x_chunked_pairs). With <40 names
+# left unverified, never-verified-first ordering alone is correct.
 
 
 def _verified_in_prior_rounds() -> set[str]:
@@ -71,7 +60,7 @@ def _verified_in_prior_rounds() -> set[str]:
 def _sweep_order() -> list[str]:
     names = sorted(load_all())
     seen = _verified_in_prior_rounds()
-    key = lambda n: (n in seen, n in _EXPENSIVE, n)  # noqa: E731
+    key = lambda n: (n in seen, n)  # noqa: E731
     return sorted(names, key=key)
 
 

@@ -62,7 +62,14 @@ def registry_upsert(
     """S14 (listens/dump.py:188-208): read-modify-write upsert of a
     small Parquet registry — filter out rows matching new keys, union
     the new rows, swap atomically. (Delta MERGE is the table-format
-    equivalent; plain Parquet keeps zero extra dependencies.)"""
+    equivalent; plain Parquet keeps zero extra dependencies.)
+
+    Fully distributed: ``atomic_swap_write`` materializes the merged
+    dataset at a temp sibling path (so the job reads ``path`` while it
+    is still intact) and only then renames it into place — no
+    driver-side collect, so this is safe as the generic S14 primitive
+    even when the "registry" is a dimension cache of millions of rows
+    (``import.pg_metadata_tables`` routes through here)."""
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         keep = existing.join(
@@ -71,7 +78,5 @@ def registry_upsert(
         merged = keep.unionByName(new_rows)
     else:
         merged = new_rows
-    # Materialize before overwriting the file being read.
-    merged = spark.createDataFrame(merged.collect(), merged.schema)
     atomic_swap_write(merged, path)
     return spark.read.parquet(path)

