@@ -39,7 +39,9 @@ HEADLINE = (
     "d_dup_groups",
     "v_lsh_topk",
     "v_cosine_topk",
-    "m_user_cosine",
+    # r3: the serving default is the degree-capped plan; the uncapped
+    # form survives only as the m_user_cosine_uncapped oracle fixture.
+    "m_user_cosine_capped",
     "m_als_recommend",
     "t_token_stats",
     "x_salted_agg",
@@ -103,6 +105,13 @@ def main() -> None:
         )
     if errors:
         out["errors"] = errors
+    if run_all:
+        # Side artifact for round-over-round regression tracking of the
+        # full registry (VERDICT r2 #5) — the stdout line stays the
+        # driver's parse target.
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_full_latest.json"), "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out, separators=(",", ":")))
 
 

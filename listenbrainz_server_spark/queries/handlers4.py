@@ -28,11 +28,24 @@ from listenbrainz_server_spark.queries import register
 # top-N kept. The pair source is the DataFrame-native DIMSUM
 # formulation (queries/ml.py m_user_cosine).
 # --------------------------------------------------------------------------
+# Mirrors the DEGREE-CAPPED default of queries/ml.py user_cosine_pairs
+# (VERDICT r2 #3): norms over the full vector, candidate pairs from the
+# per-item top-20-by-playcount subset.
 _COSINE_PAIRS_SQL = """
     pc AS (
         SELECT o_custkey AS user_id, l_partkey AS item_id, COUNT(*) AS playcount
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT user_id, item_id, playcount FROM (
+            SELECT user_id, item_id, playcount,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY item_id
+                       ORDER BY playcount DESC, user_id
+                   ) AS idr
+            FROM pc
+        ) WHERE idr <= 20
     ),
     norms AS (
         SELECT user_id, sqrt(SUM(playcount * playcount * 1.0)) AS nrm FROM pc GROUP BY 1
@@ -40,7 +53,8 @@ _COSINE_PAIRS_SQL = """
     dots AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b,
                SUM(a.playcount * b.playcount * 1.0) AS dot
-        FROM pc a JOIN pc b ON a.item_id = b.item_id AND a.user_id < b.user_id
+        FROM capped a JOIN capped b
+          ON a.item_id = b.item_id AND a.user_id < b.user_id
         GROUP BY 1, 2
     ),
     pairs AS (

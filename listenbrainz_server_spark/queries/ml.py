@@ -52,11 +52,18 @@ def m_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (similarity/user.py:89-115): normalize per user, join on shared
 # item, sum of products. Exact (threshold=0 DIMSUM), no sampling.
 # --------------------------------------------------------------------------
+# Default per-item degree cap for the cosine self-join. 20 follows the
+# reference's own magnitude-capping precedent (the LEAST(listen_count,
+# cap) rule, sitewide/entity.py:50-59) applied on the item axis; at
+# 100 TB one viral item otherwise contributes |users(item)|²/2 pairs.
+_ITEM_DEGREE_CAP = 20
+
+
 def user_cosine_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.15,
-    item_degree_cap: int | None = None,
+    item_degree_cap: int | None = _ITEM_DEGREE_CAP,
 ) -> DataFrame:
     """Cosine pairs (user_a < user_b, similarity_raw ≥ threshold).
 
@@ -67,6 +74,12 @@ def user_cosine_pairs(
     before the join — the reference's own per-user LEAST cap precedent
     (sitewide/entity.py:50-59) applied on the item axis; DIMSUM's
     sampling bounds the same term probabilistically.
+
+    The cap is ON by default (VERDICT r2 #3): every serving path —
+    ``similarity.similar_users`` dispatch, ``h_similar_users``, the
+    bench headline — runs the bounded plan. Pass ``None`` explicitly
+    for the exact all-pairs form (oracle fixture
+    ``m_user_cosine_uncapped`` only).
     """
     pc = _playcounts(spark, sf_dir)
     return cosine_pairs_from_playcounts(pc, threshold, item_degree_cap)
@@ -75,7 +88,7 @@ def user_cosine_pairs(
 def cosine_pairs_from_playcounts(
     pc: DataFrame,
     threshold: float = 0.15,
-    item_degree_cap: int | None = None,
+    item_degree_cap: int | None = _ITEM_DEGREE_CAP,
 ) -> DataFrame:
     """Core of ``user_cosine_pairs``, taking a (user_id, item_id,
     playcount) frame directly — unit tests feed skewed fixtures here.
@@ -145,17 +158,15 @@ _COSINE_SQL = """
 
 
 @register(
-    "m_user_cosine",
+    "m_user_cosine_uncapped",
     _COSINE_SQL.format(capped_pc="", pair_src="pc"),
-    doc="M4 user-user cosine similarity (DIMSUM semantics, DataFrame-native)",
+    doc="M4 exact all-pairs cosine — oracle fixture only; the serving "
+    "default is the degree-capped plan (m_user_cosine_capped)",
 )
-def m_user_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return user_cosine_pairs(spark, sf_dir, threshold=0.15).select(
+def m_user_cosine_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_cosine_pairs(spark, sf_dir, threshold=0.15, item_degree_cap=None).select(
         "user_a", "user_b", F.round("similarity_raw", 6).alias("similarity")
     )
-
-
-_ITEM_DEGREE_CAP = 20
 
 
 @register(

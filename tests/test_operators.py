@@ -253,7 +253,7 @@ def test_item_degree_cap_bounds_viral_item(spark):
     rows = [(u, 99, u) for u in range(1, 41)]
     pc = spark.createDataFrame(rows, "user_id long, item_id long, playcount long")
 
-    uncapped = cosine_pairs_from_playcounts(pc, threshold=0.0)
+    uncapped = cosine_pairs_from_playcounts(pc, threshold=0.0, item_degree_cap=None)
     capped = cosine_pairs_from_playcounts(pc, threshold=0.0, item_degree_cap=5)
     assert uncapped.count() == 780
     got = capped.collect()
@@ -261,6 +261,9 @@ def test_item_degree_cap_bounds_viral_item(spark):
     # Top-5 by playcount are users 36..40.
     kept_users = {u for r in got for u in (r.user_a, r.user_b)}
     assert kept_users == {36, 37, 38, 39, 40}
+    # The DEFAULT path (no argument) is the capped plan (VERDICT r2 #3):
+    # 40 users on one viral item yield C(20,2)=190 pairs, never C(40,2).
+    assert cosine_pairs_from_playcounts(pc, threshold=0.0).count() == 190
 
 
 def test_approx_percentile_error_bound(spark):
