@@ -112,7 +112,7 @@ def load_table(
     carry per-column stats and batch-level filtering).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     path = table_path(base_dir, name)
     key = None
@@ -127,6 +127,13 @@ def load_table(
         # Runtime-settable; required even on externally-built sessions
         # (the driver harness constructs its own SparkSession).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→TIMESTAMP cast below interprets the wall clock in the
+        # session timezone; the long-nanos path is epoch-based. On a
+        # non-UTC external session the two generations would diverge
+        # (and drift from the UTC DuckDB oracle), so pin UTC here too —
+        # get_session already does, but load_table supports sessions it
+        # didn't build.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, ()):
         if col not in df.columns:
@@ -139,8 +146,11 @@ def load_table(
             # Newer testdata stores native parquet timestamps with
             # isAdjustedToUTC=false; normalize to TimestampType so both
             # generations present one schema (wall clock preserved —
-            # rendering happens in the same session timezone).
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+            # rendering happens in the same session timezone). Cast via
+            # the explicit type object: the "timestamp" DDL keyword
+            # resolves to TIMESTAMP_NTZ (a no-op cast) when a session
+            # sets spark.sql.timestampType=TIMESTAMP_NTZ.
+            df = df.withColumn(col, F.col(col).cast(TimestampType()))
 
     from listenbrainz_server_spark.schemas import validate
 

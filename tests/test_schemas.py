@@ -34,3 +34,32 @@ def test_type_change_raises(spark):
     )
     with pytest.raises(ValueError, match="changed"):
         validate("region", df)
+
+
+def test_events_ts_stable_under_hostile_session_confs(spark):
+    """ADVICE r2: an externally-built session may run a non-UTC
+    timezone (skews the NTZ→TIMESTAMP cast off epoch) or set
+    spark.sql.timestampType=TIMESTAMP_NTZ (makes a DDL-keyword
+    "timestamp" cast a no-op → schema drift). load_table must yield
+    the same epoch instants and TimestampType either way."""
+    from listenbrainz_server_spark.catalog import load_table
+
+    baseline = (
+        load_table(spark, SF, "events", use_cache=False)
+        .selectExpr("min(unix_micros(ts)) AS lo", "max(unix_micros(ts)) AS hi")
+        .collect()[0]
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_tt = spark.conf.get("spark.sql.timestampType")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        hostile = (
+            load_table(spark, SF, "events", use_cache=False)
+            .selectExpr("min(unix_micros(ts)) AS lo", "max(unix_micros(ts)) AS hi")
+            .collect()[0]
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.timestampType", prev_tt)
+    assert (hostile.lo, hostile.hi) == (baseline.lo, baseline.hi)
