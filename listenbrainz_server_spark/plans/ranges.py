@@ -63,6 +63,13 @@ def resolve_range(anchor: datetime, range_name: str) -> tuple[datetime, datetime
             else end.replace(month=start_month)
         )
         return (start, end)
+    if range_name == "half_yearly":
+        # Previous complete half-year (stats/__init__.py:118-127):
+        # Jan-Jun anchor → last year's Jul-Dec; Jul-Dec anchor → Jan-Jun.
+        yf = year_floor(anchor)
+        end = yf if anchor.month <= 6 else yf.replace(month=7)
+        start = end.replace(year=end.year - 1, month=7) if end.month == 1 else yf
+        return (start, end)
     if range_name == "year":
         end = year_floor(anchor)
         return (end.replace(year=end.year - 1), end)

@@ -210,3 +210,128 @@ def api_user_entity_all_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def api_user_entity_this_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch("stats.user.entity", spark, sf_dir, stats_range="this_month", k=3)
+
+
+# --------------------------------------------------------------------------
+# stats.user.entity at range=this_year: running year (full corpus on
+# the single-month fixture — the substantive yearly check).
+# --------------------------------------------------------------------------
+@register(
+    "api_user_entity_this_year",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
+    ranged AS (
+        SELECT e.* FROM events e, a
+        WHERE e.ts >= date_trunc('year', a.anchor)
+          AND e.ts < a.anchor + INTERVAL 1 SECOND
+    ),
+    counts AS (
+        SELECT user_id, event_type, COUNT(*) AS listen_count
+        FROM ranged GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, event_type, listen_count,
+               CAST(SUM(listen_count) OVER (PARTITION BY user_id) AS BIGINT) AS total_count,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS entity_count
+        FROM counts
+    )
+    SELECT * FROM (
+        SELECT user_id, event_type, listen_count, total_count, entity_count,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY listen_count DESC, event_type) AS BIGINT) AS rank
+        FROM tot
+    ) WHERE rank <= 3
+    """,
+    doc="stats.user.entity dispatched with stats_range=this_year (running), k=3",
+)
+def api_user_entity_this_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("stats.user.entity", spark, sf_dir, stats_range="this_year", k=3)
+
+
+# --------------------------------------------------------------------------
+# stats.user.entity at range=quarter: the previous COMPLETE quarter
+# (stats/__init__.py:130-145). On the single-month fixture this range
+# is [2023-10-01, 2024-01-01) — empty, which is exactly the
+# discriminating check: a broken "rolling 3 months" implementation
+# would return rows and fail against the empty oracle.
+# --------------------------------------------------------------------------
+@register(
+    "api_user_entity_quarter",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
+    ranged AS (
+        SELECT e.* FROM events e, a
+        WHERE e.ts >= date_trunc('quarter', a.anchor) - INTERVAL 3 MONTH
+          AND e.ts < date_trunc('quarter', a.anchor)
+    ),
+    counts AS (
+        SELECT user_id, event_type, COUNT(*) AS listen_count
+        FROM ranged GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, event_type, listen_count,
+               CAST(SUM(listen_count) OVER (PARTITION BY user_id) AS BIGINT) AS total_count,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS entity_count
+        FROM counts
+    )
+    SELECT * FROM (
+        SELECT user_id, event_type, listen_count, total_count, entity_count,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY listen_count DESC, event_type) AS BIGINT) AS rank
+        FROM tot
+    ) WHERE rank <= 3
+    """,
+    doc="stats.user.entity dispatched with stats_range=quarter (previous "
+    "complete quarter; empty on the single-month fixture by design)",
+)
+def api_user_entity_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("stats.user.entity", spark, sf_dir, stats_range="quarter", k=3)
+
+
+# --------------------------------------------------------------------------
+# stats.user.entity at range=half_yearly: the previous COMPLETE
+# half-year (stats/__init__.py:118-127) — [2023-07-01, 2024-01-01) on
+# the fixture; empty by design, same discriminating role as quarter.
+# --------------------------------------------------------------------------
+@register(
+    "api_user_entity_half_yearly",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
+    b AS (
+        SELECT CASE WHEN EXTRACT(month FROM anchor) <= 6
+                    THEN date_trunc('year', anchor)
+                    ELSE date_trunc('year', anchor) + INTERVAL 6 MONTH
+               END AS hend
+        FROM a
+    ),
+    ranged AS (
+        SELECT e.* FROM events e, b
+        WHERE e.ts >= b.hend - INTERVAL 6 MONTH AND e.ts < b.hend
+    ),
+    counts AS (
+        SELECT user_id, event_type, COUNT(*) AS listen_count
+        FROM ranged GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, event_type, listen_count,
+               CAST(SUM(listen_count) OVER (PARTITION BY user_id) AS BIGINT) AS total_count,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS entity_count
+        FROM counts
+    )
+    SELECT * FROM (
+        SELECT user_id, event_type, listen_count, total_count, entity_count,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY listen_count DESC, event_type) AS BIGINT) AS rank
+        FROM tot
+    ) WHERE rank <= 3
+    """,
+    doc="stats.user.entity dispatched with stats_range=half_yearly "
+    "(previous complete half-year; empty on the fixture by design)",
+)
+def api_user_entity_half_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch(
+        "stats.user.entity", spark, sf_dir, stats_range="half_yearly", k=3
+    )

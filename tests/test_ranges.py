@@ -49,3 +49,12 @@ def test_anchored_not_wall_clock():
     old_anchor = datetime(2019, 6, 15)
     frm, to = resolve_range(old_anchor, "month")
     assert (frm, to) == (datetime(2019, 5, 1), datetime(2019, 6, 1))
+
+
+def test_half_yearly_boundaries():
+    """stats/__init__.py:118-127: Jan-Jun anchor -> last year's Jul-Dec;
+    Jul-Dec anchor -> this year's Jan-Jun."""
+    frm, to = resolve_range(ANCHOR, "half_yearly")  # March anchor
+    assert (frm, to) == (datetime(2023, 7, 1), datetime(2024, 1, 1))
+    frm2, to2 = resolve_range(datetime(2024, 9, 2), "half_yearly")
+    assert (frm2, to2) == (datetime(2024, 1, 1), datetime(2024, 7, 1))
