@@ -56,6 +56,17 @@ def combine_aggregates(
 ) -> DataFrame:
     """UNION ALL + re-GROUP BY + SUM — the incremental-stats combine
     (stats/incremental/user/artist.py:50-73). Inputs must share schema.
+
+    Count-distinct semantics (SURVEY §7.4.3): when a ``sum_cols`` entry
+    is itself a per-partial distinct count (e.g. ``total_user_count``),
+    summing partials DOUBLE-COUNTS members spanning both sides. This is
+    the reference's deliberate choice — popularity/listens.py:56-75
+    sums total_user_count across existing+incremental aggregates rather
+    than re-deduplicating (which would require keeping the raw member
+    sets per group). We pin the same semantics
+    (tests/test_incremental.py::test_combine_double_counts_spanning_users);
+    exact recount requires re-aggregating from facts, HLL sketch merge
+    (approx_count_distinct) is the bounded-state middle ground.
     """
     unioned = existing.unionByName(delta)
     aggs = [F.sum(c).alias(c) for c in sum_cols]

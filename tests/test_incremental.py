@@ -107,3 +107,42 @@ def test_bookkeeping_file_shape(spark, stat, tmp_path):
         "to_date": "2024-02-01",
         "created": "2024-01-10",
     }
+
+
+def test_combine_double_counts_spanning_users(spark):
+    """Parity pin vs the reference's combine (popularity/listens.py:56-75):
+    total_user_count is a per-partial COUNT(DISTINCT user) and the
+    combine SUMS partials, so a user listening to the same entity in
+    both the existing and incremental window is counted twice — the
+    reference's deliberate approximation, not a bug. This test fails
+    if combine_aggregates ever silently switches to exact re-dedup."""
+    from listenbrainz_server_spark.operators.aggregates import (
+        combine_aggregates,
+        distinct_count,
+        group_count,
+    )
+
+    existing_facts = spark.createDataFrame(
+        [("e1", "u1"), ("e1", "u1"), ("e1", "u2")], "entity string, user string"
+    )
+    delta_facts = spark.createDataFrame(
+        [("e1", "u1"), ("e1", "u3")], "entity string, user string"
+    )
+
+    def partial(facts):
+        lc = group_count(facts, ["entity"], "total_listen_count")
+        uc = distinct_count(facts, ["entity"], "user", "total_user_count")
+        return lc.join(uc, "entity")
+
+    combined = combine_aggregates(
+        partial(existing_facts),
+        partial(delta_facts),
+        keys=["entity"],
+        sum_cols=["total_listen_count", "total_user_count"],
+    ).collect()
+    assert len(combined) == 1
+    row = combined[0]
+    assert row.total_listen_count == 5
+    # u1 spans both partials: exact distinct would be 3; the reference
+    # (and we) report 2 + 2 = 4.
+    assert row.total_user_count == 4
