@@ -464,3 +464,102 @@ def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_hash_sample(
         docs, "doc_id", "n_chars", rate_per_unit=0.001, max_weight=1000.0
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-unigram language-model scoring: every document's average token
+# log10-probability under the corpus's own unigram distribution — the
+# cheap KenLM-style quality signal training pipelines gate on (docs far
+# below corpus-typical logprob are boilerplate/gibberish candidates).
+#
+# Execution shape: one explode + one groupBy builds the unigram table
+# (vocab-sized, ≪ corpus); the grand total rides a 1-row broadcast
+# cross join (the J15 pattern); tokens join the unigram table on the
+# token key — at 100 TB the vocab (after a min-frequency cut) is
+# broadcastable, so the only big shuffle is the per-doc re-aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "t_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    uni AS (SELECT tok, COUNT(*) AS cnt FROM toks2 GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM uni)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LOG10(cnt * 1.0 / total)), 6) AS avg_logprob
+    FROM toks2 JOIN uni USING (tok), tot
+    GROUP BY doc_id
+    """,
+    doc="corpus-unigram LM: per-doc average token log10-probability "
+    "(KenLM-style quality gate, self-trained on the corpus)",
+)
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(uni, "tok")
+        .join(F.broadcast(total))
+        .withColumn("lp", F.log10(F.col("cnt") * F.lit(1.0) / F.col("total")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain-mix sampling weights: per-source token shares and the
+# per-document sampling weight that reweights the corpus toward a
+# UNIFORM source mix (weight ∝ target_share / actual_share) — the
+# training-data mixing step (e.g. The Pile / Dolma domain weighting).
+# Pure aggregates + a 1-row broadcast; nothing scales with corpus size
+# except the first groupBy.
+# --------------------------------------------------------------------------
+@register(
+    "t_domain_mix",
+    """
+    WITH per AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_sources FROM per)
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / total, 6) AS token_share,
+           ROUND((1.0 / n_sources) / (n_tokens * 1.0 / total), 6) AS uniform_weight
+    FROM per, tot
+    """,
+    doc="per-source token shares + sampling weights for a uniform "
+    "domain mix (training-data mixing step)",
+)
+def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = F.size(F.split(F.col("text"), " "))
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    share = F.col("n_tokens") * F.lit(1.0) / F.col("total")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias(
+                "uniform_weight"
+            ),
+        )
+    )

@@ -24,8 +24,10 @@ ALLOWED = {
     "operators/similarity.py": {
         # PQ codebook fit: capped at 4096 sample rows (documented).
         ".collect()",
-        # brute-force exact tier: per-block pull bounded by block_rows.
-        "part.toPandas()",
+        # brute-force exact tier (_iter_ref_blocks): the single-block
+        # fast path (n ≤ block_rows) and the per-block partition read —
+        # both pulls bounded by block_rows, never corpus size.
+        ".toPandas()",
     },
 }
 
