@@ -431,9 +431,19 @@ def ivf_topk(
     vs sign-LSH buckets: centroids adapt to the data distribution, so
     bucket sizes stay balanced where hyperplanes would shear dense
     regions. Seeded + deterministic; scores are exact cosine.
+
+    The SEARCH step scores candidates with a cogrouped Arrow/numpy
+    matmul per bucket (probes × members), not per-pair column
+    expressions: interpreted higher-order-function dot products cost
+    ~µs per pair, and candidate count is n·(n/buckets)·n_probe — at
+    sf0.1 that's 6M pairs, 30+ s interpreted vs ~1 s vectorized. Each
+    bucket emits only its local top-k per query (the global top-k is a
+    subset of the union of per-bucket top-ks); one final window merges.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     feats = vectors.select(
@@ -467,16 +477,38 @@ def ivf_topk(
         .select("qid", "qv", "bucket")
     )
 
-    score = F.round(
-        dot(F.col("qv"), F.col("nv")) / (norm(F.col("qv")) * norm(F.col("nv"))),
-        round_dp,
+    def score_bucket(probe_pdf: "pd.DataFrame", member_pdf: "pd.DataFrame"):
+        empty = pd.DataFrame({"qid": [], "nid": [], "score": []}).astype(
+            {"qid": "int64", "nid": "int64", "score": "float64"}
+        )
+        if len(probe_pdf) == 0 or len(member_pdf) == 0:
+            return empty
+        qids = probe_pdf["qid"].to_numpy()
+        nids = member_pdf["nid"].to_numpy()
+        q = np.vstack(probe_pdf["qv"].to_numpy()).astype("float64")
+        m = np.vstack(member_pdf["nv"].to_numpy()).astype("float64")
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        scores = np.round(q @ m.T, round_dp)
+        scores[qids[:, None] == nids[None, :]] = -np.inf  # exclude self
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qids)):
+            row = scores[i]
+            order = np.lexsort((nids, -row))[: min(k, len(nids))]
+            order = order[row[order] > -np.inf]
+            out_q.extend([qids[i]] * len(order))
+            out_n.extend(nids[order])
+            out_s.extend(row[order])
+        return pd.DataFrame({"qid": out_q, "nid": out_n, "score": out_s})
+
+    scored = (
+        probes.groupby("bucket")
+        .cogroup(members.groupby("bucket"))
+        .applyInPandas(score_bucket, schema="qid bigint, nid bigint, score double")
     )
     w_rank = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
     return (
-        probes.join(members, "bucket")
-        .where(F.col("qid") != F.col("nid"))
-        .withColumn("score", score)
-        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("qid", "nid", "score", "rank")
     )
