@@ -563,3 +563,62 @@ def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Top-k frequent bigrams per source: corpus statistics for quality
+# inspection / boilerplate discovery (the "most common n-grams"
+# report every corpus-cleaning pipeline starts from). Bigrams are
+# built with a pure array expression (no shuffle until the count),
+# counted per (source, bigram), and ranked per source — the W1 top-k
+# pattern over exploded text.
+# --------------------------------------------------------------------------
+@register(
+    "t_top_ngrams",
+    """
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+    ),
+    counts AS (
+        SELECT source, bigram, COUNT(*) AS n
+        FROM grams WHERE bigram IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT source, bigram, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n DESC, bigram) AS BIGINT) AS rank
+        FROM counts
+    ) WHERE rank <= 5
+    """,
+    doc="top-5 frequent bigrams per source (corpus-statistics / "
+    "boilerplate-discovery report)",
+)
+def t_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.topk import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                    " (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))"
+                )
+            ).alias("bigram"),
+        )
+        .where(F.col("bigram").isNotNull())
+    )
+    counts = grams.groupBy("source", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    return top_k_per_group(
+        counts,
+        partition_by=["source"],
+        order_by=[F.col("n").desc(), F.col("bigram")],
+        k=5,
+        rank_col="rank",
+    ).select("source", "bigram", "n", F.col("rank").cast("bigint").alias("rank"))
