@@ -202,3 +202,48 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_value", 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (attribution shape): each click pairs
+# with the same user's purchases within the following hour. Batch mode
+# is oracle-checked here; stream-mode ≡ batch-mode with bounded state
+# is proven in tests/test_streaming.py::test_interval_join_stream_equals_batch.
+# --------------------------------------------------------------------------
+@register(
+    "st_interval_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="stream-stream interval join: click -> purchase attribution "
+    "within 1 hour (watermark-bounded state in stream mode)",
+)
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.streaming.jobs import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    out = interval_join(
+        clicks, purchases, key=("user_id", "p_user_id"),
+        left_ts="c_ts", right_ts="p_ts", upper="1 hour",
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("delay_sec"),
+    )

@@ -166,3 +166,42 @@ def foreach_batch_upsert(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval equi join: pair each left event with the
+    right events of the same ``key`` arriving in ``[left_ts, left_ts +
+    upper]`` — the attribution-join shape (click → purchase within the
+    window).
+
+    In stream mode BOTH sides carry watermarks and the join condition
+    bounds event-time distance, so Spark's state store evicts a
+    buffered row as soon as the other side's watermark passes its
+    interval — state is bounded by ``watermark + upper`` of traffic,
+    never the stream history. In batch mode the same plan is a plain
+    range-predicate join (AQE free to pick the strategy).
+
+    The reference has no stream-stream joins (its request-queue model
+    recomputes batch joins); this is the Structured Streaming native
+    equivalent of its "combine events from two incremental feeds"
+    pattern (SURVEY.md §2.9).
+    """
+    lkey, rkey = (key, key) if isinstance(key, str) else key
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[lkey] == right[rkey])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond)

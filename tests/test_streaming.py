@@ -123,3 +123,52 @@ def test_foreach_batch_upsert_equals_batch(spark, event_dir, tmp_path):
         for r in ev.groupBy("user_id").agg(F.sum("n").alias("n")).collect()
     }
     assert got == want
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (both sides watermarked, state
+    evicted past watermark+interval) must equal the batch range join
+    on the same inputs."""
+    from pyspark.sql import functions as F
+
+    import listenbrainz_server_spark.streaming.jobs as jobs
+    from listenbrainz_server_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    args = dict(
+        key=("user_id", "p_user_id"), left_ts="c_ts", right_ts="p_ts", upper="4 hours"
+    )
+    want = sorted(
+        (r.click_id, r.purchase_id)
+        for r in jobs.interval_join(clicks, purchases, **args).collect()
+    )
+    assert want, "fixture produced no joined pairs"
+
+    c_dir, p_dir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.write.parquet(c_dir)
+    purchases.write.parquet(p_dir)
+    got_df = jobs.interval_join(
+        jobs.read_parquet_stream(spark, c_dir, clicks.schema),
+        jobs.read_parquet_stream(spark, p_dir, purchases.schema),
+        **args,
+    )
+    q = (
+        got_df.writeStream.format("memory")
+        .queryName("ij_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.click_id, r.purchase_id) for r in spark.table("ij_sink").collect()
+    )
+    assert got == want
