@@ -205,3 +205,15 @@ def interval_join(
         & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return left.join(right, cond)
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch
+    against a STATIC dimension table. Stateless in stream mode (no
+    watermark, no state store — Spark re-plans the static side per
+    micro-batch, picking up in-place refreshes of the dim snapshot);
+    the broadcast hint keeps the stream side shuffle-free, exactly the
+    J1 fact×dim discipline applied to the streaming path."""
+    return stream.join(F.broadcast(dim), on, how)

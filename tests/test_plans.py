@@ -80,3 +80,21 @@ def test_windowed_session_reuses_single_exchange(spark, registry):
     # All three window steps share (user) partitioning — one shuffle.
     plan = plan_of(spark, registry, "w6_sessionize")
     assert tree_of(plan).count("Exchange") == 1
+
+
+def test_unigram_and_domain_mix_broadcast_totals(spark, registry):
+    """The 1-row totals in t_unigram_logprob / t_domain_mix must ride a
+    broadcast exchange (the J15 grand-total pattern) — a shuffled join
+    against a 1-row side would add a full extra exchange of the big
+    side at 100 TB."""
+    for name in ("t_unigram_logprob", "t_domain_mix"):
+        tree = tree_of(plan_of(spark, registry, name))
+        assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree, name
+
+
+def test_interval_join_is_range_predicate_join(spark, registry):
+    """st_interval_join in batch mode: equi key + event-time range — no
+    cartesian product may appear (the key must be a join key, not a
+    post-filter)."""
+    tree = tree_of(plan_of(spark, registry, "st_interval_join"))
+    assert "CartesianProduct" not in tree

@@ -172,3 +172,40 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
         (r.click_id, r.purchase_id) for r in spark.table("ij_sink").collect()
     )
     assert got == want
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    """Stream-static dim join ≡ batch dim join (stateless; broadcast
+    keeps the stream side shuffle-free)."""
+    from pyspark.sql import functions as F
+
+    import listenbrainz_server_spark.streaming.jobs as jobs
+    from listenbrainz_server_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.5)],
+        "event_type string, weight double",
+    )
+    want = sorted(
+        (r.event_id, r.weight)
+        for r in jobs.stream_static_enrich(ev, dim, "event_type").collect()
+    )
+
+    ev_dir = str(tmp_path / "ev")
+    ev.write.parquet(ev_dir)
+    out = jobs.stream_static_enrich(
+        jobs.read_parquet_stream(spark, ev_dir, ev.schema), dim, "event_type"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sse_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.event_id, r.weight) for r in spark.table("sse_sink").collect())
+    assert got == want
