@@ -536,3 +536,33 @@ def x_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pct").getItem(2).alias("p99"),
         "n",
     )
+
+
+# --------------------------------------------------------------------------
+# Arbitrary GROUPING SETS: per-status and per-priority subtotals
+# WITHOUT the combined or grand-total sets — the member of the
+# grouping-sets family cube/rollup can't express (each computes a
+# superset). One scan, one expand — same execution shape as x_cube.
+# --------------------------------------------------------------------------
+@register(
+    "x_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="grouping sets: per-status + per-priority subtotals only "
+    "(the non-cube/rollup member of the family)",
+)
+def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
