@@ -181,17 +181,35 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-group assignment: connected components over candidate
-    pairs via iterative min-label propagation. Returns (id, group_id)
-    with group_id = the component's minimum id — the canonical
-    representative a dedup pipeline keeps.
+    pairs via min-label propagation **with path halving** (pointer
+    jumping). Returns (id, group_id) with group_id = the component's
+    minimum id — the canonical representative a dedup pipeline keeps.
 
-    Converges in O(component diameter) rounds; near-dup components are
-    shallow (stars/cliques around a template), so ``max_iter`` is a
-    safety bound, not the expected cost. Each round is one join + one
-    aggregate — all shuffles are on the id key. (GraphFrames does the
-    same thing; this keeps the engine dependency-free.)
+    Each round does two monotone label updates:
+
+    1. *neighbor min*: l(v) ← min(l(v), min over neighbors u of l(u))
+       — the classic propagation step, one edge join + one aggregate;
+    2. *path halving*: l(v) ← min(l(v), l(l(v))) — a self-join of the
+       label table on ``group_id = node`` that shortcuts label chains,
+       doubling the effective propagation distance per round.
+
+    Step 2 caps convergence at **O(log n) rounds** instead of
+    O(component diameter): a length-d label chain halves every round,
+    so even a pathological dup-chain component (the 100 TB scale risk
+    — each round is a full-edge shuffle) finishes in ~log2(d) rounds.
+    Both updates only ever *decrease* labels, and every label is some
+    component member's id, so the fixpoint is exactly the component
+    minimum (at a fixpoint, any edge (u,v) forces l(v) ≤ l(u) and
+    symmetrically, hence equal labels per component). All shuffles
+    remain keyed (edge join on src/dst, jump join on group_id).
+    ``max_iter`` is a safety bound, not the expected cost.
+
+    When ``stats`` is passed, ``stats["rounds"]`` records the number
+    of executed rounds (including the final no-change confirmation
+    round) — used by the chain-fixture bound test.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -209,13 +227,15 @@ def connected_components(
     # singleton majority short-circuits to group_id = id at the end.
     paired_nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = paired_nodes.withColumn("group_id", F.col("node"))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
             .agg(F.min("group_id").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
                 "node",
@@ -230,7 +250,27 @@ def connected_components(
                 ),
             )
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        # Path halving: l(v) ← min(l(v), l(l(v))). Every group_id is a
+        # node id (labels start as ids and only take mins of ids), so
+        # the parent lookup always resolves; left join is belt-and-
+        # braces for the self-parent case.
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("group_id").alias("p_gid")
+        )
+        jumped = (
+            stepped.join(parent, stepped.group_id == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("p_gid"), F.col("group_id"))
+                ).alias("group_id"),
+                (
+                    F.col("_chg")
+                    | F.coalesce(F.col("p_gid") < F.col("group_id"), F.lit(False))
+                ).alias("_chg"),
+            )
+        )
+        labels = jumped.localCheckpoint(eager=True)  # cut lineage per round
         changed = labels.agg(F.max("_chg")).first()[0]  # scan of pinned rows only
         labels = labels.drop("_chg")
         if not changed:
@@ -245,6 +285,8 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     singletons = (
         nodes.select(F.col(id_col).alias("node"))
         .join(paired_nodes, "node", "left_anti")

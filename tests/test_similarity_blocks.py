@@ -59,6 +59,24 @@ def test_shingle_df_cap_drops_hot_shingle(spark):
     assert shingle_index(docs, "doc_id", "body", n=3, max_shingle_df=0).count() == 0
 
 
+def test_connected_components_chain_rounds_logarithmic(spark):
+    """Path-halving bound: a 64-node chain (diameter 63) must converge
+    in ≤ ceil(log2(64)) + 2 = 8 rounds, not O(diameter). This is the
+    100 TB contract — a pathological dup-chain component costs log(d)
+    full-edge shuffles, not d of them."""
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = connected_components(nodes, pairs, max_iter=12, stats=stats)
+    assert {r.group_id for r in out.collect()} == {0}
+    import math
+
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 2, stats
+
+
 def test_connected_components_warns_when_not_converged(spark):
     # A 6-node path graph has diameter 5; max_iter=1 cannot converge.
     nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
