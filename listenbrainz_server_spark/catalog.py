@@ -110,6 +110,15 @@ def load_table(
     automatically (verify with .explain: PushedFilters/ReadSchema).
     Pruning still applies through an InMemoryRelation (cached batches
     carry per-column stats and batch-level filtering).
+
+    SIDE EFFECT (nano-timestamp tables only): loading a table listed in
+    ``_NANO_TS_COLS`` sets ``spark.sql.legacy.parquet.nanosAsLong=true``
+    and pins ``spark.sql.session.timeZone`` to UTC **for the whole
+    session** — required so the long-nanos and native-timestamp data
+    generations agree with each other and with the UTC DuckDB oracle.
+    An embedding application that had set a non-UTC session timezone
+    will see its unrelated timestamp rendering change; a RuntimeWarning
+    is emitted when that override actually flips a non-UTC setting.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
@@ -132,7 +141,19 @@ def load_table(
         # non-UTC external session the two generations would diverge
         # (and drift from the UTC DuckDB oracle), so pin UTC here too —
         # get_session already does, but load_table supports sessions it
-        # didn't build.
+        # didn't build. Warn when this actually changes a host
+        # application's non-UTC setting (see docstring SIDE EFFECT).
+        prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+        if prev_tz not in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            import warnings
+
+            warnings.warn(
+                f"load_table({name!r}): overriding session timezone "
+                f"{prev_tz!r} with UTC for nano-timestamp parity; this "
+                "affects timestamp rendering session-wide.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, ()):

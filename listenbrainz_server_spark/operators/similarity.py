@@ -59,6 +59,37 @@ def cosine(a: Column, b: Column) -> Column:
 DEFAULT_BLOCK_ROWS = 100_000
 
 
+def _scratch_root(spark) -> str:
+    """Resolve the staging location for multi-stage operators.
+
+    Order: Spark conf ``spark.lbs.scratchDir`` → env ``LBS_SCRATCH_DIR``
+    → a driver-local tempdir. The first two accept any Hadoop-compatible
+    URI (hdfs://, s3a://, shared NFS mount) and one of them is REQUIRED
+    on a multi-node cluster: executors write the staged data, so the
+    path must be visible to every node. The tempdir fallback is correct
+    only where driver and executors share a filesystem (local mode /
+    single-node), which is the test harness's situation.
+    """
+    import tempfile
+
+    configured = spark.conf.get("spark.lbs.scratchDir", None)
+    if not configured:
+        import os
+
+        configured = os.environ.get("LBS_SCRATCH_DIR")
+    return configured or tempfile.mkdtemp(prefix="lbs_scratch_")
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works for
+    any scheme the cluster can reach (hdfs://, s3a://, file:/), unlike
+    driver-side shutil which only sees the driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
 def _iter_ref_blocks(
     vectors: DataFrame, id_col: str, vec_col: str, block_rows: int
 ):
@@ -75,13 +106,18 @@ def _iter_ref_blocks(
     Read amplification (VERDICT r2 #6): the corpus is scanned ONCE —
     a single hash-partitioned write materializes every block as its own
     partition directory; each loop iteration then reads only its block's
-    files (path-level pruning, no refilter of the full corpus). Total
-    I/O is one scan + one write + one read, independent of n_blocks —
-    the r2 shape re-ran the full filtered scan per block.
+    files (partition pruning on the ``blk`` filter, no refilter of the
+    full corpus). Total I/O is one scan + one write + one read,
+    independent of n_blocks.
+
+    Staging location (ADVICE r3): blocks land under ``_scratch_root`` —
+    configure ``spark.lbs.scratchDir`` (or ``LBS_SCRATCH_DIR``) to a
+    shared filesystem on a multi-node cluster; the driver never probes
+    the path with local-FS calls (reads go through Spark with partition
+    pruning, cleanup through the Hadoop FS API), so any URI scheme the
+    executors can reach works.
     """
-    import os
-    import shutil
-    import tempfile
+    import uuid
 
     import numpy as np
 
@@ -103,8 +139,9 @@ def _iter_ref_blocks(
 
     # NOTE: partition column must not start with "_" — underscore-
     # prefixed paths are hidden from Hadoop file listings.
-    tmp = tempfile.mkdtemp(prefix="bf_ref_blocks_")
-    blocks_path = os.path.join(tmp, "blocks")
+    blocks_path = _scratch_root(spark).rstrip("/") + (
+        f"/bf_ref_blocks_{uuid.uuid4().hex}"
+    )
     try:
         (
             vectors.select(id_col, vec_col)
@@ -112,16 +149,21 @@ def _iter_ref_blocks(
             .write.partitionBy("blk")
             .parquet(blocks_path)
         )
+        staged = spark.read.parquet(blocks_path)
         for blk in range(n_blocks):
-            part_path = os.path.join(blocks_path, f"blk={blk}")
-            if not os.path.exists(part_path):
-                continue
-            pdf = spark.read.parquet(part_path).select(id_col, vec_col).toPandas()
+            # Filter on the partition column → Spark prunes to the one
+            # block directory; an empty result (no ids hashed to blk)
+            # simply yields nothing — no filesystem existence probe.
+            pdf = (
+                staged.where(F.col("blk") == blk)
+                .select(id_col, vec_col)
+                .toPandas()
+            )
             if len(pdf) == 0:
                 continue
             yield _to_broadcast(sc, pdf)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _hadoop_delete(spark, blocks_path)
 
 
 def _materialize_partial(df: DataFrame, bcast) -> DataFrame:
@@ -477,9 +519,20 @@ def ivf_topk(
         .select("qid", "qv", "bucket")
     )
 
+    # Output id columns keep the INPUT id column's type (ADVICE r3: a
+    # hardcoded bigint narrowed the operator to 64-bit integer ids;
+    # string or other id types must survive the pandas path too).
+    id_spark_t = vectors.schema[id_col].dataType.simpleString()
+    id_pd_dtype = {
+        "tinyint": "int64",
+        "smallint": "int64",
+        "int": "int64",
+        "bigint": "int64",
+    }.get(id_spark_t, "object")
+
     def score_bucket(probe_pdf: "pd.DataFrame", member_pdf: "pd.DataFrame"):
         empty = pd.DataFrame({"qid": [], "nid": [], "score": []}).astype(
-            {"qid": "int64", "nid": "int64", "score": "float64"}
+            {"qid": id_pd_dtype, "nid": id_pd_dtype, "score": "float64"}
         )
         if len(probe_pdf) == 0 or len(member_pdf) == 0:
             return empty
@@ -489,7 +542,10 @@ def ivf_topk(
         m = np.vstack(member_pdf["nv"].to_numpy()).astype("float64")
         q = q / np.linalg.norm(q, axis=1, keepdims=True)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        scores = np.round(q @ m.T, round_dp)
+        # Raw scores here; rounding happens Spark-side (F.round,
+        # HALF_UP — matches the previous column-expression formulation
+        # and the DuckDB oracle; np.round is half-to-even).
+        scores = q @ m.T
         scores[qids[:, None] == nids[None, :]] = -np.inf  # exclude self
         out_q, out_n, out_s = [], [], []
         for i in range(len(qids)):
@@ -504,8 +560,11 @@ def ivf_topk(
     scored = (
         probes.groupby("bucket")
         .cogroup(members.groupby("bucket"))
-        .applyInPandas(score_bucket, schema="qid bigint, nid bigint, score double")
-    )
+        .applyInPandas(
+            score_bucket,
+            schema=f"qid {id_spark_t}, nid {id_spark_t}, score double",
+        )
+    ).withColumn("score", F.round(F.col("score"), round_dp))
     w_rank = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
