@@ -31,37 +31,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["a1_pricing_summary"].fn(spark, SMOKE_SF_DIR)
 
 
-# Round 3: the _EXPENSIVE demotion set is gone. It existed to let a
-# time-budgeted sweep verify many cheap queries first, but by round 2
-# it was starving exactly the never-verified tail (m_user_cosine,
-# v_lsh_topk, mm_decode_features, x_chunked_pairs). With <40 names
-# left unverified, never-verified-first ordering alone is correct.
+# Round 4 (VERDICT r3 #3): least-recently-verified ordering. With the
+# never-verified tail closed in round 3, plain never-verified-first
+# degenerated to alphabetical — a regression in a late-alphabet query
+# (v_*/w_*/x_*) wouldn't be re-checked for ~3 rounds on a 50-name
+# sweep budget. Sorting by the LAST round each name got a verdict
+# rotates the whole registry through the sweep every ~3 rounds, so any
+# regression surfaces within that window. Never-verified names (round
+# 0) still front the queue by construction.
 
 
-def _verified_in_prior_rounds() -> set[str]:
-    """Query names that already have a driver verdict in any
-    CORRECTNESS_r*.json. Round 1's sweep stopped partway through the
-    registry, so we surface never-verified queries first each round —
-    the ordering rotates automatically as verdicts accumulate."""
+def _last_verified_round() -> dict[str, int]:
+    """name → latest round number with a driver verdict, scanned from
+    the committed CORRECTNESS_r*.json artifacts."""
     import glob
     import json
+    import re
 
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnum = int(m.group(1))
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                names = json.load(f).keys()
         except (OSError, ValueError):
             continue
-    return seen
+        for name in names:
+            last[name] = max(last.get(name, 0), rnum)
+    return last
 
 
 def _sweep_order() -> list[str]:
     names = sorted(load_all())
-    seen = _verified_in_prior_rounds()
-    key = lambda n: (n in seen, n)  # noqa: E731
-    return sorted(names, key=key)
+    last = _last_verified_round()
+    return sorted(names, key=lambda n: (last.get(n, 0), n))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

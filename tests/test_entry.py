@@ -34,6 +34,18 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
         assert callable(fn), name
 
 
+def test_sweep_order_is_least_recently_verified():
+    """VERDICT r3 #3: the sweep must front the stalest names (smallest
+    last-verified round, never-verified = 0) so a 50-name/round driver
+    budget rotates the whole registry every ~3 rounds."""
+    mod = _load_entry()
+    order = mod._sweep_order()
+    last = mod._last_verified_round()
+    ranks = [last.get(n, 0) for n in order]
+    assert ranks == sorted(ranks)
+    assert len(order) == len(set(order)) == len(mod.queries())
+
+
 def test_smoke_all_queries_run_at_sf0001(spark):
     """Every registered query must execute at the smoke scale."""
     mod = _load_entry()
