@@ -248,6 +248,55 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact-substring contamination (VERDICT r3 #4): verbatim character-run
+# detection that survives tokenization shifts — word n-gram containment
+# (d_contamination above) misses a leak re-punctuated or re-cased;
+# normalized char k-grams do not. Bench grams at every offset, train
+# grams at stride 8: any shared normalized run >= k+stride-1 = 31 chars
+# is guaranteed caught. Bucketed join on md5(gram) — never all-pairs.
+# --------------------------------------------------------------------------
+@register(
+    "d_contamination_exact",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    tg AS (
+        SELECT DISTINCT doc_id AS train_id,
+               md5(UNNEST(list_transform(range(1, len(t) - 24 + 2, 8),
+                          p -> substr(t, p, 24)))) AS g
+        FROM norm WHERE doc_id % 17 <> 3 AND len(t) >= 24
+    ),
+    bg AS (
+        SELECT DISTINCT doc_id AS bench_id,
+               md5(UNNEST(list_transform(range(1, len(t) - 24 + 2, 1),
+                          p -> substr(t, p, 24)))) AS g
+        FROM norm WHERE doc_id % 17 = 3 AND len(t) >= 24
+    )
+    SELECT train_id, bench_id, COUNT(*) AS matched_grams
+    FROM tg JOIN bg USING (g)
+    GROUP BY 1, 2
+    """,
+    doc="exact-substring contamination: normalized char-24-gram rolling-"
+    "hash match (train stride 8, bench stride 1) vs the hash-sliced "
+    "benchmark split — catches verbatim-but-tokenization-shifted leaks",
+)
+def d_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.dedup import (
+        exact_substring_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 3)
+    train = docs.where(F.col("doc_id") % 17 != 3)
+    return exact_substring_contamination(
+        train, bench, "doc_id", "text", k=24, stride=8
+    )
+
+
+# --------------------------------------------------------------------------
 # End-to-end corpus cleaning — the composed training-data pipeline:
 # quality gate (Gopher-style repetition thresholds) → exact dedup
 # (fingerprint, min-id representative) → near-dup collapse (Jaccard

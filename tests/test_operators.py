@@ -143,6 +143,76 @@ def test_connected_components_groups(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
+def test_exact_substring_contamination_adversarial(spark):
+    """The detector's raison d'être: a benchmark passage leaked into a
+    training doc VERBATIM but tokenization-shifted (re-cased,
+    re-punctuated, whitespace mangled) must be flagged; unrelated text
+    must not. Offsets are chosen NOT multiples of the stride so the
+    k+stride-1 alignment guarantee (not luck) is what fires."""
+    from listenbrainz_server_spark.operators.dedup import (
+        exact_substring_contamination,
+    )
+
+    leak = "The quick brown fox jumps over the lazy dog near the river bank"
+    # Same characters after normalization, hostile formatting, and a
+    # 13-char prefix (not a multiple of stride=8) shifting alignment.
+    shifted = (
+        "INTRO padding:   the QUICK-brown fox;; jumps OVER the lazy dog — "
+        "near the RIVER bank!! trailing words here"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, shifted),
+            (2, "completely unrelated content about database join strategies"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    got = {
+        (r.train_id, r.bench_id)
+        for r in exact_substring_contamination(
+            train, bench, "doc_id", "text", k=24, stride=8
+        ).collect()
+    }
+    assert got == {(1, 100)}
+
+    # Word-3-gram containment on the raw text misses this same leak at
+    # the 0.5 threshold (tokens like 'quick-brown' and 'dog' + em-dash
+    # shift the shingles) — the gap this operator exists to close.
+    from listenbrainz_server_spark.operators.dedup import contamination_pairs
+
+    word_hits = contamination_pairs(
+        train, bench, "doc_id", "text", n=3, min_containment=0.5
+    ).count()
+    assert word_hits == 0
+
+
+def test_exact_substring_contamination_df_cap(spark):
+    """max_gram_df drops boilerplate grams: a run shared by MANY train
+    docs (hot key) is excluded, a unique leak still flags."""
+    from listenbrainz_server_spark.operators.dedup import (
+        exact_substring_contamination,
+    )
+
+    boiler = "standard legal disclaimer text repeated on every single page of the corpus"
+    leak = "a genuinely unique benchmark passage that appears exactly once in training"
+    train = spark.createDataFrame(
+        [(i, boiler) for i in range(10)] + [(99, f"prefix {leak} suffix")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, boiler), (101, leak)], "doc_id long, text string"
+    )
+    got = {
+        (r.train_id, r.bench_id)
+        for r in exact_substring_contamination(
+            train, bench, "doc_id", "text", k=24, stride=8, max_gram_df=5
+        ).collect()
+    }
+    assert (99, 101) in got
+    assert not any(b == 100 for _t, b in got), "hot boilerplate grams must be capped"
+
+
 def test_simhash_identical_for_same_tokens(spark):
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "c b a"), (3, "x y z")], "id long, text string"
