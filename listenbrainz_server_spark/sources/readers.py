@@ -65,8 +65,11 @@ def jdbc_query(
     spark: SparkSession, url: str, query: str, properties: dict[str, str] | None = None
 ) -> DataFrame:
     """S3: JDBC dimension source with full SQL pushdown
-    (postgres/utils.py:8-17). Untestable in this container (no
-    database); the option wiring is the contract."""
+    (postgres/utils.py:8-17). Verified live against embedded Apache
+    Derby (driver ships in Spark's jars) by
+    tests/test_sources.py::test_jdbc_round_trip_embedded_derby — the
+    same Spark read path a Postgres/Timescale URL exercises; only the
+    driver class and URL differ."""
     reader = spark.read.format("jdbc").option("url", url).option("query", query)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)

@@ -27,6 +27,12 @@ def main() -> None:
         "`CartesianProduct` = unbounded n×m; `ArrowEvalPython`/`MapInPandas`",
         "= vectorized Python (allowed where declared); SMJ/BHJ = join picks.",
         "",
+        "Footnote: `m_als_recommend` shows one `CartesianProduct` — it is",
+        "INSIDE MLlib's `recommendForAllUsers` blocked factor-matrix cross",
+        "(each side is a rank-wide factor block, cost bounded by",
+        "rank × block sizes — that IS the blocked algorithm), not builder",
+        "plan code. Explained; do not re-investigate.",
+        "",
         "| query | exchanges | BHJ | SMJ | cartesian | rowPyUDF | arrowPy |",
         "|---|---|---|---|---|---|---|",
     ]
