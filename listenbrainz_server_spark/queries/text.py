@@ -56,18 +56,21 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quality score: length band + stopword ratio − punctuation ratio.
 # --------------------------------------------------------------------------
 _EN = _sql_in_list(LANG_STOPWORDS["en"])
-_QUALITY_SQL = f"""
-    WITH toks AS (
-        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
-    )
-    SELECT doc_id,
-           ROUND(
+# The scalar quality expression (over a `toks` CTE exposing text + t),
+# shared by t_quality_score and the per-domain calibration query.
+_QUALITY_EXPR = f"""ROUND(
              (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.5
              + (len(list_filter(t, x -> x IN ({_EN}))) * 1.0
                 / GREATEST(len(t), 1)) * 2.0
              - ((LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                 * 1.0 / GREATEST(LENGTH(text), 1)),
-           6) AS quality
+           6)"""
+_QUALITY_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           {_QUALITY_EXPR} AS quality
     FROM toks
 """
 
@@ -76,6 +79,58 @@ _QUALITY_SQL = f"""
 def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# Per-domain quality calibration: a single global quality threshold
+# over-prunes domains whose score distribution sits lower (code, chat,
+# OCR) and under-prunes clean-prose domains. Calibrate by ranking each
+# doc WITHIN its source: domain_pctile = percent_rank over (source,
+# quality), keep = top 80% of each domain. One window, shuffle keyed by
+# source. Scale note: percent_rank needs a per-source sort; at 100 TB
+# with mega-domains you'd swap it for a two-pass histogram CDF (bin
+# counts → broadcast cumulative bins) — same output contract, no
+# per-source total order. The window form is right up to the point a
+# single source outgrows a task's sort budget.
+# --------------------------------------------------------------------------
+@register(
+    "t_quality_calibrated",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               {_QUALITY_EXPR} AS quality
+        FROM toks
+    )
+    SELECT doc_id, source, quality,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality), 6)
+               AS domain_pctile,
+           (ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality), 6)
+               >= 0.2) AS keep
+    FROM q
+    """,
+    doc="per-domain quality calibration: percent_rank of the quality "
+    "score within each source; keep = top 80% of each domain",
+)
+def t_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    pr = F.round(
+        F.percent_rank().over(Window.partitionBy("source").orderBy("quality")), 6
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        pr.alias("domain_pctile"),
+        (pr >= 0.2).alias("keep"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -364,6 +419,109 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(
         docs, "doc_id", token_count(F.col("text")), budget=256, n_shards=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Packed-batch fill histogram: per (shard, seq) window of the packer,
+# how full is it and how many docs start in it — the training-batch
+# utilization report (concat-and-chunk fills every window to budget
+# except each shard's tail, so the histogram surfaces tail waste and
+# per-shard imbalance). Window ids are GENERATED per shard from the
+# token total (sequence + explode), so full windows with no starting
+# doc still count. Output is a handful of decile rows — aggregate-only,
+# broadcastable everywhere.
+# --------------------------------------------------------------------------
+@register(
+    "t_pack_length_histogram",
+    """
+    WITH sized AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    offs AS (
+        SELECT shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+        FROM sized
+    ),
+    seq_docs AS (
+        SELECT shard, CAST(FLOOR(start_offset / 256) AS BIGINT) AS seq_id,
+               COUNT(*) AS docs_starting
+        FROM offs GROUP BY 1, 2
+    ),
+    shard_tot AS (
+        SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS total
+        FROM sized GROUP BY 1
+    ),
+    seqs AS (
+        SELECT shard,
+               UNNEST(range(0, CAST(CEIL(total * 1.0 / 256) AS BIGINT))) AS seq_id,
+               total
+        FROM shard_tot WHERE total > 0
+    ),
+    seq_fill AS (
+        SELECT s.shard, s.seq_id,
+               COALESCE(d.docs_starting, 0) AS docs_starting,
+               CAST(LEAST(256, s.total - s.seq_id * 256) AS BIGINT) AS used_tokens
+        FROM seqs s LEFT JOIN seq_docs d USING (shard, seq_id)
+    )
+    SELECT CAST(FLOOR(used_tokens * 10.0 / 256) AS BIGINT) AS fill_decile,
+           COUNT(*) AS n_seqs,
+           CAST(SUM(docs_starting) AS BIGINT) AS n_docs,
+           CAST(SUM(used_tokens) AS BIGINT) AS total_tokens
+    FROM seq_fill
+    GROUP BY 1
+    """,
+    doc="packed-batch fill histogram: per-window utilization deciles of "
+    "the concat-and-chunk packer (budget 256, 8 shards), counting "
+    "docless full windows via generated seq ids",
+)
+def t_pack_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 256
+    packed = pack_sequences(
+        docs, "doc_id", token_count(F.col("text")), budget=budget, n_shards=8
+    )
+    seq_docs = packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("docs_starting")
+    )
+    shard_tot = packed.groupBy("shard").agg(F.sum("n_tokens").alias("total"))
+    seqs = (
+        shard_tot.where(F.col("total") > 0)
+        .select(
+            "shard",
+            "total",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    (F.ceil(F.col("total") / budget) - 1).cast("bigint"),
+                )
+            ).alias("seq_id"),
+        )
+    )
+    seq_fill = seqs.join(seq_docs, ["shard", "seq_id"], "left").select(
+        "shard",
+        "seq_id",
+        F.coalesce(F.col("docs_starting"), F.lit(0)).alias("docs_starting"),
+        F.least(
+            F.lit(budget).cast("bigint"),
+            (F.col("total") - F.col("seq_id") * budget).cast("bigint"),
+        ).alias("used_tokens"),
+    )
+    return seq_fill.groupBy(
+        F.floor(F.col("used_tokens") * 10.0 / budget).cast("bigint").alias(
+            "fill_decile"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("docs_starting").cast("bigint").alias("n_docs"),
+        F.sum("used_tokens").cast("bigint").alias("total_tokens"),
     )
 
 

@@ -98,3 +98,30 @@ def test_interval_join_is_range_predicate_join(spark, registry):
     post-filter)."""
     tree = tree_of(plan_of(spark, registry, "st_interval_join"))
     assert "CartesianProduct" not in tree
+
+
+def test_quality_calibration_single_source_exchange(spark, registry):
+    """t_quality_calibrated: score projection + percent_rank must hang
+    off ONE shuffle keyed by source (the window partition); a second
+    exchange would mean the score or the keep flag re-shuffled."""
+    tree = tree_of(plan_of(spark, registry, "t_quality_calibrated"))
+    assert tree.count("Exchange") == 1
+    assert "Window" in tree
+
+
+def test_pack_histogram_no_cartesian_and_keyed_joins(spark, registry):
+    """t_pack_length_histogram: generated seq ids left-join doc counts
+    on (shard, seq_id) — keyed join only, no cartesian/BNLJ, and no
+    Python evaluation anywhere (pure expressions)."""
+    tree = tree_of(plan_of(spark, registry, "t_pack_length_histogram"))
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_contamination_exact_keyed_join_only(spark, registry):
+    """d_contamination_exact: candidates must come from the md5(gram)
+    equi join — never a train x bench nested loop."""
+    tree = tree_of(plan_of(spark, registry, "d_contamination_exact"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BatchEvalPython" not in tree
