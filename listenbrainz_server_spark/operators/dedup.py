@@ -188,23 +188,27 @@ def connected_components(
     jumping). Returns (id, group_id) with group_id = the component's
     minimum id — the canonical representative a dedup pipeline keeps.
 
-    Each round does two monotone label updates:
+    Each round computes one fused monotone update over an AUGMENTED
+    edge set — the graph edges plus a pointer edge (l(v) → v) per
+    node:
 
-    1. *neighbor min*: l(v) ← min(l(v), min over neighbors u of l(u))
-       — the classic propagation step, one edge join + one aggregate;
-    2. *path halving*: l(v) ← min(l(v), l(l(v))) — a self-join of the
-       label table on ``group_id = node`` that shortcuts label chains,
-       doubling the effective propagation distance per round.
+        l(v) ← min(l(v), min over graph-neighbors u of l(u), l(l(v)))
 
-    Step 2 caps convergence at **O(log n) rounds** instead of
-    O(component diameter): a length-d label chain halves every round,
-    so even a pathological dup-chain component (the 100 TB scale risk
-    — each round is a full-edge shuffle) finishes in ~log2(d) rounds.
-    Both updates only ever *decrease* labels, and every label is some
+    The pointer edges fold path halving into the same join: a
+    length-d label chain keeps (better than) halving every round, so
+    convergence is **O(log n) rounds** instead of O(component
+    diameter) — even a pathological dup-chain component (the 100 TB
+    scale risk: each round is a full-edge shuffle) finishes in
+    ~log2(d) rounds — while the per-round plan stays exactly one keyed
+    join + one aggregate (the pointer edges add only |V| rows to the
+    2|E| join input; no second shuffle stage, so shallow star/clique
+    components — the common near-dup case, which converges in 2
+    rounds — pay nothing over plain propagation).
+
+    The update only ever *decreases* labels, and every label is some
     component member's id, so the fixpoint is exactly the component
-    minimum (at a fixpoint, any edge (u,v) forces l(v) ≤ l(u) and
-    symmetrically, hence equal labels per component). All shuffles
-    remain keyed (edge join on src/dst, jump join on group_id).
+    minimum (at a fixpoint any edge (u,v) forces l(v) ≤ l(u) and
+    symmetrically, hence equal labels per component).
     ``max_iter`` is a safety bound, not the expected cost.
 
     When ``stats`` is passed, ``stats["rounds"]`` records the number
@@ -230,12 +234,21 @@ def connected_components(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
+        # Pointer edges (l(v) → v) ride the SAME join as graph edges:
+        # neighbor_min(v) then includes l(l(v)) — path halving with no
+        # extra shuffle stage. Every group_id is a node id (labels
+        # start as ids and only take mins of ids), so the pointer src
+        # always resolves against the label table.
+        pointer_edges = labels.select(
+            F.col("group_id").alias("src"), F.col("node").alias("dst")
+        )
+        aug = edges.unionByName(pointer_edges)
         neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
+            aug.join(labels, aug.src == labels.node)
             .groupBy("dst")
             .agg(F.min("group_id").alias("nbr_min"))
         )
-        stepped = (
+        new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
                 "node",
@@ -250,27 +263,7 @@ def connected_components(
                 ),
             )
         )
-        # Path halving: l(v) ← min(l(v), l(l(v))). Every group_id is a
-        # node id (labels start as ids and only take mins of ids), so
-        # the parent lookup always resolves; left join is belt-and-
-        # braces for the self-parent case.
-        parent = stepped.select(
-            F.col("node").alias("p_node"), F.col("group_id").alias("p_gid")
-        )
-        jumped = (
-            stepped.join(parent, stepped.group_id == parent.p_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("group_id"), F.coalesce(F.col("p_gid"), F.col("group_id"))
-                ).alias("group_id"),
-                (
-                    F.col("_chg")
-                    | F.coalesce(F.col("p_gid") < F.col("group_id"), F.lit(False))
-                ).alias("_chg"),
-            )
-        )
-        labels = jumped.localCheckpoint(eager=True)  # cut lineage per round
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
         changed = labels.agg(F.max("_chg")).first()[0]  # scan of pinned rows only
         labels = labels.drop("_chg")
         if not changed:
