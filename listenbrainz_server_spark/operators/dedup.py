@@ -163,6 +163,12 @@ def lsh_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.band_key")
+    # Pin the bucket table once: the candidate self-join reads it on
+    # BOTH sides, and its lineage (tokenize → shingle explode →
+    # 16-way min agg) is the expensive part — without a cut the whole
+    # signature pipeline executes twice. (H+2)/H more rows than the
+    # signature table, still ~|docs|×bands — executor-bounded.
+    buckets = buckets.localCheckpoint(eager=True)
 
     a = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     b = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_key")

@@ -78,7 +78,9 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, materialize_index=True
+    )
 
 
 # --------------------------------------------------------------------------
@@ -200,7 +202,11 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # materialize_index: the inverted index feeds sizes + both join
+    # sides; one tokenize pass instead of three (see jaccard_pairs).
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, materialize_index=True
+    )
     return connected_components(
         docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
     )
@@ -407,10 +413,19 @@ def d_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 2. Exact dedup: min-id representative per fingerprint.
     exact_reps = exact_dedup(qdocs, "text", "doc_id").select("doc_id")
-    sdocs = semi_join(qdocs, exact_reps, ["doc_id"])
+    # Materialize the survivor set ONCE: sdocs feeds four downstream
+    # branches (the Jaccard inverted index, the CC seed nodes, the
+    # final keep semi-join, the packer) — without a cut, the whole
+    # quality-gate + exact-dedup sub-DAG re-executes per branch. This
+    # is the reference's stage-materialization pattern
+    # (incremental_stats_engine.py:113-115 write-then-reread) with
+    # executor-pinned rows instead of an HDFS round-trip.
+    sdocs = semi_join(qdocs, exact_reps, ["doc_id"]).localCheckpoint(eager=True)
 
     # 3. Near-dup collapse: component representative (min id) survives.
-    pairs = jaccard_pairs(sdocs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = jaccard_pairs(
+        sdocs, "doc_id", "text", n=3, threshold=0.5, materialize_index=True
+    )
     groups = connected_components(
         sdocs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
     )
