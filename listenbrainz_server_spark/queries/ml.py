@@ -210,11 +210,15 @@ def m_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pc = _playcounts(spark, sf_dir)
     # Confidence transform (create_dataframes.py:172-183: capped count).
+    # localCheckpoint: ALS's internal block construction evaluates the
+    # input lineage more than once (user/item block building + the
+    # ratings cache warm-up); pin the ~|interactions| rows so the
+    # scan→join→agg sub-DAG runs a single time.
     train = pc.select(
         F.col("user_id").cast("int").alias("user"),
         F.col("item_id").cast("int").alias("item"),
         F.least(F.col("playcount"), F.lit(20)).cast("float").alias("rating"),
-    )
+    ).localCheckpoint(eager=True)
     als = ALS(
         rank=8,
         maxIter=5,
