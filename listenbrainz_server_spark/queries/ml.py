@@ -93,6 +93,11 @@ def cosine_pairs_from_playcounts(
     """Core of ``user_cosine_pairs``, taking a (user_id, item_id,
     playcount) frame directly — unit tests feed skewed fixtures here.
     """
+    # The playcount frame feeds three branches (norms, and — through
+    # the degree-cap window — both sides of the shared-item self-join);
+    # pin it once so the upstream scan→join→agg lineage executes a
+    # single time. ~|interactions| rows of 3 narrow columns.
+    pc = pc.localCheckpoint(eager=True)
     # Norms over the FULL vector (capping affects candidate pairs, not
     # the definition of a user's vector length).
     norms = pc.groupBy("user_id").agg(
