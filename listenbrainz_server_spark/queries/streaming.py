@@ -145,6 +145,55 @@ def st_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Last-write-wins streaming MERGE (the replace-semantics sibling of
+# st_foreach_batch's additive combine): the state materializes the
+# LATEST event per user across micro-batches — the streaming form of
+# the reference's registry upsert (S14, listens/dump.py:188-208) and
+# the standard CDC "current snapshot" sink. Argmax over state ∪ batch,
+# so out-of-order batches can't clobber newer state and replays are
+# idempotent. Oracle = batch argmax per user.
+# --------------------------------------------------------------------------
+@register(
+    "st_upsert_latest",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="foreachBatch last-write-wins MERGE sink: latest event per user "
+    "across micro-batches (CDC current-snapshot / S14 registry shape), "
+    "state compared against the batch argmax",
+)
+def st_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from listenbrainz_server_spark.streaming.jobs import (
+        foreach_batch_merge_latest,
+        read_parquet_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="st_lww_")
+    log_dir, state = root + "/log", root + "/state"
+    ev.repartition(4).write.mode("overwrite").parquet(log_dir)
+    stream = read_parquet_stream(
+        spark, log_dir, spark.read.parquet(log_dir).schema, max_files=1
+    )
+    foreach_batch_merge_latest(
+        stream, state, keys=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return spark.read.parquet(state).select("user_id", "event_id", "event_type")
+
+
+# --------------------------------------------------------------------------
 # Custom stateful streaming operator, driven end to end:
 # applyInPandasWithState keeps running per-user (count, sum) state
 # across micro-batches (update mode emits a row per key per trigger);

@@ -168,6 +168,77 @@ def foreach_batch_upsert(
     q.awaitTermination(timeout_s)
 
 
+def merge_latest_into_state(
+    state_path: str,
+    batch_df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+) -> None:
+    """One last-write-wins merge step (the ``foreachBatch`` body of
+    ``foreach_batch_merge_latest``, public for batch use and tests):
+    state ← argmax over state ∪ batch per key, ordered by
+    ``order_cols`` desc. Monotone, hence idempotent under replay and
+    immune to out-of-order batches carrying older versions."""
+    import os
+
+    from pyspark.sql import Window
+
+    from listenbrainz_server_spark.sources.sinks import atomic_swap_write
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    winners = _latest(batch_df)
+    if os.path.exists(state_path):
+        existing = batch_df.sparkSession.read.parquet(state_path)
+        merged = _latest(existing.unionByName(winners))
+    else:
+        merged = winners
+    # Materialize BEFORE the swap (the plan reads state_path).
+    merged = merged.localCheckpoint(eager=True)
+    atomic_swap_write(merged, state_path)
+
+
+def foreach_batch_merge_latest(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    order_cols: list[str],
+    timeout_s: int = 120,
+) -> None:
+    """CDC-style last-write-wins MERGE sink via ``foreachBatch``: the
+    state keeps exactly one row per key — the version with the highest
+    ``order_cols`` (e.g. event time, then a unique id tie-break) seen
+    so far across all micro-batches.
+
+    This is the replace-semantics sibling of ``foreach_batch_upsert``
+    (which adds): the streaming form of the reference's registry upsert
+    (listens/dump.py:188-208 / sinks.registry_upsert, S14). The merge
+    is NOT the naive "delete matched keys, insert batch" — it takes the
+    argmax over state ∪ batch, so an out-of-order micro-batch carrying
+    an older version of a key cannot clobber newer state, and a
+    replayed batch re-merges idempotently (same winners). Per batch:
+    one window over the micro-batch, one window over state ∪ winners,
+    atomic swap — all keyed on the merge key.
+    """
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_latest_into_state(state_path, batch_df, keys, order_cols)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_path.rstrip("/") + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -209,3 +209,28 @@ def test_stream_static_enrich_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.event_id, r.weight) for r in spark.table("sse_sink").collect())
     assert got == want
+
+
+def test_merge_latest_out_of_order_and_idempotent(spark, tmp_path):
+    """The LWW merge must take the argmax over state UNION batch: an
+    out-of-order micro-batch carrying an OLDER version of a key must
+    not clobber newer state, and re-merging the same batch (replay)
+    must leave the state unchanged."""
+    from listenbrainz_server_spark.streaming import jobs
+
+    state = str(tmp_path / "state")
+
+    def merge_batch(rows):
+        # Drive the foreachBatch body directly (it is the public
+        # merge_latest_into_state batch primitive).
+        df = spark.createDataFrame(rows, "k string, ts long, v string")
+        jobs.merge_latest_into_state(state, df, keys=["k"], order_cols=["ts", "v"])
+
+    merge_batch([("a", 10, "a-new"), ("b", 5, "b-old")])
+    merge_batch([("a", 3, "a-stale"), ("b", 9, "b-new")])  # a is out-of-order
+    got = {(r.k, r.ts, r.v) for r in spark.read.parquet(state).collect()}
+    assert got == {("a", 10, "a-new"), ("b", 9, "b-new")}
+
+    merge_batch([("a", 3, "a-stale"), ("b", 9, "b-new")])  # replay
+    got2 = {(r.k, r.ts, r.v) for r in spark.read.parquet(state).collect()}
+    assert got2 == got
