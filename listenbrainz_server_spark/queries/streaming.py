@@ -296,3 +296,52 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("delay_sec"),
     )
+
+
+# --------------------------------------------------------------------------
+# LEFT OUTER stream-stream interval join: every click is emitted —
+# attributed clicks carry their purchase, unattributed ones a NULL
+# purchase (the conversion-funnel report needs both). Outer emission
+# is watermark-driven in stream mode; batch mode (here) is the
+# converged answer and the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "st_interval_join_outer",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec,
+           (p.event_id IS NULL) AS unattributed
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="LEFT OUTER stream-stream interval join: clicks with their "
+    "in-window purchase or NULL (watermark-driven unmatched emission "
+    "in stream mode)",
+)
+def st_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.streaming.jobs import interval_join_outer
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    out = interval_join_outer(
+        clicks, purchases, key=("user_id", "p_user_id"),
+        left_ts="c_ts", right_ts="p_ts", upper="1 hour",
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("delay_sec"),
+        F.col("purchase_id").isNull().alias("unattributed"),
+    )

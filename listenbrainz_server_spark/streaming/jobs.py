@@ -278,6 +278,42 @@ def interval_join(
     return left.join(right, cond)
 
 
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like ``interval_join``,
+    but left rows with NO matching right row inside their interval are
+    still emitted (right side null) — the unattributed-clicks shape.
+
+    In stream mode the outer semantics are watermark-driven: Spark can
+    only declare a left row unmatched once the right watermark has
+    passed the row's whole interval, so null-padded rows surface with
+    watermark delay (and the final micro-batch of a bounded run may
+    retain tail rows in state — the batch form is the converged
+    answer). Both sides MUST carry watermarks and the condition must
+    bound event-time distance or the unmatched check never closes;
+    Spark rejects the query otherwise. State stays bounded exactly as
+    in the inner form.
+    """
+    lkey, rkey = (key, key) if isinstance(key, str) else key
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[lkey] == right[rkey])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond, "leftOuter")
+
+
 def stream_static_enrich(
     stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
 ) -> DataFrame:

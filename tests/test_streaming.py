@@ -234,3 +234,78 @@ def test_merge_latest_out_of_order_and_idempotent(spark, tmp_path):
     merge_batch([("a", 3, "a-stale"), ("b", 9, "b-new")])  # replay
     got2 = {(r.k, r.ts, r.v) for r in spark.read.parquet(state).collect()}
     assert got2 == got
+
+
+def test_interval_join_outer_stream_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER interval join in stream mode: matched pairs equal the
+    batch join exactly; unmatched (null-padded) clicks emit once the
+    right watermark closes their interval — every click whose interval
+    closed strictly before the final watermark must have emitted, and
+    nothing outside the batch answer may appear."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    import listenbrainz_server_spark.streaming.jobs as jobs
+    from listenbrainz_server_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    args = dict(
+        key=("user_id", "p_user_id"),
+        left_ts="c_ts",
+        right_ts="p_ts",
+        upper="4 hours",
+        watermark="2 hours",
+    )
+    batch = jobs.interval_join_outer(clicks, purchases, **args).collect()
+    batch_matched = sorted(
+        (r.click_id, r.purchase_id) for r in batch if r.purchase_id is not None
+    )
+    batch_unmatched = {
+        (r.click_id, r.c_ts) for r in batch if r.purchase_id is None
+    }
+    assert batch_matched and batch_unmatched, "fixture must exercise both sides"
+
+    c_dir, p_dir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.write.parquet(c_dir)
+    purchases.write.parquet(p_dir)
+    got_df = jobs.interval_join_outer(
+        jobs.read_parquet_stream(spark, c_dir, clicks.schema),
+        jobs.read_parquet_stream(spark, p_dir, purchases.schema),
+        **args,
+    )
+    q = (
+        got_df.writeStream.format("memory")
+        .queryName("ijo_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ijo_sink").collect()
+    got_matched = sorted(
+        (r.click_id, r.purchase_id) for r in got if r.purchase_id is not None
+    )
+    got_unmatched = {r.click_id for r in got if r.purchase_id is None}
+
+    assert got_matched == batch_matched
+    # Final global watermark = min over inputs of (max event time - delay).
+    max_c = max(r.c_ts for r in clicks.collect())
+    max_p = max(r.p_ts for r in purchases.collect())
+    wm = min(max_c, max_p) - timedelta(hours=2)
+    must_emit = {
+        cid
+        for cid, c_ts in batch_unmatched
+        # 1s slack on the boundary to stay robust to watermark rounding.
+        if c_ts + timedelta(hours=4, seconds=1) < wm
+    }
+    batch_unmatched_ids = {cid for cid, _ in batch_unmatched}
+    assert must_emit <= got_unmatched <= batch_unmatched_ids
