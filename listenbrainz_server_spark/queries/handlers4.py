@@ -507,6 +507,13 @@ def h_top_genres_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "l_returnflag",
         )
+        # ONE user-keyed exchange before the explode: hash(user_id)
+        # satisfies every downstream clustering requirement — the
+        # (user, item, genre, priority) agg, the priority-pick window,
+        # the (user, genre) agg, the share/rank windows, and the final
+        # per-user pack — so the exploded rows never shuffle (same
+        # rationale as h_top_genres; measured there at 3.6×).
+        .repartition("user_id")
     )
 
     # One pass over the join: three per-source aggregations as separate
