@@ -86,6 +86,19 @@ def _stats_user_entity(
     return handlers.user_entity_stats(ev, entity_col=entity, **params)
 
 
+def _stats_daily_activity(
+    spark: SparkSession,
+    sf_dir: str,
+    stats_range: str | None = None,
+    **params,
+) -> DataFrame:
+    """stats.user.daily_activity with the standard stats_range param
+    (user/daily_activity.py over the ranged scan): the weekday×hour
+    grid stays dense per user, only the counted events are ranged."""
+    ev = _range_filtered_events(spark, sf_dir, stats_range)
+    return handlers.daily_activity(ev, **params)
+
+
 def _stats_sitewide_entity(
     spark: SparkSession,
     sf_dir: str,
@@ -319,7 +332,7 @@ QUERY_MAP: dict[str, Callable] = {
     "stats.user.entity": _stats_user_entity,
     "stats.user.listening_activity": _stats_listening_activity,
     "stats.user.genre_activity": _registered("h_genre_activity"),
-    "stats.user.daily_activity": _events_handler(handlers.daily_activity),
+    "stats.user.daily_activity": _stats_daily_activity,
     "stats.user.era_activity": _era_activity,
     "stats.user.artist_evolution_activity": _artist_evolution_activity,
     "stats.sitewide.entity": _stats_sitewide_entity,

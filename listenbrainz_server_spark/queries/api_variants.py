@@ -335,3 +335,45 @@ def api_user_entity_half_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch(
         "stats.user.entity", spark, sf_dir, stats_range="half_yearly", k=3
     )
+
+
+# --------------------------------------------------------------------------
+# stats.user.daily_activity at range=this_week: the weekday×hour dense
+# grid (S13 generated dim + J5 zero-fill) over only the running week's
+# events — range resolution and grid densify exercised together
+# through dispatch. Users = those active IN the range (the grid is not
+# emitted for users with no ranged events).
+# --------------------------------------------------------------------------
+@register(
+    "api_daily_activity_this_week",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
+    ranged AS (
+        SELECT e.* FROM events e, a
+        WHERE e.ts >= date_trunc('week', a.anchor)
+          AND e.ts < a.anchor + INTERVAL 1 SECOND
+    ),
+    users AS (SELECT DISTINCT user_id FROM ranged),
+    grid AS (
+        SELECT d.dow + 1 AS dow, h.hour
+        FROM (SELECT UNNEST(range(7)) AS dow) d
+        CROSS JOIN (SELECT UNNEST(range(24)) AS hour) h
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               COUNT(*) AS listen_count
+        FROM ranged GROUP BY 1, 2, 3
+    )
+    SELECT u.user_id, g.dow, g.hour, COALESCE(a2.listen_count, 0) AS listen_count
+    FROM users u CROSS JOIN grid g
+    LEFT JOIN agg a2 ON a2.user_id = u.user_id AND a2.dow = g.dow AND a2.hour = g.hour
+    """,
+    doc="stats.user.daily_activity dispatched with stats_range=this_week "
+    "(ranged weekday×hour grid)",
+)
+def api_daily_activity_this_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch(
+        "stats.user.daily_activity", spark, sf_dir, stats_range="this_week"
+    )
