@@ -99,6 +99,30 @@ def _stats_daily_activity(
     return handlers.daily_activity(ev, **params)
 
 
+def _stats_genre_activity(
+    spark: SparkSession,
+    sf_dir: str,
+    stats_range: str | None = None,
+    k: int = 2,
+    **params,
+) -> DataFrame:
+    """stats.user.genre_activity with the standard stats_range param
+    (genre_activity.py:22-79 shape): top-k entity per hour over the
+    ranged scan."""
+    from listenbrainz_server_spark.operators.topk import top_k_per_group
+
+    ev = _range_filtered_events(spark, sf_dir, stats_range)
+    agg = ev.groupBy(
+        F.hour("ts").cast("bigint").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("listen_count"))
+    return top_k_per_group(
+        agg,
+        partition_by=["hour"],
+        order_by=[F.col("listen_count").desc(), F.col("event_type")],
+        k=k,
+    ).withColumn("rank", F.col("rank").cast("bigint"))
+
+
 def _stats_sitewide_entity(
     spark: SparkSession,
     sf_dir: str,
@@ -331,7 +355,7 @@ QUERY_MAP: dict[str, Callable] = {
     "echo.echo": _echo,
     "stats.user.entity": _stats_user_entity,
     "stats.user.listening_activity": _stats_listening_activity,
-    "stats.user.genre_activity": _registered("h_genre_activity"),
+    "stats.user.genre_activity": _stats_genre_activity,
     "stats.user.daily_activity": _stats_daily_activity,
     "stats.user.era_activity": _era_activity,
     "stats.user.artist_evolution_activity": _artist_evolution_activity,

@@ -377,3 +377,38 @@ def api_daily_activity_this_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch(
         "stats.user.daily_activity", spark, sf_dir, stats_range="this_week"
     )
+
+
+# --------------------------------------------------------------------------
+# stats.user.genre_activity at range=this_week: top-k entity per hour
+# over the running week only (genre_activity.py:22-79 + range
+# resolution through dispatch).
+# --------------------------------------------------------------------------
+@register(
+    "api_genre_activity_this_week",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
+    ranged AS (
+        SELECT e.* FROM events e, a
+        WHERE e.ts >= date_trunc('week', a.anchor)
+          AND e.ts < a.anchor + INTERVAL 1 SECOND
+    ),
+    agg AS (
+        SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               event_type, COUNT(*) AS listen_count
+        FROM ranged GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT hour, event_type, listen_count,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY hour
+                   ORDER BY listen_count DESC, event_type) AS BIGINT) AS rank
+        FROM agg
+    ) WHERE rank <= 2
+    """,
+    doc="stats.user.genre_activity dispatched with stats_range=this_week",
+)
+def api_genre_activity_this_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch(
+        "stats.user.genre_activity", spark, sf_dir, stats_range="this_week"
+    )
