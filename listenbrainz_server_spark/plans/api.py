@@ -123,6 +123,22 @@ def _stats_genre_activity(
     ).withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def _similar_users(
+    spark: SparkSession,
+    sf_dir: str,
+    max_num_users: int = 25,
+    threshold: float = 0.15,
+    **params,
+) -> DataFrame:
+    """similarity.similar_users with the reference's params
+    (request_manage.py:355-360)."""
+    from listenbrainz_server_spark.queries.handlers4 import similar_users_handler
+
+    return similar_users_handler(
+        spark, sf_dir, max_num_users=max_num_users, threshold=threshold
+    )
+
+
 def _stats_sitewide_entity(
     spark: SparkSession,
     sf_dir: str,
@@ -385,7 +401,7 @@ QUERY_MAP: dict[str, Callable] = {
     "cf.recommendations.recording.recommendations": _registered("m_als_recommend"),
     "cf.recommendations.recording.discovery": _registered("h_discovery"),
     # -- similarity --------------------------------------------------------
-    "similarity.similar_users": _registered("h_similar_users"),
+    "similarity.similar_users": _similar_users,
     "similarity.recording": _events_handler(handlers.similar_entities),
     "similarity.artist": _registered("h_similar_weighted"),
     # -- popularity / releases / troi / tags -------------------------------
@@ -398,7 +414,7 @@ QUERY_MAP: dict[str, Callable] = {
     "year_in_music.most_listened_year": _registered("h_yim_most_listened_year"),
     "year_in_music.artist_evolution_activity": _registered("h_artist_evolution"),
     "year_in_music.day_of_week": _events_handler(handlers.day_of_week),
-    "year_in_music.similar_users": _registered("h_similar_users"),
+    "year_in_music.similar_users": _similar_users,
     "year_in_music.top_stats": _registered("h_yim_top_stats"),
     "year_in_music.listens_per_day": _registered("h_yim_listens_per_day"),
     "year_in_music.listen_count": _registered("h_yim_listen_count"),

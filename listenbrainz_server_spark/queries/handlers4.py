@@ -89,9 +89,20 @@ _COSINE_PAIRS_SQL = """
     "(similarity/user.py:70-86)",
 )
 def h_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similar_users_handler(spark, sf_dir)
+
+
+def similar_users_handler(
+    spark: SparkSession,
+    sf_dir: str,
+    max_num_users: int = 25,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """similarity.similar_users with the reference's request params
+    (request_manage.py:355-360: max_num_users default 25)."""
     from listenbrainz_server_spark.queries.ml import user_cosine_pairs
 
-    pairs = user_cosine_pairs(spark, sf_dir, threshold=0.15)
+    pairs = user_cosine_pairs(spark, sf_dir, threshold=threshold)
     # Symmetric expansion via explode, not UNION ALL of two selects —
     # a union would run the whole cosine pipeline twice (the reference
     # unions because its CoordinateMatrix is already materialized,
@@ -116,7 +127,7 @@ def h_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         combined,
         partition_by=["user_id"],
         order_by=[F.col("similarity_raw").desc(), F.col("other_user_id")],
-        k=25,
+        k=max_num_users,
         keep_rank=False,
     )
     return top.select(
