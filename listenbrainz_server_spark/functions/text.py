@@ -57,6 +57,35 @@ def mean_word_length(text: Column | str) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
+def top_word_count(toks: Column) -> Column:
+    """Count of the single most frequent token — as a pure column
+    expression (zero shuffle), replacing the explode → groupBy(doc, w)
+    → groupBy(doc) max() formulation (two full-corpus exchanges).
+
+    Sorts the token array, then folds a run-length scan over it: the
+    longest run of equal adjacent tokens in a sorted array IS the top
+    word's count. Stays inside whole-stage codegen; at 100 TB this is
+    a map-only stage instead of two shuffles over exploded rows.
+    """
+    s = F.array_sort(toks)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+    run_next = F.struct
+
+    def step(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return run_next(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(s, zero, step, lambda acc: acc["best"])
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite quality heuristic: length band + stopword presence −
     punctuation noise. Deterministic; thresholds tuned for filterable

@@ -398,18 +398,18 @@ def d_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. Quality gate: total tokens >= 20, top-word share <= 0.25.
-    uni = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # Fused into the scan as pure column expressions (sorted-array
+    # run-length top-word count) — zero shuffles, where the previous
+    # explode → groupBy(doc, w) → groupBy(doc) formulation paid two
+    # full-corpus exchanges before the pipeline even started.
+    from listenbrainz_server_spark.functions.text import top_word_count
+
+    ws = F.split("text", " ")
+    total = F.size(ws).cast("bigint")
+    top_n = top_word_count(ws)
+    qdocs = docs.where(
+        (total >= 20) & (top_n * 1.0 / total <= 0.25)
     )
-    quality = (
-        uni.groupBy("doc_id")
-        .agg(F.sum("n").alias("total"), F.max("n").alias("top_n"))
-        .where((F.col("total") >= 20) & (F.col("top_n") * 1.0 / F.col("total") <= 0.25))
-        .select("doc_id")
-    )
-    qdocs = semi_join(docs, quality, ["doc_id"])
 
     # 2. Exact dedup: min-id representative per fingerprint.
     exact_reps = exact_dedup(qdocs, "text", "doc_id").select("doc_id")

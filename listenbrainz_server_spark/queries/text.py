@@ -322,63 +322,54 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(dup-word frac, top word/bigram share, mean word length, pass flag)",
 )
 def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from listenbrainz_server_spark.functions.text import top_word_count
 
+    # Every signal folds into per-row array expressions: the previous
+    # formulation paid an explode, two word-level groupBys, a
+    # per-document window (bigram lead), and two joins; this one is a
+    # single map-only projection (zero exchanges) that whole-stage-
+    # codegens straight out of the parquet scan. At 100 TB that is the
+    # difference between five shuffles of the exploded corpus and none.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )
-    ex = docs.select("doc_id", F.posexplode("ws").alias("pos", "w"))
-
-    uni = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
-    uni_doc = uni.groupBy("doc_id").agg(
-        F.max("n").alias("top_n"),
-        F.sum("n").alias("total"),
-        F.count(F.lit(1)).alias("n_distinct"),
+    ws = F.col("ws")
+    total = F.size(ws).cast("bigint")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1)),
     )
-
-    lead_w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        ex.withColumn("nxt", F.lead("w").over(lead_w))
-        .where(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w", "nxt").alias("b"))
-    )
-    bi = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
-    bi_doc = bi.groupBy("doc_id").agg(
-        F.max("n").alias("top_bn"), F.sum("n").alias("btotal")
-    )
-
-    lens = docs.select(
+    sig = docs.where(F.size(ws) >= 2).select(
         "doc_id",
+        total.alias("total"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        top_word_count(ws).alias("top_n"),
+        top_word_count(bigrams).alias("top_bn"),
         F.round(
             F.aggregate(
-                F.transform("ws", F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+                F.transform(ws, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
             )
             * 1.0
-            / F.size("ws"),
+            / F.size(ws),
             6,
         ).alias("mean_word_len"),
     )
-
-    return (
-        uni_doc.join(bi_doc, "doc_id")
-        .join(lens, "doc_id")
-        .select(
-            "doc_id",
-            F.col("total").cast("bigint").alias("n_tokens"),
-            F.round(1.0 - F.col("n_distinct") * 1.0 / F.col("total"), 6).alias(
-                "dup_word_frac"
-            ),
-            F.round(F.col("top_n") * 1.0 / F.col("total"), 6).alias("top_word_frac"),
-            F.round(F.col("top_bn") * 1.0 / F.col("btotal"), 6).alias(
-                "top_bigram_frac"
-            ),
-            "mean_word_len",
-            (
-                (F.col("total") >= 20)
-                & (F.col("top_n") * 1.0 / F.col("total") <= 0.25)
-                & (F.col("top_bn") * 1.0 / F.col("btotal") <= 0.15)
-            ).alias("quality_pass"),
-        )
+    return sig.select(
+        "doc_id",
+        F.col("total").alias("n_tokens"),
+        F.round(1.0 - F.col("n_distinct") * 1.0 / F.col("total"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_n") * 1.0 / F.col("total"), 6).alias("top_word_frac"),
+        F.round(F.col("top_bn") * 1.0 / (F.col("total") - 1), 6).alias(
+            "top_bigram_frac"
+        ),
+        "mean_word_len",
+        (
+            (F.col("total") >= 20)
+            & (F.col("top_n") * 1.0 / F.col("total") <= 0.25)
+            & (F.col("top_bn") * 1.0 / (F.col("total") - 1) <= 0.15)
+        ).alias("quality_pass"),
     )
 
 
