@@ -372,6 +372,77 @@ def exact_substring_contamination(
     )
 
 
+def exact_substring_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    stride: int = 8,
+    min_matched: int = 1,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Within-corpus exact-substring duplicate pairs — the train-train
+    counterpart of ``exact_substring_contamination``: unordered doc
+    pairs sharing a VERBATIM normalized character run, which word-level
+    shingling (Jaccard/MinHash) misses when tokenization shifts.
+
+    Same detection guarantee as the contamination tier: one index at
+    stride 1 (fine) and one at ``stride`` (coarse) over the SAME
+    corpus; any shared normalized run of length ≥ k + stride - 1 must
+    contain a coarse-aligned gram present in the other doc's fine
+    index. Candidates come from an equi join on md5(gram) — shuffle is
+    keyed by gram, never all-pairs; each unordered pair is
+    canonicalized (least, greatest) and matched grams counted DISTINCT
+    across both directions, so a pair never double-counts a gram seen
+    from each side.
+
+    ``max_gram_df`` drops coarse grams present in more than that many
+    docs (boilerplate runs — the hot-key skew at 100 TB), same
+    broadcast-anti-join shape as the contamination tier.
+
+    Reference grounding: generalizes the group-by-identity dedup of
+    listens/delete.py:53-60 from whole-row equality to shared verbatim
+    spans.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+
+    def gram_index(out_id: str, s: int) -> DataFrame:
+        grams_expr = (
+            f"transform(sequence(1, length(_t) - {k} + 1, {s}), "
+            f"p -> substr(_t, p, {k}))"
+        )
+        return (
+            docs.select(F.col(id_col).alias(out_id), norm.alias("_t"))
+            .where(F.length("_t") >= k)
+            .select(out_id, F.explode(F.expr(grams_expr)).alias("_g"))
+            .select(out_id, F.md5("_g").alias("g"))
+            .distinct()
+        )
+
+    cg = gram_index("cid", stride)
+    fg = gram_index("fid", 1)
+    if max_gram_df is not None:
+        hot = (
+            cg.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_gram_df)
+            .select("g")
+        )
+        cg = cg.join(F.broadcast(hot), "g", "left_anti")
+    return (
+        cg.join(fg, "g")
+        .where(F.col("cid") != F.col("fid"))
+        .select(
+            F.least("cid", "fid").alias("id_a"),
+            F.greatest("cid", "fid").alias("id_b"),
+            "g",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("g").alias("matched_grams"))
+        .where(F.col("matched_grams") >= min_matched)
+    )
+
+
 def simhash_bit(token_hash: Column, bit: int) -> Column:
     """Bit ``bit`` of a token signature: hex char ``bit`` of md5,
     0-7 → -1 vote, 8-f → +1 vote."""

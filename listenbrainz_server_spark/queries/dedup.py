@@ -303,6 +303,53 @@ def d_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Within-corpus exact-substring duplicate pairs: the train-train
+# counterpart of d_contamination_exact. Word-shingle tiers (Jaccard /
+# MinHash) miss near-copies whose tokenization shifted; verbatim
+# normalized character runs do not. One fine (stride-1) and one coarse
+# (stride-8) gram index over the SAME corpus, md5-keyed equi join,
+# unordered pairs canonicalized and gram-counted DISTINCT across both
+# directions.
+# --------------------------------------------------------------------------
+@register(
+    "d_exact_substring_pairs",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id AS cid,
+               md5(UNNEST(list_transform(range(1, len(t) - 24 + 2, 8),
+                          p -> substr(t, p, 24)))) AS g
+        FROM norm WHERE len(t) >= 24
+    ),
+    fg AS (
+        SELECT DISTINCT doc_id AS fid,
+               md5(UNNEST(list_transform(range(1, len(t) - 24 + 2, 1),
+                          p -> substr(t, p, 24)))) AS g
+        FROM norm WHERE len(t) >= 24
+    )
+    SELECT LEAST(cid, fid) AS id_a, GREATEST(cid, fid) AS id_b,
+           COUNT(DISTINCT g) AS matched_grams
+    FROM cg JOIN fg USING (g)
+    WHERE cid <> fid
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT g) >= 2
+    """,
+    doc="within-corpus exact-substring duplicate pairs: normalized "
+    "char-24-gram rolling hash, fine (stride 1) vs coarse (stride 8) "
+    "index self-join — catches tokenization-shifted near-copies",
+)
+def d_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.dedup import exact_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_pairs(docs, "doc_id", "text", k=24, stride=8, min_matched=2)
+
+
+# --------------------------------------------------------------------------
 # End-to-end corpus cleaning — the composed training-data pipeline:
 # quality gate (Gopher-style repetition thresholds) → exact dedup
 # (fingerprint, min-id representative) → near-dup collapse (Jaccard

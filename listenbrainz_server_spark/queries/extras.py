@@ -566,3 +566,91 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic domain-weighted interleaving — epoch construction for a
+# training mix: each source gets a sampling weight (upsample > 1 means
+# integer repeat copies plus a hash-gated fractional copy; downsample
+# < 1 keeps a hash-selected subset), and every emitted copy carries an
+# md5 interleave key that consumers range-partition on to get a stable
+# global shuffle order WITHOUT a single global sort. Map-only: no
+# joins, no aggregation, no driver state; the fractional gate compares
+# a fixed-width md5 prefix against a per-weight hex threshold (string
+# compare of lowercase hex == numeric compare), so the decision is
+# reproducible across engines and partitionings — same contract as
+# x_hash_sample.
+#
+# Weights here derive from the source index (src<k>): k%4==0 -> 0.25x,
+# 1 -> 1.0x, 2 -> 1.75x, 3 -> 2.5x — exercising drop, identity,
+# integer+fraction, and multi-copy paths in one query.
+# --------------------------------------------------------------------------
+@register(
+    "x_interleave_domains",
+    r"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 AS m,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':keep'), 1, 8) AS h
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, source,
+               (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END)
+               + (CASE WHEN h < (CASE m WHEN 0 THEN '40000000'
+                                        WHEN 1 THEN '00000000'
+                                        WHEN 2 THEN 'c0000000'
+                                        ELSE '80000000' END)
+                       THEN 1 ELSE 0 END) AS copies
+        FROM base
+    ),
+    expanded AS (
+        SELECT doc_id, source, UNNEST(range(1, copies + 1)) AS copy
+        FROM sized
+    )
+    SELECT doc_id, source, copy,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR))
+               AS interleave_key
+    FROM expanded
+    """,
+    doc="deterministic domain-weighted interleaving: per-source "
+    "up/downsampling via integer copies + md5-gated fractional copy, "
+    "md5 interleave key for sort-free global epoch order",
+)
+def x_interleave_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+    n_full = (
+        F.when(m == 0, 0).when(m == 1, 1).when(m == 2, 1).otherwise(2)
+    )
+    thr = (
+        F.when(m == 0, "40000000")
+        .when(m == 1, "00000000")
+        .when(m == 2, "c0000000")
+        .otherwise("80000000")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":keep"))), 1, 8
+    )
+    copies = n_full + (h < thr).cast("int")
+    expanded = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("copy"),
+    )
+    return expanded.select(
+        "doc_id",
+        "source",
+        F.col("copy").cast("bigint").alias("copy"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("copy").cast("string"),
+            )
+        ).alias("interleave_key"),
+    )

@@ -355,3 +355,144 @@ def v_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental step: index ONLY the delta, append to the state.
     index_of(delta_rows).write.mode("append").parquet(state)
     return spark.read.parquet(state)
+
+
+# --------------------------------------------------------------------------
+# Scalar-quantized (SQ8) ANN: per-dimension global min/max → 8-bit
+# bucket per element → candidate generation on DEQUANTIZED vectors →
+# exact re-rank of the top candidates on the raw floats. At 100 TB the
+# point is memory/bandwidth: an int8 corpus is 4× smaller than fp32,
+# so the candidate scan streams 4× more vectors per byte of I/O while
+# the exact tier only ever touches candidate_mult × k rows per query.
+# Plan shape: 128 partial-agg min/max (map-side combine, one 1-row
+# stats frame, broadcast — never collected), a map-only quantize
+# projection, then the same blocked-broadcast candidate matmul the
+# exact tier uses, and a window re-rank. Deterministic end to end:
+# ranking on ROUNDed scores with neighbor-id tie-breaks.
+# --------------------------------------------------------------------------
+_SQ_CAND = 20  # candidate_mult (4) × k (5)
+
+
+def _sq8_sql() -> str:
+    mins = ", ".join(f"MIN(embedding[{i + 1}]::DOUBLE)" for i in range(_DIMS))
+    maxs = ", ".join(f"MAX(embedding[{i + 1}]::DOUBLE)" for i in range(_DIMS))
+    step = "((b.mx[i] - b.mn[i]) / 256.0)"
+    return f"""
+    WITH bounds AS (
+        SELECT [{mins}] AS mn, [{maxs}] AS mx FROM embeddings
+    ),
+    dq AS (
+        SELECT e.vec_id, e.embedding,
+               list_transform(range(1, {_DIMS} + 1), i ->
+                   CASE WHEN (b.mx[i] - b.mn[i]) > 0
+                        THEN b.mn[i]
+                             + (LEAST(255.0, FLOOR(
+                                   (e.embedding[i]::DOUBLE - b.mn[i]) / {step}))
+                                + 0.5) * {step}
+                        ELSE b.mn[i] END) AS dqv
+        FROM embeddings e, bounds b
+    ),
+    qn AS (
+        SELECT vec_id, embedding, dqv,
+               sqrt(list_sum(list_transform(dqv, x -> x * x))) AS dnrm,
+               sqrt(list_sum(list_transform(range(1, {_DIMS} + 1),
+                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE)))) AS nrm
+        FROM dq
+    ),
+    qscored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND(list_sum(list_transform(range(1, {_DIMS} + 1),
+                     i -> a.dqv[i] * b.dqv[i])) / (a.dnrm * b.dnrm), 6) AS qscore,
+               ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+        FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+    ),
+    cand AS (
+        SELECT qid, nid, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY qscore DESC, nid) AS qrank
+        FROM qscored
+    ),
+    ranked AS (
+        SELECT qid, nid, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+        FROM cand WHERE qrank <= {_SQ_CAND}
+    )
+    SELECT qid, nid, score, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "v_sq8_topk",
+    _sq8_sql(),
+    doc="scalar-quantized (8-bit) ANN top-5: per-dim min/max quantize, "
+    "candidate search on dequantized vectors, exact re-rank of top "
+    f"{_SQ_CAND} candidates on raw floats",
+)
+def v_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    aggs = []
+    for i in range(_DIMS):
+        aggs.append(F.min(F.get("embedding", i)).cast("double").alias(f"mn{i}"))
+        aggs.append(F.max(F.get("embedding", i)).cast("double").alias(f"mx{i}"))
+    stats = emb.agg(*aggs).select(
+        F.array(*[F.col(f"mn{i}") for i in range(_DIMS)]).alias("mn"),
+        F.array(*[F.col(f"mx{i}") for i in range(_DIMS)]).alias("mx"),
+    )
+
+    def dq_expr(i: int):
+        x = F.get("embedding", i).cast("double")
+        mn = F.get("mn", i)
+        mx = F.get("mx", i)
+        step = (mx - mn) / 256.0
+        qv = F.least(F.lit(255.0), F.floor((x - mn) / step).cast("double"))
+        return F.when(step > 0, mn + (qv + 0.5) * step).otherwise(mn)
+
+    dq = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id", F.array(*[dq_expr(i) for i in range(_DIMS)]).alias("dqv")
+    )
+
+    cands = brute_force_topk(dq, "vec_id", "dqv", k=_SQ_CAND).select(
+        "qid", "nid"
+    )
+
+    # Exact re-rank on the raw floats: candidate_mult × k rows per
+    # query — two broadcast-able joins back to the (small per-candidate
+    # row) embedding side, JVM-side fold for the dot product.
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    nrm = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    qa = nrm.select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    qb = nrm.select(
+        F.col("vec_id").alias("nid"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        cands.join(qa, "qid")
+        .join(qb, "nid")
+        .select(
+            "qid",
+            "nid",
+            F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("qid", "nid", "score", "rank")
+    )

@@ -771,3 +771,73 @@ def t_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         rank_col="rank",
     ).select("source", "bigram", "n", F.col("rank").cast("bigint").alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# Global boilerplate n-gram detection (C4/CCNet-style): a word 5-gram
+# present in >= 3 DISTINCT documents is boilerplate (headers, footers,
+# templated spans); per-doc output reports what fraction of the doc's
+# distinct 5-grams are boilerplate. Plan: distinct per-doc gram index,
+# gram-keyed document-frequency agg, gram-keyed membership join, doc
+# re-agg — every exchange keyed (gram or doc), never all-pairs, so the
+# shape survives 100 TB; the hot-gram side stays a value count, not a
+# row multiplication.
+# --------------------------------------------------------------------------
+@register(
+    "t_boilerplate_ngrams",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, len(ws) - 3),
+                      i -> array_to_string(ws[i:i+4], ' '))) AS gram
+        FROM toks WHERE len(ws) >= 5
+    ),
+    df AS (SELECT gram, COUNT(*) AS gram_df FROM g GROUP BY 1),
+    marked AS (
+        SELECT g.doc_id, (df.gram_df >= 3) AS is_boiler
+        FROM g JOIN df USING (gram)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (is_boiler) AS BIGINT) AS boiler_grams,
+           ROUND(COUNT(*) FILTER (is_boiler) * 1.0 / COUNT(*), 6) AS boiler_frac,
+           (COUNT(*) FILTER (is_boiler) * 1.0 / COUNT(*) >= 0.2)
+               AS boilerplate_heavy
+    FROM marked
+    GROUP BY doc_id
+    """,
+    doc="global boilerplate 5-gram detection: per-doc fraction of "
+    "distinct word 5-grams shared by >= 3 documents (C4-style "
+    "templated-span signal)",
+)
+def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = (
+        docs.where(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 4),
+                    lambda i: F.array_join(F.slice("ws", i, 5), " "),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+    marked = grams.join(df, "gram").select(
+        "doc_id", (F.col("gram_df") >= 3).alias("is_boiler")
+    )
+    hits = F.sum(F.col("is_boiler").cast("bigint"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        hits.alias("boiler_grams"),
+        F.round(hits * 1.0 / F.count(F.lit(1)), 6).alias("boiler_frac"),
+        (hits * 1.0 / F.count(F.lit(1)) >= 0.2).alias("boilerplate_heavy"),
+    )

@@ -355,3 +355,102 @@ def test_approx_percentile_error_bound(spark):
 
     rank = bisect.bisect_left(vals, approx)
     assert abs(rank - n // 2) <= n / 1000 + 1, (rank, n)
+
+
+def test_top_word_count_expression(spark):
+    """top_word_count (sorted-run-length fold) must equal the explicit
+    per-word max count — including ties, single-token docs, and a
+    dominant repeated token."""
+    from listenbrainz_server_spark.functions.text import top_word_count
+
+    rows = [
+        (1, "a b a c a"),          # a×3
+        (2, "x"),                  # single token
+        (3, "t t t t"),            # all same
+        (4, "p q p q"),            # tie at 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.top
+        for r in df.select(
+            "doc_id", top_word_count(F.split("text", " ")).alias("top")
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 4, 4: 2}
+
+
+def test_exact_substring_pairs_adversarial(spark):
+    """Train-train twin of the contamination detector: two docs sharing
+    a verbatim-but-reformatted normalized run >= k+stride-1 chars must
+    pair up exactly once (canonical id order), unrelated docs must not,
+    and word-shingle Jaccard at 0.5 misses the same pair."""
+    from listenbrainz_server_spark.operators.dedup import (
+        exact_substring_pairs,
+        jaccard_pairs,
+    )
+
+    shared = "The quick brown fox jumps over the lazy dog near the river bank"
+    reformatted = (
+        "PREFIX pad:  the QUICK-brown fox;; jumps OVER the lazy dog — "
+        "near the RIVER bank!! plus unrelated trailing tokens here now"
+    )
+    docs = spark.createDataFrame(
+        [
+            (5, shared),
+            (9, reformatted),
+            (7, "completely unrelated content about database join strategies"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in exact_substring_pairs(
+            docs, "doc_id", "text", k=24, stride=8, min_matched=2
+        ).collect()
+    }
+    assert got == {(5, 9)}
+
+    miss = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).count()
+    assert miss == 0
+
+
+def test_interleave_domains_deterministic_and_weighted(spark):
+    """x_interleave_domains: copies are deterministic across runs; a
+    weight-1.0 source emits exactly one copy per doc; a weight-2.5
+    source emits >= 2 copies per doc; interleave keys are unique."""
+    from listenbrainz_server_spark.queries import load_all
+
+    fn = load_all()["x_interleave_domains"].fn
+    sf = "/root/testdata/sf0.001"
+    a = fn(spark, sf).collect()
+    b = fn(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    rows = [r.asDict() for r in a]
+    keys = [r["interleave_key"] for r in rows]
+    assert len(keys) == len(set(keys))
+
+    from collections import Counter
+
+    per_doc = Counter((r["source"], r["doc_id"]) for r in rows)
+    for (src, _doc), n in per_doc.items():
+        srcnum = int("".join(ch for ch in src if ch.isdigit()))
+        if srcnum % 4 == 1:
+            assert n == 1, (src, n)
+        elif srcnum % 4 == 3:
+            assert n >= 2, (src, n)
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """SQ8 is an approximation tier with exact re-rank: its top-5 per
+    query must overlap heavily with the exact brute-force top-5 (the
+    8-bit grid rarely perturbs the candidate boundary)."""
+    from listenbrainz_server_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.qid, r.nid) for r in reg["v_cosine_topk"].fn(spark, sf).collect()
+    }
+    sq8 = {(r.qid, r.nid) for r in reg["v_sq8_topk"].fn(spark, sf).collect()}
+    assert len(sq8 & exact) / len(exact) >= 0.8

@@ -125,3 +125,49 @@ def test_contamination_exact_keyed_join_only(spark, registry):
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "BatchEvalPython" not in tree
+
+
+def test_repetition_signals_zero_exchange(spark, registry):
+    """t_repetition_signals folds every signal into per-row array
+    expressions — the plan must be a map-only projection off the scan:
+    zero exchanges, no Generate/explode, no Python evaluation."""
+    tree = tree_of(plan_of(spark, registry, "t_repetition_signals"))
+    assert tree.count("Exchange") == 0
+    assert "BatchEvalPython" not in tree
+
+
+def test_boilerplate_ngrams_keyed_joins_only(spark, registry):
+    """t_boilerplate_ngrams: gram DF membership must come from a
+    gram-keyed equi join — never a cartesian or nested loop."""
+    tree = tree_of(plan_of(spark, registry, "t_boilerplate_ngrams"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_exact_substring_pairs_keyed_join_only(spark, registry):
+    """d_exact_substring_pairs: candidates ride the md5(gram) equi
+    join; the fine x coarse self-join must never nested-loop."""
+    tree = tree_of(plan_of(spark, registry, "d_exact_substring_pairs"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_interleave_domains_map_only(spark, registry):
+    """x_interleave_domains is pure per-row expansion: no exchange, no
+    join, no Python evaluation — the shape that scales linearly."""
+    tree = tree_of(plan_of(spark, registry, "x_interleave_domains"))
+    assert tree.count("Exchange") == 0
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_sq8_topk_no_cartesian_stats_broadcast(spark, registry):
+    """v_sq8_topk: the 1-row min/max stats frame must ride a broadcast
+    (J15 grand-total pattern) and the candidate/re-rank joins must be
+    keyed — no CartesianProduct, no row-at-a-time Python."""
+    tree = tree_of(plan_of(spark, registry, "v_sq8_topk"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastExchange" in tree
+    assert "BatchEvalPython" not in tree
