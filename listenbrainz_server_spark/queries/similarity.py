@@ -496,3 +496,84 @@ def v_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("qid", "nid", "score", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space outlier detection — corpus hygiene for a training
+# set: per-label centroid (64 map-side-combined avg aggregates — one
+# tiny label-keyed exchange), distance of every vector to its label's
+# centroid, and a per-label z-score flag. Centroids / means / stds are
+# ROUNDed to 6dp on both engines BEFORE downstream arithmetic, so the
+# distances and z-scores derive from bit-identical inputs and the
+# verdict can't wobble on float summation order. The centroid frame is
+# label-cardinality rows — broadcast, never collected.
+# --------------------------------------------------------------------------
+def _centroid_sql() -> str:
+    cols = ", ".join(
+        f"ROUND(AVG(embedding[{i + 1}]::DOUBLE), 6)" for i in range(_DIMS)
+    )
+    dist = (
+        f"sqrt(list_sum(list_transform(range(1, {_DIMS} + 1), "
+        f"i -> (e.embedding[i]::DOUBLE - c.ctr[i]) "
+        f"* (e.embedding[i]::DOUBLE - c.ctr[i]))))"
+    )
+    return f"""
+    WITH ctr AS (
+        SELECT label, [{cols}] AS ctr FROM embeddings GROUP BY label
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label, ROUND({dist}, 6) AS dist
+        FROM embeddings e JOIN ctr c USING (label)
+    ),
+    mom AS (
+        SELECT label, ROUND(AVG(dist), 6) AS mu,
+               ROUND(STDDEV_POP(dist), 6) AS sigma
+        FROM dists GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.dist,
+           ROUND((d.dist - m.mu) / m.sigma, 4) AS z,
+           ((d.dist - m.mu) / m.sigma > 2.0) AS outlier
+    FROM dists d JOIN mom m USING (label)
+    """
+
+
+@register(
+    "v_centroid_outliers",
+    _centroid_sql(),
+    doc="embedding outlier detection: distance to per-label centroid "
+    "+ per-label z-score flag (corpus hygiene before training)",
+)
+def v_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    ctr = emb.groupBy("label").agg(
+        *[
+            F.round(F.avg(F.get("embedding", i)), 6).alias(f"c{i}")
+            for i in range(_DIMS)
+        ]
+    ).select("label", F.array(*[F.col(f"c{i}") for i in range(_DIMS)]).alias("ctr"))
+
+    diff = F.zip_with(
+        "embedding",
+        "ctr",
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    dists = emb.join(F.broadcast(ctr), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)), 6
+        ).alias("dist"),
+    )
+    mom = dists.groupBy("label").agg(
+        F.round(F.avg("dist"), 6).alias("mu"),
+        F.round(F.stddev_pop("dist"), 6).alias("sigma"),
+    )
+    z = (F.col("dist") - F.col("mu")) / F.col("sigma")
+    return dists.join(F.broadcast(mom), "label").select(
+        "vec_id",
+        "label",
+        "dist",
+        F.round(z, 4).alias("z"),
+        (z > 2.0).alias("outlier"),
+    )

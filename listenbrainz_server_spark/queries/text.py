@@ -841,3 +841,151 @@ def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hits * 1.0 / F.count(F.lit(1)), 6).alias("boiler_frac"),
         (hits * 1.0 / F.count(F.lit(1)) >= 0.2).alias("boilerplate_heavy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage CDF — tokenizer-design analytics: global word
+# frequencies, frequency rank, corpus share, cumulative coverage, and
+# a head-vocab flag (the words a 90%-coverage vocabulary would keep).
+# Plan: one word-keyed agg over the exploded corpus (map-side
+# combine), then rank/cumsum windows over the AGGREGATED vocabulary —
+# the window's single partition is safe because its input is the
+# data-reduced vocab (~1e5 rows even at 100 TB), never the corpus; the
+# grand total rides a broadcast (J15 pattern). Top 200 rows out.
+# --------------------------------------------------------------------------
+@register(
+    "t_vocab_coverage",
+    """
+    WITH counts AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    ranked AS (
+        SELECT w, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank,
+               ROUND(n * 1.0 / t.total, 6) AS share,
+               ROUND(SUM(n) OVER (ORDER BY n DESC, w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1.0 / t.total, 6) AS cum_share
+        FROM counts, tot t
+    )
+    SELECT w, n, rank, share, cum_share, (cum_share <= 0.9) AS in_head90
+    FROM ranked
+    WHERE rank <= 200
+    """,
+    doc="vocabulary coverage CDF: global word frequency rank, corpus "
+    "share, cumulative coverage, 90%-coverage head-vocab flag (top 200)",
+)
+def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    w_rank = Window.orderBy(F.col("n").desc(), "w")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("share", F.round(F.col("n") * 1.0 / F.col("total"), 6))
+        .withColumn(
+            "cum_share",
+            F.round(F.sum("n").over(w_cum) * 1.0 / F.col("total"), 6),
+        )
+    )
+    return ranked.where(F.col("rank") <= 200).select(
+        "w", "n", "rank", "share", "cum_share",
+        (F.col("cum_share") <= 0.9).alias("in_head90"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram-CDF quality calibration — the mega-domain scale path that
+# t_quality_calibrated's comment promises: the same per-domain
+# percentile contract WITHOUT a per-source sort of documents. Scores
+# land in fixed 0.05-wide bins (70 bins over [-1.0, 2.5]); per-
+# (source, bin) counts reduce the corpus to <= sources × 70 rows; the
+# cumulative-below window runs over THAT dim table; documents then
+# pick up their percentile through a broadcast (source, bin) join.
+# Exchange profile: one keyed agg + one tiny dim window — no source
+# ever needs a total order of its documents, so a single mega-domain
+# can't outgrow a task's sort budget.
+# --------------------------------------------------------------------------
+@register(
+    "t_quality_calibrated_hist",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, {_QUALITY_EXPR} AS quality FROM toks
+    ),
+    binned AS (
+        SELECT doc_id, source, quality,
+               CAST(LEAST(69, GREATEST(0,
+                    FLOOR((quality + 1.0) / 0.05))) AS INT) AS bin
+        FROM q
+    ),
+    bc AS (
+        SELECT source, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT source, bin,
+               COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below,
+               SUM(n) OVER (PARTITION BY source) AS tot
+        FROM bc
+    )
+    SELECT b.doc_id, b.source, b.quality, b.bin,
+           ROUND(c.below * 1.0 / c.tot, 6) AS hist_pctile,
+           (c.below * 1.0 / c.tot >= 0.2) AS keep
+    FROM binned b JOIN cum c USING (source, bin)
+    """,
+    doc="histogram-CDF per-domain quality percentile: fixed 0.05 bins, "
+    "per-(source,bin) counts + dim-table cumsum + broadcast join back "
+    "— the mega-domain path with no per-source document sort",
+)
+def t_quality_calibrated_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+    ).withColumn(
+        "bin",
+        F.least(
+            F.lit(69),
+            F.greatest(F.lit(0), F.floor((F.col("quality") + 1.0) / 0.05)),
+        ).cast("int"),
+    )
+    bc = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n"))
+    w_below = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("source")
+    cum = bc.select(
+        "source",
+        "bin",
+        F.coalesce(F.sum("n").over(w_below), F.lit(0)).alias("below"),
+        F.sum("n").over(w_tot).alias("tot"),
+    )
+    pct = F.col("below") * 1.0 / F.col("tot")
+    return binned.join(F.broadcast(cum), ["source", "bin"]).select(
+        "doc_id",
+        "source",
+        "quality",
+        "bin",
+        F.round(pct, 6).alias("hist_pctile"),
+        (pct >= 0.2).alias("keep"),
+    )

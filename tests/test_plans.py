@@ -171,3 +171,36 @@ def test_sq8_topk_no_cartesian_stats_broadcast(spark, registry):
     assert "CartesianProduct" not in tree
     assert "BroadcastExchange" in tree
     assert "BatchEvalPython" not in tree
+
+
+def test_centroid_outliers_broadcast_joins(spark, registry):
+    """v_centroid_outliers: both the centroid and the moments frames
+    are label-cardinality dims — they must ride broadcast hash joins,
+    never a sort-merge of the corpus."""
+    tree = tree_of(plan_of(spark, registry, "v_centroid_outliers"))
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_vocab_coverage_aggregates_before_window(spark, registry):
+    """t_vocab_coverage: the global rank/cumsum window is only legal
+    because its input is the data-reduced vocabulary — the plan must
+    show the word-keyed partial+final aggregate BELOW the window, and
+    no Python evaluation."""
+    tree = tree_of(plan_of(spark, registry, "t_vocab_coverage"))
+    assert tree.count("HashAggregate") >= 2
+    assert "Window" in tree
+    assert tree.index("Window") < tree.index("HashAggregate")
+    assert "BatchEvalPython" not in tree
+
+
+def test_quality_hist_no_per_source_doc_sort(spark, registry):
+    """t_quality_calibrated_hist: the mega-domain contract — documents
+    join a broadcast (source, bin) dim; the only Sort in the plan may
+    be the dim-table cumsum window (source x 70 bins), never a sort of
+    the document side (which would appear as a SortMergeJoin)."""
+    tree = tree_of(plan_of(spark, registry, "t_quality_calibrated_hist"))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "BatchEvalPython" not in tree
