@@ -448,3 +448,126 @@ def _similar_users_sql(k: int) -> str:
 )
 def api_similar_users_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch("similarity.similar_users", spark, sf_dir, max_num_users=1)
+
+
+# --------------------------------------------------------------------------
+# stats.user.era_activity: user x era-year counts (era_activity.py
+# semantics; sitewide variant covered by api_sitewide_era_activity).
+# --------------------------------------------------------------------------
+@register(
+    "api_user_era_activity",
+    """
+    SELECT o_custkey AS user_id,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS era_year,
+           COUNT(*) AS listen_count
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) >= 1800
+    GROUP BY 1, 2
+    """,
+    doc="stats.user.era_activity dispatched (user x era-year counts)",
+)
+def api_user_era_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("stats.user.era_activity", spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# stats.sitewide.artist_evolution_activity: year x entity counts with
+# the user dimension aggregated away.
+# --------------------------------------------------------------------------
+@register(
+    "api_artist_evolution_sitewide",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+           o_orderpriority AS entity,
+           COUNT(*) AS listen_count
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="stats.sitewide.artist_evolution_activity dispatched "
+    "(year x entity counts, sitewide)",
+)
+def api_artist_evolution_sitewide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("stats.sitewide.artist_evolution_activity", spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# stats.entity.listeners at range=week: top-K listeners per entity
+# over the last COMPLETE week before the anchor's week, plus the
+# entity's total listener count. (The fixture's events span a single
+# month, so week is the narrowest range with guaranteed rows.)
+# --------------------------------------------------------------------------
+@register(
+    "api_listener_entity_week",
+    """
+    WITH a AS (SELECT date_trunc('week', max(ts)) AS wend FROM events),
+    ranged AS (
+        SELECT e.* FROM events e, a
+        WHERE e.ts >= a.wend - INTERVAL 7 DAY AND e.ts < a.wend
+    ),
+    counts AS (
+        SELECT event_type, user_id, COUNT(*) AS listen_count
+        FROM ranged GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, user_id, listen_count,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS total_listeners
+        FROM counts
+    )
+    SELECT * FROM (
+        SELECT event_type, user_id, listen_count, total_listeners,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY listen_count DESC, user_id) AS BIGINT) AS rank
+        FROM tot
+    ) WHERE rank <= 2
+    """,
+    doc="stats.entity.listeners dispatched with stats_range=week, k=2",
+)
+def api_listener_entity_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch(
+        "stats.entity.listeners", spark, sf_dir, stats_range="week", k=2
+    )
+
+
+# --------------------------------------------------------------------------
+# stats.sitewide.listening_activity at range=week: zero-filled day
+# buckets over the last complete week, user dimension aggregated.
+# --------------------------------------------------------------------------
+@register(
+    "api_sitewide_listening_activity_week",
+    """
+    WITH a AS (SELECT date_trunc('week', max(ts)) AS wend FROM events),
+    rng AS (
+        SELECT a.wend - INTERVAL 7 DAY AS mstart, a.wend AS mend FROM a
+    ),
+    days AS (
+        SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS bucket,
+               CAST(d AS TIMESTAMP) AS bstart,
+               CAST(d AS TIMESTAMP) + INTERVAL 1 DAY AS bend
+        FROM generate_series(DATE '2024-01-01', DATE '2025-12-31',
+                             INTERVAL 1 DAY) t(d), rng
+        WHERE CAST(d AS TIMESTAMP) >= rng.mstart
+          AND CAST(d AS TIMESTAMP) < rng.mend
+    ),
+    ranged AS (
+        SELECT e.* FROM events e, rng
+        WHERE e.ts >= rng.mstart AND e.ts < rng.mend
+    ),
+    agg AS (
+        SELECT d.bucket, COUNT(*) AS listen_count
+        FROM ranged r JOIN days d ON r.ts >= d.bstart AND r.ts < d.bend
+        GROUP BY 1
+    )
+    SELECT d.bucket, COALESCE(a2.listen_count, 0) AS listen_count
+    FROM days d LEFT JOIN agg a2 USING (bucket)
+    """,
+    doc="stats.sitewide.listening_activity dispatched with "
+    "stats_range=week (zero-filled day buckets)",
+)
+def api_sitewide_listening_activity_week(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return dispatch(
+        "stats.sitewide.listening_activity", spark, sf_dir, stats_range="week"
+    )
