@@ -571,3 +571,66 @@ def api_sitewide_listening_activity_week(
     return dispatch(
         "stats.sitewide.listening_activity", spark, sf_dir, stats_range="week"
     )
+
+
+# --------------------------------------------------------------------------
+# year_in_music.day_of_week: each user's most-listened weekday
+# (ISO weekday, deterministic tie-break on weekday index).
+# --------------------------------------------------------------------------
+@register(
+    "api_yim_day_of_week",
+    """
+    WITH counts AS (
+        SELECT user_id, CAST(isodow(ts) AS BIGINT) AS dow, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, dow, n FROM (
+        SELECT user_id, dow, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n DESC, dow) AS rk
+        FROM counts
+    ) WHERE rk = 1
+    """,
+    doc="year_in_music.day_of_week dispatched (per-user top weekday)",
+)
+def api_yim_day_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("year_in_music.day_of_week", spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# popularity.popularity: total listens + distinct listeners per entity.
+# --------------------------------------------------------------------------
+@register(
+    "api_popularity",
+    """
+    SELECT event_type,
+           COUNT(*) AS total_listen_count,
+           COUNT(DISTINCT user_id) AS total_user_count
+    FROM events GROUP BY 1
+    """,
+    doc="popularity.popularity dispatched (listens + listeners per entity)",
+)
+def api_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("popularity.popularity", spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# troi.playlists: per-user deterministic diversification picks
+# (md5-ordered in place of the reference's seeded RANDOM()).
+# --------------------------------------------------------------------------
+@register(
+    "api_troi_playlists",
+    """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT user_id, event_type, pick FROM (
+        SELECT user_id, event_type,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY md5(event_type))
+                   AS BIGINT) AS pick
+        FROM d
+    ) WHERE pick <= 2
+    """,
+    doc="troi.playlists dispatched (per-user md5-deterministic picks)",
+)
+def api_troi_playlists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dispatch("troi.playlists", spark, sf_dir)
