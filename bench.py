@@ -58,6 +58,12 @@ HEADLINE_NEW = (
     "d_contamination",
     "t_repetition_signals",
     "t_sequence_pack",
+    # r4 families: verbatim-span dedup, quantized ANN, epoch mixing,
+    # histogram-CDF calibration.
+    "d_exact_substring_pairs",
+    "v_sq8_topk",
+    "x_interleave_domains",
+    "t_quality_calibrated_hist",
 )
 
 
