@@ -483,3 +483,153 @@ def d_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         kept, "doc_id", token_count(F.col("text")), budget=256, n_shards=8
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash calibration — the sketch-quality report for the LSH tier:
+# for every LSH candidate pair, the signature-agreement Jaccard
+# ESTIMATE (fraction of equal minhash components) next to the EXACT
+# shingle-set Jaccard, with the absolute error. This is how you size
+# H (signature width) and the banding scheme before trusting the
+# sketch at 100 TB: exact Jaccard is only ever computed on the
+# LSH-bounded candidate set, never all pairs. Shares every primitive
+# (md5 minhash, band keys, shingle index) with d_minhash_lsh /
+# d_jaccard_pairs, so the estimate is calibrated against the exact
+# tier it replaces.
+# --------------------------------------------------------------------------
+def _minhash_estimate_sql() -> str:
+    sig_cols = ",\n               ".join(
+        f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(_H)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"""        SELECT doc_id, {b} AS band_id,
+               md5(concat_ws('|', {', '.join(f'mh{b * _R + r}' for r in range(_R))})) AS band_key
+        FROM sigs"""
+        for b in range(_B)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(_H)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM idx GROUP BY doc_id
+    ),
+    buckets AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a
+        JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY 1),
+    shared AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN idx a ON a.doc_id = c.id_a
+        JOIN idx b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+        GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(({agree}) / {float(_H)}, 6) AS est_jaccard,
+           ROUND(COALESCE(s.shared, 0) * 1.0
+                 / (za.sz + zb.sz - COALESCE(s.shared, 0)), 6) AS jaccard,
+           ROUND(ABS(({agree}) / {float(_H)}
+                 - COALESCE(s.shared, 0) * 1.0
+                   / (za.sz + zb.sz - COALESCE(s.shared, 0))), 6) AS abs_err
+    FROM cand c
+    LEFT JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    """
+
+
+@register(
+    "d_minhash_estimate",
+    _minhash_estimate_sql(),
+    doc=f"MinHash calibration: signature-agreement Jaccard estimate vs "
+    f"exact shingle Jaccard on the LSH candidate set (H={_H})",
+)
+def d_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # One shingle index feeds signatures, sizes, and the exact-overlap
+    # join (three branches) — pin it once.
+    idx = shingle_index(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    sigs = minhash_signatures(idx, "doc_id", _H).localCheckpoint(eager=True)
+
+    rows = _R
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            ).alias("band_key"),
+        )
+        for b in range(_B)
+    ]
+    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+    a = buckets.select(
+        F.col("doc_id").alias("id_a"), "band_id", "band_key"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("id_b"), "band_id", "band_key"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ia = idx.select(F.col("doc_id").alias("id_a"), "shingle")
+    ib = idx.select(F.col("doc_id").alias("id_b"), "shingle")
+    shared = (
+        cand.join(ia, "id_a")
+        .join(ib, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_H)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_H)]
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_H)
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+
+    est = F.round(agree / float(_H), 6)
+    sh = F.coalesce(F.col("shared"), F.lit(0))
+    exact = sh * 1.0 / (F.col("sza") + F.col("szb") - sh)
+    return (
+        cand.join(shared, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            F.round(exact, 6).alias("jaccard"),
+            F.round(F.abs(agree / float(_H) - exact), 6).alias("abs_err"),
+        )
+    )

@@ -454,3 +454,21 @@ def test_sq8_topk_recall_vs_exact(spark):
     }
     sq8 = {(r.qid, r.nid) for r in reg["v_sq8_topk"].fn(spark, sf).collect()}
     assert len(sq8 & exact) / len(exact) >= 0.8
+
+
+def test_minhash_estimate_calibration(spark):
+    """The signature-agreement estimate must track exact Jaccard on
+    the LSH candidate set: identical docs estimate 1.0 exactly, and
+    the mean absolute error stays within the H=16 sketch's standard
+    error budget."""
+    from listenbrainz_server_spark.queries import load_all
+
+    rows = load_all()["d_minhash_estimate"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "LSH candidates expected on the fixture"
+    errs = [r.abs_err for r in rows]
+    assert sum(errs) / len(errs) <= 0.25
+    for r in rows:
+        if r.jaccard == 1.0:
+            assert r.est_jaccard == 1.0

@@ -204,3 +204,12 @@ def test_quality_hist_no_per_source_doc_sort(spark, registry):
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
     assert "BatchEvalPython" not in tree
+
+
+def test_minhash_estimate_no_all_pairs(spark, registry):
+    """d_minhash_estimate: exact Jaccard is computed only on the
+    LSH-bounded candidate set — every join keyed, no cartesian, no
+    Python evaluation."""
+    tree = tree_of(plan_of(spark, registry, "d_minhash_estimate"))
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree
