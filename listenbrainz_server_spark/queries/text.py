@@ -989,3 +989,88 @@ def t_quality_calibrated_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct, 6).alias("hist_pctile"),
         (pct >= 0.2).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram LM — the stronger form of the unigram gate
+# (CCNet's KenLM filter shape, self-trained on the corpus): per-doc
+# average log10 of 0.75·P(w2|w1) + 0.25·P(w2). Plan: the bigram and
+# context tables are corpus-reduced aggregates joined back on their
+# keys (bigram instances never meet anything unkeyed); the token
+# grand total rides a broadcast. The bigram table can be large — it
+# stays a shuffled equi join by design, it must never be broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "t_bigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    inst AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(ws)),
+                      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+        FROM toks WHERE len(ws) >= 2
+    ),
+    bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM inst),
+    uni AS (
+        SELECT tok, COUNT(*) AS ucnt
+        FROM (SELECT UNNEST(ws) AS tok FROM toks) GROUP BY tok
+    ),
+    tot AS (SELECT SUM(ucnt) AS total FROM uni),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS bn FROM bi GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(bn) AS cn FROM bcnt GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LOG10(
+               0.75 * (b2.bn * 1.0 / c.cn)
+               + 0.25 * (u.ucnt * 1.0 / t.total))), 6) AS avg_logprob
+    FROM bi
+    JOIN bcnt b2 USING (w1, w2)
+    JOIN ctx c USING (w1)
+    JOIN uni u ON u.tok = bi.w2, tot t
+    GROUP BY doc_id
+    """,
+    doc="interpolated corpus-bigram LM: per-doc average "
+    "log10(0.75*P(w2|w1) + 0.25*P(w2)) quality gate",
+)
+def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    ws = F.col("ws")
+    inst = docs.where(F.size(ws) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 2),
+                lambda i: F.struct(
+                    F.get(ws, i).alias("w1"), F.get(ws, i + 1).alias("w2")
+                ),
+            )
+        ).alias("b"),
+    )
+    bi = inst.select("doc_id", "b.w1", "b.w2")
+    uni = (
+        docs.select(F.explode(ws).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    tot = uni.agg(F.sum("ucnt").alias("total"))
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
+    ctx = bcnt.groupBy("w1").agg(F.sum("bn").alias("cn"))
+    p = (
+        0.75 * (F.col("bn") * 1.0 / F.col("cn"))
+        + 0.25 * (F.col("ucnt") * 1.0 / F.col("total"))
+    )
+    scored = (
+        bi.join(bcnt, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .join(F.broadcast(tot))
+        .withColumn("lp", F.log10(p))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

@@ -213,3 +213,13 @@ def test_minhash_estimate_no_all_pairs(spark, registry):
     tree = tree_of(plan_of(spark, registry, "d_minhash_estimate"))
     assert "CartesianProduct" not in tree
     assert "BatchEvalPython" not in tree
+
+
+def test_bigram_logprob_keyed_joins_and_broadcast_total(spark, registry):
+    """t_bigram_logprob: bigram/context/unigram joins are keyed equi
+    joins; only the 1-row token total may ride a broadcast nested
+    loop; no cartesian, no Python evaluation."""
+    tree = tree_of(plan_of(spark, registry, "t_bigram_logprob"))
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree
+    assert "BroadcastExchange" in tree
