@@ -461,21 +461,30 @@ def v_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = brute_force_topk(dq, "vec_id", "dqv", k=_SQ_CAND).select(
         "qid", "nid"
     )
+    return _exact_rerank(emb, cands, k=5)
 
-    # Exact re-rank on the raw floats: candidate_mult × k rows per
-    # query — two broadcast-able joins back to the (small per-candidate
-    # row) embedding side, JVM-side fold for the dot product.
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+
+def _vec_dot(a, b):
+    """JVM-side fold dot product over two float arrays (doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _exact_rerank(emb: DataFrame, cands: DataFrame, k: int) -> DataFrame:
+    """Exact cosine re-rank of an ANN candidate set on the raw floats:
+    candidate_mult × k rows per query — two keyed joins back to the
+    embedding side, JVM-side fold for the dot product, window top-k on
+    (rounded score desc, nid). Shared by the quantized/truncated
+    candidate tiers (SQ8, prefix dims)."""
+    from pyspark.sql import Window
 
     nrm = emb.select(
         "vec_id",
         F.col("embedding").alias("e"),
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(_vec_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     qa = nrm.select(
         F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na")
@@ -489,14 +498,15 @@ def v_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "nid",
-            F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
-            .alias("score"),
+            F.round(
+                _vec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= 5)
+        .where(F.col("rank") <= k)
         .select("qid", "nid", "score", "rank")
     )
 
@@ -580,3 +590,77 @@ def v_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (z > 2.0).alias("outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-dimension (Matryoshka-style) ANN: candidate generation on the
+# FIRST 16 of 64 dimensions, exact re-rank on the full vector. The
+# complementary compression axis to SQ8 — SQ8 shrinks bytes per
+# dimension, the prefix tier drops dimensions entirely (4× less
+# candidate-scan compute and I/O). Same candidate/re-rank contract as
+# v_sq8_topk via the shared _exact_rerank.
+#
+# Distribution caveat (measured on the fixture): the tier presumes
+# FRONT-LOADED embeddings (Matryoshka/PCA-rotated). On the isotropic
+# synthetic fixture a 16/64 prefix carries ~1/4 of the cosine signal,
+# so recall@5 with the standard 4k candidate pool is ~0.3 (0.77 at a
+# 24k pool) — the documented worst case, still far above the 1%
+# random baseline. SQ8 is the distribution-free compression tier
+# (recall ≥ 0.8 on the same fixture); pick prefix only when the
+# embedding training justifies it. The oracle verifies the CONTRACT
+# (candidates by rounded prefix cosine, exact re-rank) exactly.
+# --------------------------------------------------------------------------
+_PREFIX_DIMS = 16
+
+
+def _prefix_sql() -> str:
+    pdot = (
+        "list_sum(list_transform(range(1, {p} + 1), "
+        "i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))"
+    ).format(p=_PREFIX_DIMS)
+    return f"""
+    WITH pn AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(range(1, {_PREFIX_DIMS} + 1),
+                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE))))
+                   AS pnrm,
+               sqrt(list_sum(list_transform(range(1, {_DIMS} + 1),
+                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE))))
+                   AS nrm
+        FROM embeddings
+    ),
+    qscored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND({pdot} / (a.pnrm * b.pnrm), 6) AS qscore,
+               ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+        FROM pn a JOIN pn b ON a.vec_id <> b.vec_id
+    ),
+    cand AS (
+        SELECT qid, nid, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY qscore DESC, nid) AS qrank
+        FROM qscored
+    ),
+    ranked AS (
+        SELECT qid, nid, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+        FROM cand WHERE qrank <= {_SQ_CAND}
+    )
+    SELECT qid, nid, score, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "v_prefix_topk",
+    _prefix_sql(),
+    doc=f"prefix-dimension ANN top-5: candidates on the first "
+    f"{_PREFIX_DIMS}/{_DIMS} dims, exact re-rank on the full vector",
+)
+def v_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pre = emb.select(
+        "vec_id", F.slice("embedding", 1, _PREFIX_DIMS).alias("pvec")
+    )
+    cands = brute_force_topk(pre, "vec_id", "pvec", k=_SQ_CAND).select("qid", "nid")
+    return _exact_rerank(emb, cands, k=5)
