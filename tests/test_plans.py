@@ -223,3 +223,14 @@ def test_bigram_logprob_keyed_joins_and_broadcast_total(spark, registry):
     assert "CartesianProduct" not in tree
     assert "BatchEvalPython" not in tree
     assert "BroadcastExchange" in tree
+
+
+def test_curriculum_order_no_corpus_sort(spark, registry):
+    """x_curriculum_order: phases come from a broadcast histogram-CDF
+    dim join — no SortMergeJoin (which would imply sorting documents),
+    no cartesian, no Python evaluation. The only Sort may be the
+    70-row bin cumsum."""
+    tree = tree_of(plan_of(spark, registry, "x_curriculum_order"))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "BatchEvalPython" not in tree
