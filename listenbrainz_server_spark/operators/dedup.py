@@ -506,3 +506,63 @@ def contamination_pairs(
         .where(F.col("containment") >= min_containment)
         .select("train_id", "bench_id", "shared_ngrams", "containment")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: ids whose signatures differ in at most
+    ``max_hamming`` bits, found via band-bucket candidates — never an
+    all-pairs join.
+
+    Completeness by pigeonhole: with ``bands`` equal slices of the
+    signature and ``max_hamming < bands``, any pair within the Hamming
+    budget must agree EXACTLY on at least one band, so the band-key
+    equi join (distinct, canonicalized) finds every qualifying pair;
+    the Hamming filter then drops band-collision false positives.
+    Same bucketed-join scale shape as MinHash-LSH banding.
+    """
+    assert bits % bands == 0, "bands must evenly slice the signature"
+    assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
+    width = bits // bands
+    sigs = simhash(df, id_col, text_col, bits)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.substring("simhash", b * width + 1, width).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+    a = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    hamming = sum(
+        (
+            F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1)
+        ).cast("int")
+        for i in range(bits)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -490,3 +490,42 @@ def test_prefix_topk_recall_vs_exact(spark):
     }
     pre = {(r.qid, r.nid) for r in reg["v_prefix_topk"].fn(spark, sf).collect()}
     assert len(pre & exact) / len(exact) >= 0.2
+
+
+def test_simhash_pairs_planted_fixture(spark):
+    """simhash_pairs: a doc and its lightly-edited copy (shared token
+    multiset minus a couple of words) land within the Hamming budget
+    and pair up; a doc with disjoint vocabulary does not.
+
+    Registry note: this operator is deliberately NOT a registered
+    query on the documents fixture — that corpus draws from a ~31-word
+    vocabulary, so every doc's token DISTRIBUTION matches every
+    other's and SimHash (a distributional sketch) correctly marks
+    ~all pairs as near-dups (400k+ pairs at sf0.1). The bucketed-join
+    shape is driver-verified via d_minhash_lsh; this test pins the
+    operator's semantics on a fixture where signatures can separate."""
+    from listenbrainz_server_spark.operators.dedup import simhash_pairs
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    # Long doc (100 tokens): a one-token edit shifts each bit's vote
+    # sum by at most 2, flipping only near-zero-margin bits.
+    base = " ".join([words] * 5)
+    near = base.replace("tango", "uniform", 1)
+    far = (
+        "zinc copper iron nickel cobalt silver golden platinum mercury "
+        "lead tin bismuth antimony arsenic gallium indium thallium"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
