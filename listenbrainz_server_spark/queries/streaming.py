@@ -345,3 +345,64 @@ def st_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("delay_sec"),
         F.col("purchase_id").isNull().alias("unattributed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark sizing — the out-of-orderness profile that decides a
+# streaming job's watermark delay: treating the monotone ingest id
+# (event_id) as arrival order, lateness(e) = max event-time seen so
+# far in the user's arrival stream minus e's own event time. Per-user
+# report: event count, worst lateness, and how many events a 5-minute
+# watermark would have dropped. One user-keyed window (arrival-order
+# running max) + one keyed agg — the same partitioning both stages,
+# single exchange. Pure integer microsecond arithmetic on both
+# engines, so the verdict is exact.
+# --------------------------------------------------------------------------
+@register(
+    "st_watermark_sizing",
+    """
+    WITH arr AS (
+        SELECT user_id, event_id, ts,
+               MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_max
+        FROM events
+    ),
+    late AS (
+        SELECT user_id,
+               epoch_us(run_max) - epoch_us(ts) AS late_us
+        FROM arr
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s,
+           CAST(COUNT(*) FILTER (late_us > 300000000) AS BIGINT)
+               AS dropped_by_5m_watermark
+    FROM late
+    GROUP BY user_id
+    """,
+    doc="watermark sizing: per-user arrival-order lateness profile "
+    "(worst lateness + events a 5-minute watermark would drop)",
+)
+def st_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")
+        ).alias("late_us"),
+    )
+    return late.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.max("late_us") / 1000000).cast("bigint").alias("max_late_s"),
+        F.sum((F.col("late_us") > 300000000).cast("bigint")).alias(
+            "dropped_by_5m_watermark"
+        ),
+    )

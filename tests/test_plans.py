@@ -234,3 +234,11 @@ def test_curriculum_order_no_corpus_sort(spark, registry):
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
     assert "BatchEvalPython" not in tree
+
+
+def test_watermark_sizing_single_exchange(spark, registry):
+    """st_watermark_sizing: the running-max window and the per-user
+    agg share hash(user_id) partitioning — exactly one exchange."""
+    tree = tree_of(plan_of(spark, registry, "st_watermark_sizing"))
+    assert tree.count("Exchange") == 1
+    assert "BatchEvalPython" not in tree
