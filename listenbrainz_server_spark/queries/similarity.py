@@ -664,3 +664,86 @@ def v_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = brute_force_topk(pre, "vec_id", "pvec", k=_SQ_CAND).select("qid", "nid")
     return _exact_rerank(emb, cands, k=5)
+
+
+# --------------------------------------------------------------------------
+# ANN index-quality report: per-query recall@5 of the sign-LSH tier
+# against the exact brute-force top-5 — the monitoring artifact an ANN
+# deployment recomputes (on a sample) after each index rebuild. Both
+# tiers are fully SQL-expressible, so unlike the IVF/PQ recall tests
+# (pytest-only) this report is itself oracle-verified. LEFT join keeps
+# queries whose LSH bucket returned nothing (recall 0), so the report
+# can't silently over-average.
+# --------------------------------------------------------------------------
+def _ann_recall_sql() -> str:
+    bit_exprs = []
+    for h in range(_SIG_BITS):
+        comps = ", ".join(
+            str(float(hyperplane_component(h, d))) for d in range(_DIMS)
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, {_DIMS} + 1), "
+            f"i -> (embedding[i]::DOUBLE) * ([{comps}][i])))"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(bit_exprs)
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig} AS sig,
+               sqrt(list_sum(list_transform(range(1, {_DIMS} + 1),
+                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    exact AS (
+        SELECT qid, nid FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS nid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND({_DOT} / (a.nrm * b.nrm), 6) DESC,
+                                b.vec_id) AS rank
+            FROM sigs a JOIN sigs b ON a.vec_id <> b.vec_id
+        ) WHERE rank <= 5
+    ),
+    approx AS (
+        SELECT qid, nid FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS nid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND({_DOT} / (a.nrm * b.nrm), 6) DESC,
+                                b.vec_id) AS rank
+            FROM sigs a
+            JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+        ) WHERE rank <= 5
+    )
+    SELECT e.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.nid) AS BIGINT) AS n_hit,
+           ROUND(COUNT(a.nid) * 1.0 / COUNT(*), 6) AS recall
+    FROM exact e
+    LEFT JOIN approx a ON a.qid = e.qid AND a.nid = e.nid
+    GROUP BY e.qid
+    """
+
+
+@register(
+    "v_ann_recall_report",
+    _ann_recall_sql(),
+    doc="ANN index-quality report: per-query recall@5 of the sign-LSH "
+    "tier vs the exact brute-force top-5 (oracle-verified end to end)",
+)
+def v_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, "vec_id", "embedding", k=5).select("qid", "nid")
+    approx = lsh_bucketed_topk(
+        emb, "vec_id", "embedding", dims=_DIMS, k=5, sig_bits=_SIG_BITS
+    ).select(F.col("qid").alias("aqid"), F.col("nid").alias("anid"))
+    joined = exact.join(
+        approx,
+        (F.col("qid") == F.col("aqid")) & (F.col("nid") == F.col("anid")),
+        "left",
+    )
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("anid").alias("n_hit"),
+        F.round(F.count("anid") * 1.0 / F.count(F.lit(1)), 6).alias("recall"),
+    )
