@@ -125,3 +125,55 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = with_binary_payload(docs, "text", "doc_id")
     return resize_media(media, max_side=32, fake=True)
+
+
+# --------------------------------------------------------------------------
+# Shard manifest — WebDataset-style random access over packed binary
+# shards: each payload is assigned a shard (hash), a record index, and
+# a running byte offset inside the shard, so a trainer can seek
+# directly to any record without reading the shard head. One shard-
+# keyed window (records order by id) — the byte layout a shard writer
+# would produce, computed before writing anything. ASCII payloads make
+# VARCHAR length == byte length, so the oracle is exact.
+# --------------------------------------------------------------------------
+@register(
+    "mm_shard_manifest",
+    """
+    WITH sized AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+               AS record_idx,
+           CAST(COALESCE(SUM(n_bytes) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_byte,
+           n_bytes
+    FROM sized
+    """,
+    doc="multimodal shard manifest: per-shard record index + running "
+    "byte offset for random access into packed binary shards",
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.length("text").cast("bigint").alias("n_bytes"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    w_off = w.rowsBetween(Window.unboundedPreceding, -1)
+    return sized.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("record_idx"),
+        F.coalesce(F.sum("n_bytes").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias("start_byte"),
+        "n_bytes",
+    )
