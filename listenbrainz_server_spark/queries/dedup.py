@@ -633,3 +633,168 @@ def d_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(agree / float(_H) - exact), 6).alias("abs_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-dup rate by source — the corpus-health rollup run before and
+# after every crawl merge: per source, raw docs vs distinct normalized
+# fingerprints and the implied duplicate rate. One source-keyed agg
+# over fingerprints; nothing scales beyond the groupBy.
+# --------------------------------------------------------------------------
+@register(
+    "d_dup_rate_by_source",
+    r"""
+    WITH fps AS (
+        SELECT source,
+               md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*), 6) AS dup_rate
+    FROM fps
+    GROUP BY source
+    """,
+    doc="per-source exact-duplicate rate (docs vs distinct normalized "
+    "fingerprints) — corpus-health rollup",
+)
+def d_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("source", fingerprint(F.col("text")).alias("fp")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+        F.round(1.0 - F.count_distinct("fp") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "dup_rate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cleaning-funnel report — observability for the composed pipeline:
+# one row with the survivor count after each stage of d_clean_corpus
+# (raw → quality gate → exact dedup → near-dup collapse → packed
+# sequences). Every count is a 1-row aggregate frame; the frames
+# cross-join broadcast-style — no driver-side collection anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "d_clean_funnel",
+    r"""
+    WITH RECURSIVE toksq AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, w, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(ws) AS w FROM toksq) GROUP BY 1, 2
+    ),
+    quality AS (
+        SELECT doc_id FROM uni GROUP BY doc_id
+        HAVING SUM(n) >= 20 AND MAX(n) * 1.0 / SUM(n) <= 0.25
+    ),
+    qdocs AS (
+        SELECT t.doc_id, t.text, t.ws FROM toksq t
+        JOIN quality q ON t.doc_id = q.doc_id
+    ),
+    fps AS (
+        SELECT doc_id,
+               md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+        FROM qdocs
+    ),
+    exact_reps AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+    sdocs AS (
+        SELECT q.doc_id, q.ws FROM qdocs q JOIN exact_reps r ON q.doc_id = r.doc_id
+    ),
+    idx AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, len(ws) - 1),
+                      i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+        FROM sdocs WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    closure(id, reach) AS (
+        SELECT doc_id, doc_id FROM sdocs
+        UNION
+        SELECT c.id, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    ),
+    groups AS (SELECT id AS doc_id, MIN(reach) AS group_id FROM closure GROUP BY id),
+    kept AS (
+        SELECT s.doc_id, CAST(len(s.ws) AS BIGINT) AS n_tokens
+        FROM sdocs s JOIN groups g ON s.doc_id = g.doc_id
+        WHERE g.doc_id = g.group_id
+    ),
+    offs AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+        FROM kept
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_raw,
+           (SELECT COUNT(*) FROM quality) AS n_quality,
+           (SELECT COUNT(*) FROM sdocs) AS n_exact,
+           (SELECT COUNT(*) FROM kept) AS n_final,
+           (SELECT COUNT(DISTINCT (shard, CAST(FLOOR(start_offset / 256) AS BIGINT)))
+            FROM offs) AS n_sequences
+    """,
+    doc="cleaning-funnel report: survivor counts after each stage of "
+    "the composed corpus-cleaning pipeline (one row, no collects)",
+)
+def d_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.functions.text import token_count, top_word_count
+    from listenbrainz_server_spark.operators.joins import semi_join
+    from listenbrainz_server_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    total = F.size(ws).cast("bigint")
+    qdocs = docs.where(
+        (total >= 20) & (top_word_count(ws) * 1.0 / total <= 0.25)
+    )
+    exact_reps = exact_dedup(qdocs, "text", "doc_id").select("doc_id")
+    sdocs = semi_join(qdocs, exact_reps, ["doc_id"]).localCheckpoint(eager=True)
+    pairs = jaccard_pairs(
+        sdocs, "doc_id", "text", n=3, threshold=0.5, materialize_index=True
+    )
+    groups = connected_components(
+        sdocs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    reps = groups.where(F.col("doc_id") == F.col("group_id")).select("doc_id")
+    kept = semi_join(sdocs, reps, ["doc_id"])
+    packed = pack_sequences(
+        kept, "doc_id", token_count(F.col("text")), budget=256, n_shards=8
+    )
+
+    n_raw = docs.agg(F.count(F.lit(1)).alias("n_raw"))
+    n_quality = qdocs.agg(F.count(F.lit(1)).alias("n_quality"))
+    n_exact = sdocs.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_final = kept.agg(F.count(F.lit(1)).alias("n_final"))
+    n_seqs = packed.agg(
+        F.count_distinct("shard", "seq_id").alias("n_sequences")
+    )
+    return (
+        n_raw.crossJoin(n_quality)
+        .crossJoin(n_exact)
+        .crossJoin(n_final)
+        .crossJoin(n_seqs)
+    )
