@@ -406,3 +406,42 @@ def st_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_by_5m_watermark"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-decay weighted popularity: listen counts where each event
+# contributes exp(-age/30d) relative to the corpus anchor (latest
+# event) — the recency-aware variant of popularity.popularity. A
+# single map-side-combinable agg; the anchor is a 1-row broadcast.
+# Ages derive from integer microsecond arithmetic so both engines
+# exponentiate identical doubles; the 4dp round absorbs libm ulp
+# differences in exp().
+# --------------------------------------------------------------------------
+@register(
+    "a_decayed_popularity",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(EXP(-((epoch_us(a.anchor) - epoch_us(ts))
+                           / 86400000000.0) / 30.0)), 4) AS decayed_count
+    FROM events, a
+    GROUP BY event_type
+    """,
+    doc="time-decay weighted popularity: per-entity sum of "
+    "exp(-age/30d) relative to the latest-event anchor",
+)
+def a_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    age_days = (
+        F.unix_micros("anchor") - F.unix_micros("ts")
+    ) / 86400000000.0
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.exp(-age_days / 30.0)), 4).alias("decayed_count"),
+        )
+    )

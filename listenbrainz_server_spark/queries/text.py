@@ -1151,3 +1151,164 @@ def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_key"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation — precision/recall/F1 per language against
+# the labeled column: the artifact that decides whether the classifier
+# is good enough to gate a corpus. Two corpus-reduced aggregates
+# (per-pred and per-label totals) joined on the language key; the
+# confusion counts are the same computation t_lang_id registers.
+# --------------------------------------------------------------------------
+@register(
+    "t_langid_prf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, lang,
+               {",".join(f"len(list_filter(t, x -> x IN ({_sql_in_list(LANG_STOPWORDS[c])}))) AS h_{c}" for c in sorted(LANG_STOPWORDS))}
+        FROM toks
+    ),
+    best AS (
+        SELECT lang,
+               CASE WHEN GREATEST({", ".join(f"h_{c}" for c in sorted(LANG_STOPWORDS))}) = 0
+                    THEN 'und'
+                    {" ".join(f"WHEN h_{c} = GREATEST({', '.join(f'h_{d}' for d in sorted(LANG_STOPWORDS))}) THEN '{c}'" for c in sorted(LANG_STOPWORDS))}
+               END AS pred
+        FROM hits
+    ),
+    tp AS (
+        SELECT lang, COUNT(*) FILTER (pred = lang) AS tp,
+               COUNT(*) AS n_label
+        FROM best GROUP BY lang
+    ),
+    pp AS (SELECT pred, COUNT(*) AS n_pred FROM best GROUP BY pred)
+    SELECT t.lang,
+           CAST(t.tp AS BIGINT) AS tp,
+           CAST(t.n_label AS BIGINT) AS n_label,
+           CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+           ROUND(t.tp * 1.0 / GREATEST(COALESCE(p.n_pred, 0), 1), 6) AS precision,
+           ROUND(t.tp * 1.0 / t.n_label, 6) AS recall,
+           ROUND(2.0 * t.tp / GREATEST(COALESCE(p.n_pred, 0) + t.n_label, 1), 6)
+               AS f1
+    FROM tp t LEFT JOIN pp p ON p.pred = t.lang
+    """,
+    doc="language-ID evaluation: per-language precision/recall/F1 of "
+    "the stopword-vote classifier against the labeled column",
+)
+def t_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    best = docs.select("lang", lang_id(F.col("text")).alias("pred"))
+    tp = best.groupBy("lang").agg(
+        F.sum((F.col("pred") == F.col("lang")).cast("bigint")).alias("tp"),
+        F.count(F.lit(1)).alias("n_label"),
+    )
+    pp = best.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pred"))
+    j = tp.join(pp, tp.lang == pp.pred, "left").select(
+        "lang",
+        "tp",
+        "n_label",
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+    )
+    return j.select(
+        "lang",
+        "tp",
+        "n_label",
+        "n_pred",
+        F.round(
+            F.col("tp") * 1.0 / F.greatest(F.col("n_pred"), F.lit(1)), 6
+        ).alias("precision"),
+        F.round(F.col("tp") * 1.0 / F.col("n_label"), 6).alias("recall"),
+        F.round(
+            2.0 * F.col("tp") / F.greatest(F.col("n_pred") + F.col("n_label"), F.lit(1)),
+            6,
+        ).alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift detection (histogram-KS): compare the doc-length
+# distribution of the "incoming" half of the corpus (odd doc ids — a
+# stand-in for a new crawl batch) against the "reference" half via a
+# two-sample Kolmogorov–Smirnov statistic computed on 32 fixed-width
+# histogram bins. The corpus reduces to 32 bin rows per side before
+# any CDF math — the same no-global-sort discipline as the percentile
+# machinery; at 100 TB the KS statistic costs one keyed agg.
+# --------------------------------------------------------------------------
+@register(
+    "x_length_drift_ks",
+    """
+    WITH binned AS (
+        SELECT (doc_id % 2 = 1) AS incoming,
+               CAST(LEAST(31, n_chars // 64) AS INT) AS bin
+        FROM documents
+    ),
+    bc AS (
+        SELECT incoming, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT i.incoming, b.bin
+        FROM (SELECT DISTINCT incoming FROM bc) i,
+             (SELECT UNNEST(range(0, 32)) AS bin) b
+    ),
+    cdf AS (
+        SELECT g.incoming, g.bin,
+               SUM(COALESCE(c.n, 0)) OVER (
+                   PARTITION BY g.incoming ORDER BY g.bin) * 1.0
+               / SUM(COALESCE(c.n, 0)) OVER (PARTITION BY g.incoming) AS p
+        FROM grid g LEFT JOIN bc c ON c.incoming = g.incoming AND c.bin = g.bin
+    )
+    SELECT a.bin,
+           ROUND(a.p, 6) AS cdf_reference,
+           ROUND(b.p, 6) AS cdf_incoming,
+           ROUND(ABS(a.p - b.p), 6) AS cdf_gap,
+           ROUND(MAX(ABS(a.p - b.p)) OVER (), 6) AS ks_stat
+    FROM cdf a JOIN cdf b ON a.bin = b.bin
+    WHERE a.incoming = FALSE AND b.incoming = TRUE
+    """,
+    doc="distribution-drift detection: two-sample histogram-KS over "
+    "doc-length bins (reference vs incoming half), per-bin CDF gap + "
+    "the KS statistic",
+)
+def x_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        (F.col("doc_id") % 2 == 1).alias("incoming"),
+        F.least(F.lit(31), (F.col("n_chars") / 64).cast("int")).cast("int").alias(
+            "bin"
+        ),
+    )
+    bc = binned.groupBy("incoming", "bin").agg(F.count(F.lit(1)).alias("n"))
+    sides = bc.select("incoming").distinct()
+    grid = sides.crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(32).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    full = grid.join(bc, ["incoming", "bin"], "left").select(
+        "incoming", "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w_cum = Window.partitionBy("incoming").orderBy("bin")
+    w_tot = Window.partitionBy("incoming")
+    cdf = full.select(
+        "incoming",
+        "bin",
+        (F.sum("n").over(w_cum) * 1.0 / F.sum("n").over(w_tot)).alias("p"),
+    )
+    ref = cdf.where(~F.col("incoming")).select("bin", F.col("p").alias("pa"))
+    inc = cdf.where(F.col("incoming")).select("bin", F.col("p").alias("pb"))
+    gaps = ref.join(inc, "bin")
+    w_all = Window.partitionBy()
+    return gaps.select(
+        "bin",
+        F.round("pa", 6).alias("cdf_reference"),
+        F.round("pb", 6).alias("cdf_incoming"),
+        F.round(F.abs(F.col("pa") - F.col("pb")), 6).alias("cdf_gap"),
+        F.round(F.max(F.abs(F.col("pa") - F.col("pb"))).over(w_all), 6).alias(
+            "ks_stat"
+        ),
+    )

@@ -242,3 +242,23 @@ def test_watermark_sizing_single_exchange(spark, registry):
     tree = tree_of(plan_of(spark, registry, "st_watermark_sizing"))
     assert tree.count("Exchange") == 1
     assert "BatchEvalPython" not in tree
+
+
+def test_drift_ks_corpus_reduces_before_cdf(spark, registry):
+    """x_length_drift_ks: the CDF windows run over the 2x32 bin grid,
+    never documents — the plan must aggregate (partial+final) below
+    the Window operators, with no Python evaluation."""
+    tree = tree_of(plan_of(spark, registry, "x_length_drift_ks"))
+    assert tree.count("HashAggregate") >= 2
+    assert "Window" in tree
+    assert tree.index("Window") < tree.index("HashAggregate")
+    assert "BatchEvalPython" not in tree
+
+
+def test_decayed_popularity_anchor_broadcast(spark, registry):
+    """a_decayed_popularity: the 1-row anchor rides a broadcast; the
+    decay agg keeps map-side combine (partial+final HashAggregate)."""
+    tree = tree_of(plan_of(spark, registry, "a_decayed_popularity"))
+    assert "BroadcastExchange" in tree or "BroadcastNestedLoopJoin" in tree
+    assert tree.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in tree
