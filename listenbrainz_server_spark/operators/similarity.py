@@ -381,6 +381,54 @@ def lsh_signature(vec: Column, dims: int, sig_bits: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def bucket_scored_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    sig_bits: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """All scored (qid, nid) pairs WITHIN each sign-LSH bucket as pure
+    column expressions: signature equi self-join + fold dot product —
+    no Python workers at all. The building block for in-bucket mining
+    passes that need every pair, not a top-k (e.g. hard-negative
+    mining); candidate volume is bounded by bucket population squared,
+    never the corpus."""
+    v = as_double(F.col(vec_col))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    sigs = vectors.select(
+        F.col(id_col).alias("vid"),
+        v.alias("v"),
+        lsh_signature(v, dims, sig_bits).alias("sig"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = sigs.select(
+        F.col("vid").alias("qid"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "sig",
+    )
+    b = sigs.select(
+        F.col("vid").alias("nid"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "sig",
+    )
+    return (
+        a.join(b, "sig")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_dp,
+            ).alias("score"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     id_col: str,

@@ -747,3 +747,82 @@ def v_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("anid").alias("n_hit"),
         F.round(F.count("anid") * 1.0 / F.count(F.lit(1)), 6).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive-training pair mining: for every query vector, a POSITIVE
+# (its most similar in-bucket neighbor) and a HARD NEGATIVE (the
+# LEAST similar vector sharing its LSH bucket — close enough in hash
+# space to be confusable, far in true similarity: exactly the
+# negatives contrastive training wants). One bucketed self-join feeds
+# both window ranks; never all-pairs.
+# --------------------------------------------------------------------------
+def _hard_negative_sql() -> str:
+    bit_exprs = []
+    for h in range(_SIG_BITS):
+        comps = ", ".join(
+            str(float(hyperplane_component(h, d))) for d in range(_DIMS)
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, {_DIMS} + 1), "
+            f"i -> (embedding[i]::DOUBLE) * ([{comps}][i])))"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(bit_exprs)
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig} AS sig,
+               sqrt(list_sum(list_transform(range(1, {_DIMS} + 1),
+                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT qid, nid, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) AS r_pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY score ASC, nid) AS r_neg
+        FROM scored
+    ),
+    pos AS (SELECT qid, nid AS pos_nid, score AS pos_score
+            FROM ranked WHERE r_pos = 1),
+    neg AS (SELECT qid, nid AS neg_nid, score AS neg_score
+            FROM ranked WHERE r_neg = 1)
+    SELECT p.qid, p.pos_nid, p.pos_score, n.neg_nid, n.neg_score
+    FROM pos p JOIN neg n USING (qid)
+    WHERE p.pos_nid <> n.neg_nid
+    """
+
+
+@register(
+    "x_hard_negatives",
+    _hard_negative_sql(),
+    doc="contrastive pair mining: per query, best in-bucket neighbor "
+    "(positive) + least-similar in-bucket vector (hard negative)",
+)
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from listenbrainz_server_spark.operators.similarity import bucket_scored_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = bucket_scored_pairs(
+        emb, "vec_id", "embedding", dims=_DIMS, sig_bits=_SIG_BITS
+    )
+    w_pos = Window.partitionBy("qid").orderBy(F.col("score").desc(), "nid")
+    w_neg = Window.partitionBy("qid").orderBy(F.col("score").asc(), "nid")
+    ranked = scored.withColumn("r_pos", F.row_number().over(w_pos)).withColumn(
+        "r_neg", F.row_number().over(w_neg)
+    )
+    pos = ranked.where(F.col("r_pos") == 1).select(
+        "qid", F.col("nid").alias("pos_nid"), F.col("score").alias("pos_score")
+    )
+    neg = ranked.where(F.col("r_neg") == 1).select(
+        "qid", F.col("nid").alias("neg_nid"), F.col("score").alias("neg_score")
+    )
+    return pos.join(neg, "qid").where(F.col("pos_nid") != F.col("neg_nid"))

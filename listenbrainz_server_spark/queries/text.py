@@ -1312,3 +1312,67 @@ def x_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_stat"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge candidates — one iteration of byte-pair-encoding training
+# as a distributed op: adjacent character-pair frequencies weighted by
+# word frequency, ranked. The scale trick is WHERE the work happens:
+# pairs explode from the corpus-reduced word-frequency table (vocab ×
+# word length rows), never from the corpus itself — the corpus is
+# touched once by the word count agg. Full BPE training iterates this
+# with a driver loop (like ALS — registry would record it rows-only);
+# the single registered iteration is exactly SQL-expressible.
+# --------------------------------------------------------------------------
+@register(
+    "t_bpe_merge_candidates",
+    """
+    WITH wf AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+        SELECT UNNEST(list_transform(range(1, length(w)),
+                      i -> substr(w, i, 2))) AS pair,
+               n
+        FROM wf WHERE length(w) >= 2
+    ),
+    pc AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count FROM pairs GROUP BY pair)
+    SELECT pair, pair_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS BIGINT)
+               AS rank
+    FROM pc
+    ORDER BY rank
+    LIMIT 20
+    """,
+    doc="BPE training step: top-20 adjacent character-pair frequencies "
+    "weighted by word frequency (pairs explode from the vocab, not "
+    "the corpus)",
+)
+def t_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = wf.where(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("n").alias("pair_count"))
+    w_rank = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return (
+        pc.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
