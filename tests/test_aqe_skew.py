@@ -17,8 +17,11 @@ def test_aqe_splits_skewed_join(spark):
         F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
         F.col("id").alias("v"),
     )
-    right = spark.range(5_000).select(
-        (F.col("id") % 50).alias("k"), F.col("id").alias("w")
+    # One row per key on the right: the join output stays |left|,
+    # keeping the test fast — skew detection looks at the SHUFFLE
+    # partition sizes, which the hot left key alone provides.
+    right = spark.range(50).select(
+        F.col("id").alias("k"), F.col("id").alias("w")
     )
     conf = spark.conf
     saved = {
