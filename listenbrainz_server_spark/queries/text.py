@@ -1376,3 +1376,34 @@ def t_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Full iterative BPE training (rows-only: driver-looped greedy argmax,
+# like ALS — no SQL oracle possible). Each iteration is a vocab-sized
+# keyed agg + a LIMIT-1 driver decision + a pure-expression merge
+# fold; the corpus is touched exactly once by the word-frequency agg.
+# t_bpe_merge_candidates (oracle-checked) pins the per-iteration pair
+# counting; the greedy sequence itself is pinned by
+# tests/test_operators.py::test_bpe_train_greedy_sequence.
+# --------------------------------------------------------------------------
+@register(
+    "t_bpe_train",
+    None,
+    doc="iterative BPE training: 8 greedy merges over the corpus "
+    "word-frequency table (rows-only: driver-looped argmax)",
+)
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = bpe_train(wf, "w", "n", n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank bigint, left string, right string, merged string, pair_count bigint"
+    )

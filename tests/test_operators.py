@@ -529,3 +529,21 @@ def test_simhash_pairs_planted_fixture(spark):
     }
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_bpe_train_greedy_sequence(spark):
+    """BPE trainer: the greedy merge sequence on a hand-computable
+    fixture. 'aaab'x3 + 'aab'x2: (a,a) counts 8 and merges first;
+    round two ties (a,b)=3 vs (aa,a)=3 and lexicographic tie-break
+    picks (a,b); merging is left-to-right non-overlapping, so 'aaa'
+    becomes [aa, a], never [a, aa]."""
+    from listenbrainz_server_spark.operators.bpe import bpe_train, merge_pair
+
+    wf = spark.createDataFrame([("aaab", 3), ("aab", 2)], "w string, n int")
+    merges = bpe_train(wf, n_merges=2)
+    assert merges == [(1, "a", "a", "aa", 8), (2, "a", "b", "ab", 3)]
+
+    row = spark.createDataFrame([(["a", "a", "a"],)], "s array<string>").select(
+        merge_pair(F.col("s"), "a", "a").alias("m")
+    ).first()
+    assert row.m == ["aa", "a"]
