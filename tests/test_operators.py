@@ -547,3 +547,20 @@ def test_bpe_train_greedy_sequence(spark):
         merge_pair(F.col("s"), "a", "a").alias("m")
     ).first()
     assert row.m == ["aa", "a"]
+
+
+def test_bpe_encode_roundtrip(spark):
+    """bpe_encode applies trained merges in rank order: with merges
+    [(a,a)->aa, (a,b)->ab], 'aaab aab c' tokenizes to
+    [aa, ab, aa, b, c] — and concatenating subwords reconstructs each
+    word (lossless segmentation)."""
+    from listenbrainz_server_spark.operators.bpe import bpe_encode, bpe_train
+
+    wf = spark.createDataFrame([("aaab", 3), ("aab", 2)], "w string, n int")
+    merges = bpe_train(wf, n_merges=2)
+
+    df = spark.createDataFrame([(1, "aaab aab c")], "doc_id long, text string")
+    row = bpe_encode(df, "text", merges).first()
+    assert row.bpe_tokens == ["aa", "ab", "aa", "b", "c"]
+    assert row.bpe_token_count == 5
+    assert "".join(row.bpe_tokens) == "aaabaabc"
