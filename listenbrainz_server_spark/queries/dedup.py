@@ -798,3 +798,49 @@ def d_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_final)
         .crossJoin(n_seqs)
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix — which crawls duplicate each
+# other: for every source pair, how many document-HEAD fingerprints
+# (md5 of the first 8 normalized words — the prefix-hash heuristic
+# that catches mirrored/boilerplate-headed content whose tails
+# drifted) they share. The report that decides crawl-ingest
+# precedence (dedup the cheap crawl against the canonical one, not
+# vice versa). Fingerprint-keyed self-join of the (source, fp)
+# projection — pairs exist only where a prefix actually repeats
+# across sources; canonicalized source order halves the matrix.
+# --------------------------------------------------------------------------
+@register(
+    "d_cross_source_dups",
+    r"""
+    WITH fps AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(
+                   string_split(LOWER(TRIM(text)), ' ')[1:8], ' ')) AS fp
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_heads
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="cross-source duplication matrix: shared document-head "
+    "prefix fingerprints per source pair (crawl-precedence report)",
+)
+def d_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.md5(
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8), " "
+        )
+    )
+    fps = docs.select("source", head.alias("fp")).distinct()
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_heads"))
+    )
