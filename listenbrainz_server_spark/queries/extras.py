@@ -654,3 +654,143 @@ def x_interleave_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("interleave_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts — the classic product-analytics matrix the
+# reference's listening stats stop short of: users grouped by their
+# first-activity day (cohort), counted as retained on each later
+# offset day they were active. Plan: per-user first-day agg (keyed),
+# join back on user (keyed), distinct (cohort, offset, user) then the
+# matrix agg — every exchange user- or cohort-keyed, no window over
+# the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "a_retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+        GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act
+    WHERE day_offset <= 14
+    GROUP BY 1, 2
+    """,
+    doc="retention cohorts: users by first-activity day x active "
+    "day-offset (0-14), the product-analytics retention matrix",
+)
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.where(F.col("day_offset") <= 14)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Epoch manifest — the composed training-order artifact a loader
+# actually streams: the domain-weighted copies of x_interleave_domains
+# joined with the curriculum phase of x_curriculum_order, each row
+# carrying (phase, interleave_key) — range-partition on that pair and
+# you have curriculum-staged, domain-mixed, deterministically
+# shuffled epochs with no global sort anywhere. Demonstrates that the
+# pipeline's artifacts compose: both inputs are the registered
+# queries' exact computations.
+# --------------------------------------------------------------------------
+def _epoch_manifest_sql() -> str:
+    from listenbrainz_server_spark.queries.text import _QUALITY_EXPR
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents
+    ),
+    q AS (
+        SELECT doc_id, {_QUALITY_EXPR} AS quality FROM toks
+    ),
+    binned AS (
+        SELECT doc_id,
+               CAST(LEAST(69, GREATEST(0,
+                    FLOOR((quality + 1.0) / 0.05))) AS INT) AS bin
+        FROM q
+    ),
+    bc AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY 1),
+    cum AS (
+        SELECT bin,
+               COALESCE(SUM(n) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below,
+               SUM(n) OVER () AS tot
+        FROM bc
+    ),
+    phases AS (
+        SELECT b.doc_id,
+               CAST(3 - LEAST(3, FLOOR((c.below * 1.0 / c.tot) * 4)) AS INT)
+                   AS phase
+        FROM binned b JOIN cum c USING (bin)
+    ),
+    base AS (
+        SELECT doc_id, source,
+               CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 AS m,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':keep'), 1, 8) AS h
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, source,
+               (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END)
+               + (CASE WHEN h < (CASE m WHEN 0 THEN '40000000'
+                                        WHEN 1 THEN '00000000'
+                                        WHEN 2 THEN 'c0000000'
+                                        ELSE '80000000' END)
+                       THEN 1 ELSE 0 END) AS copies
+        FROM base
+    ),
+    expanded AS (
+        SELECT doc_id, source, UNNEST(range(1, copies + 1)) AS copy
+        FROM sized
+    )
+    SELECT e.doc_id, e.source, e.copy, p.phase,
+           md5(CAST(e.doc_id AS VARCHAR) || ':' || CAST(e.copy AS VARCHAR))
+               AS interleave_key
+    FROM expanded e JOIN phases p USING (doc_id)
+    """
+
+
+@register(
+    "x_epoch_manifest",
+    _epoch_manifest_sql(),
+    doc="composed epoch manifest: domain-weighted interleave copies x "
+    "curriculum phase, keyed for sort-free curriculum-staged epochs",
+)
+def x_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.queries import load_all
+
+    reg = load_all()
+    copies = reg["x_interleave_domains"].fn(spark, sf_dir)
+    phases = reg["x_curriculum_order"].fn(spark, sf_dir).select("doc_id", "phase")
+    return copies.join(phases, "doc_id").select(
+        "doc_id", "source", "copy", "phase", "interleave_key"
+    )
