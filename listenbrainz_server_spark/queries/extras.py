@@ -794,3 +794,79 @@ def x_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copies.join(phases, "doc_id").select(
         "doc_id", "source", "copy", "phase", "interleave_key"
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered conversion funnel — signup → view → click → purchase, each
+# stage's first occurrence required AFTER the previous stage's: the
+# sequential-event analysis sessionized products ask for. Computed as
+# four conditional min-timestamp aggregates per user (one keyed agg,
+# no self-joins, no window): first_view = min ts of a view AFTER
+# first_signup, etc. — the stage chain folds into nested conditional
+# aggregates instead of a 4-way join, which is the plan you want at
+# scale (a join-chain formulation shuffles the events table four
+# times; this shuffles once).
+# --------------------------------------------------------------------------
+@register(
+    "a_conversion_funnel",
+    """
+    WITH stage1 AS (
+        SELECT user_id, MIN(ts) FILTER (event_type = 'signup') AS t_signup
+        FROM events GROUP BY user_id
+    ),
+    stage2 AS (
+        SELECT e.user_id, s.t_signup,
+               MIN(e.ts) FILTER (e.event_type = 'view' AND e.ts > s.t_signup)
+                   AS t_view
+        FROM events e JOIN stage1 s USING (user_id)
+        GROUP BY e.user_id, s.t_signup
+    ),
+    stage3 AS (
+        SELECT e.user_id, s.t_signup, s.t_view,
+               MIN(e.ts) FILTER (e.event_type = 'click' AND e.ts > s.t_view)
+                   AS t_click
+        FROM events e JOIN stage2 s USING (user_id)
+        GROUP BY e.user_id, s.t_signup, s.t_view
+    ),
+    stage4 AS (
+        SELECT e.user_id, s.t_signup, s.t_view, s.t_click,
+               MIN(e.ts) FILTER (e.event_type = 'purchase' AND e.ts > s.t_click)
+                   AS t_purchase
+        FROM events e JOIN stage3 s USING (user_id)
+        GROUP BY e.user_id, s.t_signup, s.t_view, s.t_click
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_signup) AS BIGINT) AS reached_signup,
+           CAST(COUNT(t_view) AS BIGINT) AS reached_view,
+           CAST(COUNT(t_click) AS BIGINT) AS reached_click,
+           CAST(COUNT(t_purchase) AS BIGINT) AS reached_purchase
+    FROM stage4
+    """,
+    doc="ordered conversion funnel signup->view->click->purchase: "
+    "stage-chained conditional min-ts aggregates, corpus shuffled "
+    "per stage on user_id only",
+)
+def a_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(df, etype, prev_col, out_col):
+        cond = (F.col("event_type") == etype) & (
+            F.col("ts") > F.col(prev_col) if prev_col else F.lit(True)
+        )
+        keys = [c for c in df.columns if c.startswith("t_")] if prev_col else []
+        joined = ev.join(df, "user_id") if prev_col else ev
+        return joined.groupBy("user_id", *keys).agg(
+            F.min(F.when(cond, F.col("ts"))).alias(out_col)
+        )
+
+    s1 = first_after(None, "signup", None, "t_signup")
+    s2 = first_after(s1, "view", "t_signup", "t_view")
+    s3 = first_after(s2, "click", "t_view", "t_click")
+    s4 = first_after(s3, "purchase", "t_click", "t_purchase")
+    return s4.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("reached_signup"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+    )
