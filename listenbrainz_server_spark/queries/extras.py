@@ -870,3 +870,50 @@ def a_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("reached_click"),
         F.count("t_purchase").alias("reached_purchase"),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily anomaly detection — ops monitoring over the event stream:
+# per-type daily counts, per-type mean/std (rounded on both engines
+# before the z-score so float summation order can't flip a verdict),
+# and a z > 2 spike flag. Corpus reduces to type x day rows before
+# any statistics — one keyed agg plus a type-keyed broadcast join.
+# --------------------------------------------------------------------------
+@register(
+    "a_daily_anomalies",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT event_type, ROUND(AVG(n), 6) AS mu,
+               ROUND(STDDEV_POP(n), 6) AS sigma
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.n AS BIGINT) AS n,
+           ROUND((d.n - m.mu) / m.sigma, 4) AS z,
+           ((d.n - m.mu) / m.sigma > 2.0) AS spike
+    FROM daily d JOIN mom m USING (event_type)
+    """,
+    doc="daily anomaly detection: per-type daily counts with z-score "
+    "spike flags (type-keyed stats, corpus reduced before any math)",
+)
+def a_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mom = daily.groupBy("event_type").agg(
+        F.round(F.avg("n"), 6).alias("mu"),
+        F.round(F.stddev_pop("n"), 6).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return daily.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(z, 4).alias("z"),
+        (z > 2.0).alias("spike"),
+    )

@@ -260,3 +260,85 @@ def o1_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
     return global_top_k(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 20)
+
+
+# --------------------------------------------------------------------------
+# Session path mining — the user-journey report over the W6
+# sessionizer: most common within-session event-type trigrams. The
+# per-session ordered sequence folds into an array aggregate (one
+# user-keyed exchange, shared with the sessionization window), the
+# trigram explode runs on session-sized arrays, and the final count
+# is gram-keyed — no corpus-order window anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "w_session_paths",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               DATE_DIFF('second', LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    ),
+    seqs AS (
+        SELECT user_id, session_id,
+               list(event_type ORDER BY ts, event_id) AS seq
+        FROM sessions GROUP BY 1, 2
+    ),
+    tris AS (
+        SELECT UNNEST(list_transform(range(1, len(seq) - 1),
+                      i -> array_to_string(seq[i:i+2], ' > '))) AS path
+        FROM seqs WHERE len(seq) >= 3
+    ),
+    counts AS (SELECT path, COUNT(*) AS n FROM tris GROUP BY path)
+    SELECT path, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+    FROM counts
+    QUALIFY rank <= 15
+    """,
+    doc="session path mining: top-15 within-session event-type "
+    "trigrams over the W6 sessionizer (user-journey report)",
+)
+def w_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_l = F.col("ts").cast("long")
+    gap = ts_l - F.lag(ts_l, 1).over(w)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(F.when(gap > 1800, 1).otherwise(0)).over(run).alias("session_id"),
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("seq")
+    )
+    s = F.col("seq")
+    tris = seqs.where(F.size(s) >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(s) - 3),
+                lambda i: F.concat_ws(
+                    " > ", F.get(s, i), F.get(s, i + 1), F.get(s, i + 2)
+                ),
+            )
+        ).alias("path")
+    )
+    counts = tris.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= 15)
+    )
