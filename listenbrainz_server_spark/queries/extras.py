@@ -917,3 +917,80 @@ def a_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (z > 2.0).alias("spike"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment report — deterministic hash assignment (same
+# md5-prefix coordinate as x_hash_sample, so arms are reproducible
+# across engines and reshuffles), per-arm conversion (>= 15 purchase
+# events — raw has-purchased is degenerate on this fixture: every
+# user purchases at least once, making the pooled variance zero), and
+# the pooled two-proportion z statistic, NULL when the pooled
+# variance degenerates. One pass over events, two tiny aggregates, a
+# 1-row output.
+# --------------------------------------------------------------------------
+@register(
+    "x_ab_test_report",
+    """
+    WITH assigned AS (
+        SELECT user_id,
+               substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 8) < '80000000'
+                   AS arm_a,
+               COUNT(*) FILTER (event_type = 'purchase') >= 15 AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(COUNT(*) FILTER (arm_a) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (arm_a AND converted) AS BIGINT) AS conv_a,
+               CAST(COUNT(*) FILTER (NOT arm_a) AS BIGINT) AS n_b,
+               CAST(COUNT(*) FILTER (NOT arm_a AND converted) AS BIGINT) AS conv_b
+        FROM assigned
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
+           ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
+           ROUND((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                 / NULLIF(sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z
+    FROM arms
+    """,
+    doc="A/B experiment report: md5-deterministic arm assignment, "
+    "per-arm purchase conversion, pooled two-proportion z statistic",
+)
+def x_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("bigint")) >= 15
+        ).alias("converted")
+    ).withColumn(
+        "arm_a",
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))), 1, 8
+        )
+        < "80000000",
+    )
+    arms = assigned.agg(
+        F.sum(F.col("arm_a").cast("bigint")).alias("n_a"),
+        F.sum((F.col("arm_a") & F.col("converted")).cast("bigint")).alias("conv_a"),
+        F.sum((~F.col("arm_a")).cast("bigint")).alias("n_b"),
+        F.sum((~F.col("arm_a") & F.col("converted")).cast("bigint")).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") * 1.0 / F.col("n_a")
+    p_b = F.col("conv_b") * 1.0 / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    denom = F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z = F.when(denom != 0, (p_a - p_b) / denom)
+    return arms.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 4).alias("z"),
+    )
