@@ -169,24 +169,43 @@ def _stats_listening_activity(
     **params,
 ) -> DataFrame:
     """listening_activity with buckets generated from the stats range
-    (user/listening_activity.py:63-84 + range selector)."""
-    import math
+    (user/listening_activity.py:63-84 + range selector). Bucket
+    granularity follows the reference's step table
+    (stats/common/listening_activity.py:60-130): day steps for
+    week/month ranges, MONTH steps for year ranges, YEAR steps for
+    all_time."""
     from datetime import timedelta
 
     events = load_table(spark, sf_dir, "events")
     frm, to = resolve_range(_anchor(events), stats_range)
-    # Day buckets within the range (the reference picks bucket
-    # granularity per range; days keep every range SQL-expressible).
-    # ceil: a running range ending mid-day still gets its last bucket.
-    n_days = max(1, math.ceil((to - frm).total_seconds() / 86400))
-    rows = [
-        (
-            (frm + timedelta(days=i)).strftime("%Y-%m-%d"),
-            frm + timedelta(days=i),
-            frm + timedelta(days=i + 1),
-        )
-        for i in range(n_days)
-    ]
+    granularity = params.pop("granularity", None)
+    if granularity is None:
+        if stats_range == "all_time":
+            granularity = "year"
+        elif "year" in stats_range:
+            granularity = "month"
+        else:
+            granularity = "day"
+
+    rows = []
+    cur = frm
+    while cur < to:
+        if granularity == "day":
+            nxt = cur + timedelta(days=1)
+            label = cur.strftime("%Y-%m-%d")
+        elif granularity == "month":
+            nxt = (cur.replace(day=1) + timedelta(days=32)).replace(
+                day=1, hour=0, minute=0, second=0, microsecond=0
+            )
+            label = cur.strftime("%Y-%m")
+        else:
+            nxt = cur.replace(
+                year=cur.year + 1, month=1, day=1,
+                hour=0, minute=0, second=0, microsecond=0,
+            )
+            label = cur.strftime("%Y")
+        rows.append((label, cur, nxt))
+        cur = nxt
     buckets = spark.createDataFrame(
         rows, "bucket string, start timestamp, end timestamp"
     )

@@ -634,3 +634,50 @@ def api_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def api_troi_playlists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch("troi.playlists", spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# stats.sitewide.listening_activity at range=this_year: MONTH buckets
+# (the reference's step table uses month steps for year ranges —
+# stats/common/listening_activity.py:60-130), zero-filled.
+# --------------------------------------------------------------------------
+@register(
+    "api_listening_activity_this_year_monthly",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
+    rng AS (
+        SELECT date_trunc('year', a.anchor) AS ystart,
+               a.anchor + INTERVAL 1 SECOND AS yend
+        FROM a
+    ),
+    months AS (
+        SELECT strftime(CAST(d AS DATE), '%Y-%m') AS bucket,
+               CAST(d AS TIMESTAMP) AS bstart,
+               CAST(d AS TIMESTAMP) + INTERVAL 1 MONTH AS bend
+        FROM generate_series(DATE '2024-01-01', DATE '2025-12-01',
+                             INTERVAL 1 MONTH) t(d), rng
+        WHERE CAST(d AS TIMESTAMP) >= rng.ystart
+          AND CAST(d AS TIMESTAMP) < rng.yend
+    ),
+    ranged AS (
+        SELECT e.* FROM events e, rng
+        WHERE e.ts >= rng.ystart AND e.ts < rng.yend
+    ),
+    agg AS (
+        SELECT m.bucket, COUNT(*) AS listen_count
+        FROM ranged r JOIN months m ON r.ts >= m.bstart AND r.ts < m.bend
+        GROUP BY 1
+    )
+    SELECT m.bucket, COALESCE(a2.listen_count, 0) AS listen_count
+    FROM months m LEFT JOIN agg a2 USING (bucket)
+    """,
+    doc="stats.sitewide.listening_activity dispatched with "
+    "stats_range=this_year (month buckets per the reference's step "
+    "table, zero-filled)",
+)
+def api_listening_activity_this_year_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return dispatch(
+        "stats.sitewide.listening_activity", spark, sf_dir, stats_range="this_year"
+    )
