@@ -168,24 +168,21 @@ def _stats_listening_activity(
     sitewide: bool = False,
     **params,
 ) -> DataFrame:
-    """listening_activity with buckets generated from the stats range
-    (user/listening_activity.py:63-84 + range selector). Bucket
-    granularity follows the reference's step table
-    (stats/common/listening_activity.py:60-130): day steps for
-    week/month ranges, MONTH steps for year ranges, YEAR steps for
-    all_time."""
+    """listening_activity with buckets generated from the
+    listening-activity range table (stats/common/
+    listening_activity.py:60-185 — doubled comparison windows,
+    partial-day exclusion on "this" ranges, and per-range bucket
+    steps: days for week/month/quarter, months for half-year/year,
+    years for all_time)."""
     from datetime import timedelta
 
+    from listenbrainz_server_spark.plans.ranges import resolve_activity_range
+
     events = load_table(spark, sf_dir, "events")
-    frm, to = resolve_range(_anchor(events), stats_range)
-    granularity = params.pop("granularity", None)
-    if granularity is None:
-        if stats_range == "all_time":
-            granularity = "year"
-        elif "year" in stats_range:
-            granularity = "month"
-        else:
-            granularity = "day"
+    frm, to, default_granularity = resolve_activity_range(
+        _anchor(events), stats_range
+    )
+    granularity = params.pop("granularity", None) or default_granularity
 
     rows = []
     cur = frm

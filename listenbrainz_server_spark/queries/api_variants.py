@@ -87,18 +87,28 @@ def api_sitewide_entity_this_month(spark: SparkSession, sf_dir: str) -> DataFram
     "api_listening_activity_this_week",
     """
     WITH a AS (SELECT max(ts) AS anchor FROM events),
+    b AS (
+        SELECT CAST(CAST(anchor AS DATE) AS TIMESTAMP) AS d0,
+               CAST(date_trunc('week', anchor) AS TIMESTAMP) AS monday
+        FROM a
+    ),
+    rng AS (
+        SELECT CASE WHEN d0 = monday THEN monday - INTERVAL 14 DAY
+                    ELSE monday - INTERVAL 7 DAY END AS frm,
+               d0 AS tend
+        FROM b
+    ),
     days AS (
         SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS bucket,
                CAST(d AS TIMESTAMP) AS bstart,
                CAST(d AS TIMESTAMP) + INTERVAL 1 DAY AS bend
-        FROM generate_series(DATE '2024-01-01', DATE '2025-12-31', INTERVAL 1 DAY) t(d), a
-        WHERE CAST(d AS TIMESTAMP) >= date_trunc('week', a.anchor)
-          AND CAST(d AS TIMESTAMP) <= a.anchor
+        FROM generate_series(DATE '2024-01-01', DATE '2025-12-31', INTERVAL 1 DAY) t(d), rng
+        WHERE CAST(d AS TIMESTAMP) >= rng.frm
+          AND CAST(d AS TIMESTAMP) < rng.tend
     ),
     ranged AS (
-        SELECT e.* FROM events e, a
-        WHERE e.ts >= date_trunc('week', a.anchor)
-          AND e.ts < a.anchor + INTERVAL 1 SECOND
+        SELECT e.* FROM events e, rng
+        WHERE e.ts >= rng.frm AND e.ts < rng.tend
     ),
     users AS (SELECT DISTINCT user_id FROM ranged),
     agg AS (
@@ -110,7 +120,7 @@ def api_sitewide_entity_this_month(spark: SparkSession, sf_dir: str) -> DataFram
     FROM users u CROSS JOIN days d
     LEFT JOIN agg a2 ON a2.user_id = u.user_id AND a2.bucket = d.bucket
     """,
-    doc="stats.user.listening_activity dispatched with stats_range=this_week",
+    doc="stats.user.listening_activity dispatched with stats_range=this_week (doubled window: previous week + current through the latest day's midnight)",
 )
 def api_listening_activity_this_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch(
@@ -537,9 +547,13 @@ def api_listener_entity_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "api_sitewide_listening_activity_week",
     """
-    WITH a AS (SELECT date_trunc('week', max(ts)) AS wend FROM events),
+    WITH a AS (SELECT max(ts) AS anchor FROM events),
     rng AS (
-        SELECT a.wend - INTERVAL 7 DAY AS mstart, a.wend AS mend FROM a
+        SELECT CAST(date_trunc('week', CAST(a.anchor AS DATE) - INTERVAL 14 DAY)
+                    AS TIMESTAMP) AS mstart,
+               CAST(date_trunc('week', CAST(a.anchor AS DATE) - INTERVAL 14 DAY)
+                    AS TIMESTAMP) + INTERVAL 14 DAY AS mend
+        FROM a
     ),
     days AS (
         SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS bucket,
@@ -563,7 +577,7 @@ def api_listener_entity_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM days d LEFT JOIN agg a2 USING (bucket)
     """,
     doc="stats.sitewide.listening_activity dispatched with "
-    "stats_range=week (zero-filled day buckets)",
+    "stats_range=week (two previous complete weeks, zero-filled day buckets)",
 )
 def api_sitewide_listening_activity_week(
     spark: SparkSession, sf_dir: str
@@ -645,16 +659,22 @@ def api_troi_playlists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "api_listening_activity_this_year_monthly",
     """
     WITH a AS (SELECT max(ts) AS anchor FROM events),
-    rng AS (
-        SELECT date_trunc('year', a.anchor) AS ystart,
-               a.anchor + INTERVAL 1 SECOND AS yend
+    b AS (
+        SELECT CAST(CAST(anchor AS DATE) AS TIMESTAMP) AS d0,
+               CAST(date_trunc('year', anchor) AS TIMESTAMP) AS yf
         FROM a
+    ),
+    rng AS (
+        SELECT CASE WHEN d0 = yf THEN yf - INTERVAL 2 YEAR
+                    ELSE yf - INTERVAL 1 YEAR END AS ystart,
+               d0 AS yend
+        FROM b
     ),
     months AS (
         SELECT strftime(CAST(d AS DATE), '%Y-%m') AS bucket,
                CAST(d AS TIMESTAMP) AS bstart,
                CAST(d AS TIMESTAMP) + INTERVAL 1 MONTH AS bend
-        FROM generate_series(DATE '2024-01-01', DATE '2025-12-01',
+        FROM generate_series(DATE '2022-01-01', DATE '2025-12-01',
                              INTERVAL 1 MONTH) t(d), rng
         WHERE CAST(d AS TIMESTAMP) >= rng.ystart
           AND CAST(d AS TIMESTAMP) < rng.yend
@@ -672,8 +692,8 @@ def api_troi_playlists(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM months m LEFT JOIN agg a2 USING (bucket)
     """,
     doc="stats.sitewide.listening_activity dispatched with "
-    "stats_range=this_year (month buckets per the reference's step "
-    "table, zero-filled)",
+    "stats_range=this_year (previous year + current through the latest "
+    "day's midnight, month buckets per the reference's step table)",
 )
 def api_listening_activity_this_year_monthly(
     spark: SparkSession, sf_dir: str
