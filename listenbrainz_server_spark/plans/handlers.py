@@ -178,11 +178,15 @@ def similar_entities(
 def day_of_week(
     events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
 ) -> DataFrame:
-    """year_in_music.day_of_week (year_in_music/day_of_week.py:22-28):
-    each user's most-listened weekday (deterministic tie-break on
-    weekday index)."""
+    """year_in_music.day_of_week (year_in_music/day_of_week.py:8-31):
+    each user's most-listened weekday, emitted as the weekday NAME the
+    reference's date_format(ts, 'EEEE') produces. The reference's
+    row_number has no tie-break (nondeterministic); we pin ties to the
+    ISO weekday index so results are engine-comparable."""
     counts = events.groupBy(
-        user_col, (F.weekday(ts_col) + 1).cast("bigint").alias("dow")
+        user_col,
+        (F.weekday(ts_col) + 1).cast("bigint").alias("dow"),
+        F.date_format(ts_col, "EEEE").alias("weekday"),
     ).agg(F.count(F.lit(1)).alias("n"))
     return (
         top_k_per_group(
@@ -192,7 +196,7 @@ def day_of_week(
             k=1,
             keep_rank=False,
         )
-    ).select(user_col, "dow", "n")
+    ).select(user_col, "dow", "weekday", "n")
 
 
 def playlist_picks(
