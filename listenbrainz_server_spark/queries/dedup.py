@@ -844,3 +844,146 @@ def d_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_heads"))
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental crawl dedup — the arrival-time shape of MinHash-LSH:
+# a delta batch (10% hash slice) checks its band buckets against the
+# EXISTING corpus's band index only. The join is delta-bands ×
+# index-bands on (band_id, band_key) — work scales with the batch,
+# never the corpus squared; this is what runs on every crawl ingest
+# once the base index is persisted (v_incremental_index is the ANN
+# analog of the same discipline).
+# --------------------------------------------------------------------------
+def _incremental_dedup_sql() -> str:
+    sig_cols = ",\n               ".join(
+        f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(_H)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"""        SELECT doc_id, {b} AS band_id,
+               md5(concat_ws('|', {', '.join(f'mh{b * _R + r}' for r in range(_R))})) AS band_key
+        FROM sigs"""
+        for b in range(_B)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM idx GROUP BY doc_id
+    ),
+    buckets AS (
+{band_selects}
+    ),
+    base AS (SELECT * FROM buckets WHERE doc_id % 10 <> 3),
+    delta AS (SELECT * FROM buckets WHERE doc_id % 10 = 3)
+    SELECT d.doc_id AS new_id, b.doc_id AS existing_id,
+           CAST(COUNT(DISTINCT b.band_id) AS BIGINT) AS shared_bands
+    FROM delta d
+    JOIN base b ON d.band_id = b.band_id AND d.band_key = b.band_key
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "d_incremental_dedup",
+    _incremental_dedup_sql(),
+    doc="incremental crawl dedup: delta batch's MinHash bands probed "
+    "against the existing corpus's band index (batch-scaled work)",
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        shingle_index(docs, "doc_id", "text", 3), "doc_id", _H
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * _R + r}") for r in range(_R)])
+            ).alias("band_key"),
+        )
+        for b in range(_B)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    buckets = buckets.localCheckpoint(eager=True)
+
+    base = buckets.where(F.col("doc_id") % 10 != 3)
+    delta = buckets.where(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("new_id"), "band_id", "band_key"
+    )
+    return (
+        delta.join(base, ["band_id", "band_key"])
+        .select("new_id", F.col("doc_id").alias("existing_id"), "band_id")
+        .groupBy("new_id", "existing_id")
+        .agg(F.count_distinct("band_id").alias("shared_bands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment pairs — near-dups Jaccard misses: a short doc
+# fully CONTAINED in a longer one (quote expansion, excerpt pages)
+# scores low on Jaccard (union is large) but high on containment
+# (shared / |smaller|). Same shingle-keyed join as the Jaccard tier,
+# different normalizer.
+# --------------------------------------------------------------------------
+@register(
+    "d_containment_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(shared * 1.0 / LEAST(sa.sz, sb.sz), 6) AS containment,
+           ROUND(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared * 1.0 / LEAST(sa.sz, sb.sz) >= 0.8
+    """,
+    doc="asymmetric containment near-dup pairs (shared / smaller-doc "
+    "shingles >= 0.8) — catches contained excerpts Jaccard misses",
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.dedup import shingle_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = shingle_index(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = idx.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    cont = F.col("shared") / F.least("sz_a", "sz_b")
+    return (
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .where(cont >= 0.8)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(
+                F.col("shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
