@@ -826,3 +826,38 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", F.col("nid").alias("neg_nid"), F.col("score").alias("neg_score")
     )
     return pos.join(neg, "qid").where(F.col("pos_nid") != F.col("neg_nid"))
+
+
+# --------------------------------------------------------------------------
+# PCA-rotated prefix ANN — the fix for v_prefix_topk's documented
+# caveat: rotate embeddings onto their principal components (MLlib
+# PCA, iterative — rows-only driver check), THEN take the 16-dim
+# prefix for candidate generation. PCA front-loads variance by
+# construction, so the prefix carries most of the cosine signal even
+# on isotropic-ish data — the recall comparison against the unrotated
+# prefix tier is pinned in tests/test_operators.py. Exact re-rank on
+# the ORIGINAL vectors (rotation is for candidates only).
+# --------------------------------------------------------------------------
+@register(
+    "v_pca_prefix_topk",
+    None,
+    doc=f"PCA-rotated prefix ANN top-5: candidates on the first "
+    f"{_PREFIX_DIMS} principal components, exact re-rank on raw "
+    "vectors (rows-only: iterative PCA fit)",
+)
+def v_pca_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = PCA(k=_PREFIX_DIMS, inputCol="features", outputCol="pca").fit(vecs)
+    projected = model.transform(vecs).select(
+        "vec_id", vector_to_array("pca").alias("pvec")
+    )
+    cands = brute_force_topk(projected, "vec_id", "pvec", k=_SQ_CAND).select(
+        "qid", "nid"
+    )
+    return _exact_rerank(emb, cands, k=5)

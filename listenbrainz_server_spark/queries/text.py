@@ -1407,3 +1407,69 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank bigint, left string, right string, merged string, pair_count bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Source novelty — data-valuation report: how much genuinely NEW
+# content each source contributes. A word 3-gram's "owner" is the
+# lowest doc_id containing it (deterministic arrival order); a
+# source's novel grams are those first seen in one of its docs.
+# novelty_rate = novel / distinct grams touched. Plan: distinct
+# per-doc gram index, gram-keyed min-owner agg, join back on gram —
+# all exchanges gram- or source-keyed; this is the marginal-utility
+# curve that decides which crawl to buy more of.
+# --------------------------------------------------------------------------
+@register(
+    "t_source_novelty",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, source,
+               UNNEST(list_transform(range(1, len(ws) - 1),
+                      i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        FROM toks WHERE len(ws) >= 3
+    ),
+    owner AS (SELECT gram, MIN(doc_id) AS owner_doc FROM g GROUP BY gram)
+    SELECT g.source,
+           CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS grams_touched,
+           CAST(COUNT(DISTINCT CASE WHEN g.doc_id = o.owner_doc
+                                    THEN g.gram END) AS BIGINT) AS novel_grams,
+           ROUND(COUNT(DISTINCT CASE WHEN g.doc_id = o.owner_doc
+                                     THEN g.gram END) * 1.0
+                 / COUNT(DISTINCT g.gram), 6) AS novelty_rate
+    FROM g JOIN owner o USING (gram)
+    GROUP BY g.source
+    """,
+    doc="source novelty report: per-source distinct 3-grams touched vs "
+    "first-seen (marginal-contribution data valuation)",
+)
+def t_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    g = (
+        docs.where(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 2),
+                    lambda i: F.array_join(F.slice("ws", i, 3), " "),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    owner = g.groupBy("gram").agg(F.min("doc_id").alias("owner_doc"))
+    joined = g.join(owner, "gram")
+    novel_gram = F.when(F.col("doc_id") == F.col("owner_doc"), F.col("gram"))
+    return joined.groupBy("source").agg(
+        F.count_distinct("gram").alias("grams_touched"),
+        F.count_distinct(novel_gram).alias("novel_grams"),
+        F.round(
+            F.count_distinct(novel_gram) * 1.0 / F.count_distinct("gram"), 6
+        ).alias("novelty_rate"),
+    )

@@ -564,3 +564,25 @@ def test_bpe_encode_roundtrip(spark):
     assert row.bpe_tokens == ["aa", "ab", "aa", "b", "c"]
     assert row.bpe_token_count == 5
     assert "".join(row.bpe_tokens) == "aaabaabc"
+
+
+def test_pca_prefix_beats_raw_prefix_recall(spark):
+    """The prefix tier's documented caveat, validated end to end: on
+    the isotropic fixture, candidate generation on the first 16
+    PRINCIPAL components must recover substantially more of the exact
+    top-5 than the same-width raw-dimension prefix (PCA front-loads
+    variance; raw dims split it evenly)."""
+    from listenbrainz_server_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.qid, r.nid) for r in reg["v_cosine_topk"].fn(spark, sf).collect()
+    }
+    raw = {(r.qid, r.nid) for r in reg["v_prefix_topk"].fn(spark, sf).collect()}
+    pca = {
+        (r.qid, r.nid) for r in reg["v_pca_prefix_topk"].fn(spark, sf).collect()
+    }
+    recall_raw = len(raw & exact) / len(exact)
+    recall_pca = len(pca & exact) / len(exact)
+    assert recall_pca > recall_raw + 0.05, (recall_raw, recall_pca)
