@@ -262,3 +262,27 @@ def test_decayed_popularity_anchor_broadcast(spark, registry):
     assert "BroadcastExchange" in tree or "BroadcastNestedLoopJoin" in tree
     assert tree.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in tree
+
+
+def test_incremental_dedup_batch_scaled_join(spark, registry):
+    """d_incremental_dedup: delta bands probe the base band index via
+    a keyed equi join — no cartesian/nested-loop, no Python eval."""
+    tree = tree_of(plan_of(spark, registry, "d_incremental_dedup"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_source_novelty_gram_keyed(spark, registry):
+    """t_source_novelty: ownership joins ride the gram key."""
+    tree = tree_of(plan_of(spark, registry, "t_source_novelty"))
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_epoch_manifest_doc_keyed(spark, registry):
+    """x_epoch_manifest: the copies x phases composition joins on
+    doc_id only — keyed join, no Python eval."""
+    tree = tree_of(plan_of(spark, registry, "x_epoch_manifest"))
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree
