@@ -197,16 +197,18 @@ def h_similar_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h_day_of_week",
     """
     WITH counts AS (
-        SELECT user_id, CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow, COUNT(*) AS n
-        FROM events GROUP BY 1, 2
+        SELECT user_id, CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
+               dayname(ts) AS weekday, COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
     )
-    SELECT user_id, dow, n FROM (
-        SELECT user_id, dow, n,
+    SELECT user_id, dow, weekday, n FROM (
+        SELECT user_id, dow, weekday, n,
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, dow) AS rn
         FROM counts
     ) WHERE rn = 1
     """,
-    doc="year_in_music.day_of_week handler: per-user top weekday",
+    doc="year_in_music.day_of_week handler: per-user top weekday "
+    "(EEEE-style name like the reference, ISO-index tie-break)",
 )
 def h_day_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch("year_in_music.day_of_week", spark, sf_dir)
