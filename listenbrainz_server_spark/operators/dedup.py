@@ -136,6 +136,29 @@ def minhash_signatures(
     return idx.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """(id, band_id, band_key) rows from a minhash-signature frame —
+    the ONE place band hashing lives (md5 over the '|'-joined band
+    slice); every LSH consumer (candidate pairs, sketch calibration,
+    incremental probing) derives buckets here so the tiers can't
+    silently disagree on the banding scheme."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -149,20 +172,8 @@ def lsh_candidate_pairs(
     Bucket join is an equi join on (band_id, band_key) — the scale
     path: no all-pairs comparison ever materializes.
     """
-    rows = num_hashes // bands
     sigs = minhash_signatures(shingle_index(df, id_col, text_col, n), id_col, num_hashes)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_key")
+    buckets = minhash_band_buckets(sigs, id_col, num_hashes, bands)
     # Pin the bucket table once: the candidate self-join reads it on
     # BOTH sides, and its lineage (tokenize → shingle explode →
     # 16-way min agg) is the expensive part — without a cut the whole

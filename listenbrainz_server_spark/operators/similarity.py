@@ -397,11 +397,6 @@ def bucket_scored_pairs(
     never the corpus."""
     v = as_double(F.col(vec_col))
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
     sigs = vectors.select(
         F.col(id_col).alias("vid"),
         v.alias("v"),

@@ -112,7 +112,8 @@ def resolve_activity_range(
         frm = yf.replace(year=yf.year - 2) if day0 == yf else yf.replace(year=yf.year - 1)
         return frm, day0, "month"
     if range_name == "week":
-        frm = week_floor(day0 - timedelta(days=14))
+        # 14 days preserves the weekday, so this IS week_floor(d0-14d).
+        frm = monday - timedelta(days=14)
         return frm, frm + timedelta(days=14), "day"
     if range_name == "month":
         frm = _month_add(month_floor(anchor), -2)

@@ -336,7 +336,7 @@ def d_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cg JOIN fg USING (g)
     WHERE cid <> fid
     GROUP BY 1, 2
-    HAVING COUNT(DISTINCT g) >= 2
+    HAVING COUNT(DISTINCT g) >= 1
     """,
     doc="within-corpus exact-substring duplicate pairs: normalized "
     "char-24-gram rolling hash, fine (stride 1) vs coarse (stride 8) "
@@ -346,7 +346,11 @@ def d_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.dedup import exact_substring_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return exact_substring_pairs(docs, "doc_id", "text", k=24, stride=8, min_matched=2)
+    # min_matched=1 preserves the operator's k+stride-1 = 31-char
+    # detection guarantee: a 31-38 char shared run can contribute
+    # exactly ONE coarse-aligned gram, so requiring 2 would silently
+    # raise the guaranteed-detection floor to 39 chars.
+    return exact_substring_pairs(docs, "doc_id", "text", k=24, stride=8, min_matched=1)
 
 
 # --------------------------------------------------------------------------
@@ -568,19 +572,9 @@ def d_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = shingle_index(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
     sigs = minhash_signatures(idx, "doc_id", _H).localCheckpoint(eager=True)
 
-    rows = _R
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-            ).alias("band_key"),
-        )
-        for b in range(_B)
-    ]
-    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
-    )
+    from listenbrainz_server_spark.operators.dedup import minhash_band_buckets
+
+    buckets = minhash_band_buckets(sigs, "doc_id", _H, _B)
     a = buckets.select(
         F.col("doc_id").alias("id_a"), "band_id", "band_key"
     )
@@ -898,22 +892,14 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    from listenbrainz_server_spark.operators.dedup import minhash_band_buckets
+
     sigs = minhash_signatures(
         shingle_index(docs, "doc_id", "text", 3), "doc_id", _H
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * _R + r}") for r in range(_R)])
-            ).alias("band_key"),
-        )
-        for b in range(_B)
-    ]
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
-    buckets = buckets.localCheckpoint(eager=True)
+    buckets = minhash_band_buckets(sigs, "doc_id", _H, _B).localCheckpoint(
+        eager=True
+    )
 
     base = buckets.where(F.col("doc_id") % 10 != 3)
     delta = buckets.where(F.col("doc_id") % 10 == 3).select(

@@ -590,7 +590,9 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH base AS (
         SELECT doc_id, source,
-               CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 AS m,
+               CASE WHEN regexp_extract(source, '(\d+)', 1) = '' THEN 1
+                    ELSE CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4
+               END AS m,
                substr(md5(CAST(doc_id AS VARCHAR) || ':keep'), 1, 8) AS h
         FROM documents
     ),
@@ -619,7 +621,10 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_interleave_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    m = F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+    # A source without digits gets weight-class 1 (identity, 1.0x)
+    # instead of an ANSI CAST_INVALID_INPUT crash on ''::int.
+    digits = F.regexp_extract("source", r"(\d+)", 1)
+    m = F.when(digits == "", F.lit(1)).otherwise(digits.cast("int") % 4)
     n_full = (
         F.when(m == 0, 0).when(m == 1, 1).when(m == 2, 1).otherwise(2)
     )
@@ -893,8 +898,8 @@ def a_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
            CAST(d.n AS BIGINT) AS n,
-           ROUND((d.n - m.mu) / m.sigma, 4) AS z,
-           ((d.n - m.mu) / m.sigma > 2.0) AS spike
+           ROUND((d.n - m.mu) / NULLIF(m.sigma, 0), 4) AS z,
+           ((d.n - m.mu) / NULLIF(m.sigma, 0) > 2.0) AS spike
     FROM daily d JOIN mom m USING (event_type)
     """,
     doc="daily anomaly detection: per-type daily counts with z-score "
@@ -909,7 +914,10 @@ def a_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n"), 6).alias("mu"),
         F.round(F.stddev_pop("n"), 6).alias("sigma"),
     )
-    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    # sigma = 0 (constant daily counts / single active day) must yield
+    # NULL, not an ANSI DIVIDE_BY_ZERO crash — mirrored by the oracle's
+    # NULLIF.
+    z = F.when(F.col("sigma") != 0, (F.col("n") - F.col("mu")) / F.col("sigma"))
     return daily.join(F.broadcast(mom), "event_type").select(
         "event_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -948,12 +956,13 @@ def a_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM assigned
     )
     SELECT n_a, conv_a, n_b, conv_b,
-           ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
-           ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
-           ROUND((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+           ROUND(conv_a * 1.0 / NULLIF(n_a, 0), 6) AS rate_a,
+           ROUND(conv_b * 1.0 / NULLIF(n_b, 0), 6) AS rate_b,
+           ROUND((conv_a * 1.0 / NULLIF(n_a, 0) - conv_b * 1.0 / NULLIF(n_b, 0))
                  / NULLIF(sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
                         * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z
+                        * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0), 4)
+               AS z
     FROM arms
     """,
     doc="A/B experiment report: md5-deterministic arm assignment, "
@@ -978,11 +987,18 @@ def x_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("arm_a")).cast("bigint")).alias("n_b"),
         F.sum((~F.col("arm_a") & F.col("converted")).cast("bigint")).alias("conv_b"),
     )
-    p_a = F.col("conv_a") * 1.0 / F.col("n_a")
-    p_b = F.col("conv_b") * 1.0 / F.col("n_b")
+    # An empty arm (every user hashing to one side on a tiny
+    # population) must yield NULL rates/z, not an ANSI crash — every
+    # division is guarded like the oracle's NULLIFs.
+    def safe_div(num, den):
+        return F.when(den != 0, num / den)
+
+    p_a = safe_div(F.col("conv_a") * 1.0, F.col("n_a"))
+    p_b = safe_div(F.col("conv_b") * 1.0, F.col("n_b"))
     pooled = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
     denom = F.sqrt(
-        pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        pooled * (1.0 - pooled)
+        * (safe_div(F.lit(1.0), F.col("n_a")) + safe_div(F.lit(1.0), F.col("n_b")))
     )
     z = F.when(denom != 0, (p_a - p_b) / denom)
     return arms.select(

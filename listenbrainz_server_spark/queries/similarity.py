@@ -464,15 +464,6 @@ def v_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(emb, cands, k=5)
 
 
-def _vec_dot(a, b):
-    """JVM-side fold dot product over two float arrays (doubles)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _exact_rerank(emb: DataFrame, cands: DataFrame, k: int) -> DataFrame:
     """Exact cosine re-rank of an ANN candidate set on the raw floats:
     candidate_mult × k rows per query — two keyed joins back to the
@@ -481,25 +472,27 @@ def _exact_rerank(emb: DataFrame, cands: DataFrame, k: int) -> DataFrame:
     candidate tiers (SQ8, prefix dims)."""
     from pyspark.sql import Window
 
-    nrm = emb.select(
-        "vec_id",
-        F.col("embedding").alias("e"),
-        F.sqrt(_vec_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    from listenbrainz_server_spark.operators.similarity import as_double, dot, norm
+
+    e = as_double(F.col("embedding"))
+    nrm = emb.select("vec_id", e.alias("e"), norm(e).alias("nrm"))
     qa = nrm.select(
         F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
     qb = nrm.select(
         F.col("vec_id").alias("nid"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
+    # Zero-norm vectors yield NULL scores (ranked last) instead of an
+    # ANSI DIVIDE_BY_ZERO crash.
+    nn = F.col("na") * F.col("nb")
     scored = (
         cands.join(qa, "qid")
         .join(qb, "nid")
         .select(
             "qid",
             "nid",
-            F.round(
-                _vec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            F.when(
+                nn != 0, F.round(dot(F.col("ea"), F.col("eb")) / nn, 6)
             ).alias("score"),
         )
     )
@@ -544,8 +537,8 @@ def _centroid_sql() -> str:
         FROM dists GROUP BY label
     )
     SELECT d.vec_id, d.label, d.dist,
-           ROUND((d.dist - m.mu) / m.sigma, 4) AS z,
-           ((d.dist - m.mu) / m.sigma > 2.0) AS outlier
+           ROUND((d.dist - m.mu) / NULLIF(m.sigma, 0), 4) AS z,
+           ((d.dist - m.mu) / NULLIF(m.sigma, 0) > 2.0) AS outlier
     FROM dists d JOIN mom m USING (label)
     """
 
@@ -582,7 +575,11 @@ def v_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dist"), 6).alias("mu"),
         F.round(F.stddev_pop("dist"), 6).alias("sigma"),
     )
-    z = (F.col("dist") - F.col("mu")) / F.col("sigma")
+    # A single-vector label has sigma = 0: emit NULL (oracle NULLIF),
+    # never an ANSI DIVIDE_BY_ZERO crash.
+    z = F.when(
+        F.col("sigma") != 0, (F.col("dist") - F.col("mu")) / F.col("sigma")
+    )
     return dists.join(F.broadcast(mom), "label").select(
         "vec_id",
         "label",
