@@ -86,6 +86,21 @@ def top_word_count(toks: Column) -> Column:
     return F.aggregate(s, zero, step, lambda acc: acc["best"])
 
 
+def quality_flag(
+    text: Column | str, min_tokens: int = 20, max_top_ratio: float = 0.25
+) -> Column:
+    """The d_clean_corpus admission gate as a reusable boolean column:
+    enough tokens AND no single token dominating (repetition proxy).
+    Pure expression (tokenize + run-length fold) — zero shuffle, so it
+    is usable identically in batch scans and streaming micro-batches
+    (see streaming.jobs.quality_gate)."""
+    toks = tokens(text)
+    total = F.size(toks).cast("bigint")
+    return (total >= min_tokens) & (
+        top_word_count(toks) * 1.0 / total <= max_top_ratio
+    )
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite quality heuristic: length band + stopword presence −
     punctuation noise. Deterministic; thresholds tuned for filterable

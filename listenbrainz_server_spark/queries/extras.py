@@ -1010,3 +1010,124 @@ def x_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_b, 6).alias("rate_b"),
         F.round(z, 4).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII masking / pseudonymization — the governance pass every
+# training-data pipeline runs before a corpus leaves the trust
+# boundary. Three standard transforms, all deterministic so the
+# masked dataset is reproducible and joinable across runs:
+#   - pseudonymize the key: salted md5 (stable pseudonym, not
+#     reversible from the output alone);
+#   - mask the quasi-identifier name: every digit except the last
+#     three becomes '*' (format-preserving, last-3 kept for support
+#     workflows — the PAN-masking convention);
+#   - generalize the numeric attribute: account balance coarsened to
+#     $500 buckets (k-anonymity-style generalization).
+# Map-only projection: zero shuffles, zero UDFs — at 100 TB this is
+# a pure scan-rewrite that parallelizes perfectly.
+# --------------------------------------------------------------------------
+@register(
+    "x_pii_mask",
+    """
+    SELECT md5('pii-salt-1' || CAST(c_custkey AS VARCHAR)) AS pseudo_id,
+           CONCAT(
+               regexp_replace(SUBSTR(c_name, 1, LENGTH(c_name) - 3),
+                              '[0-9]', '*', 'g'),
+               SUBSTR(c_name, LENGTH(c_name) - 2, 3)
+           ) AS name_masked,
+           CAST(FLOOR(c_acctbal / 500) * 500 AS BIGINT) AS acctbal_bucket,
+           c_mktsegment
+    FROM customer
+    """,
+    doc="PII masking: salted pseudonym key, last-3-visible digit mask, "
+    "k-anonymity balance generalization (map-only, zero shuffle)",
+)
+def x_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    head = F.substring(name, 1, F.length(name) - 3)
+    tail = F.substring(name, -3, 3)
+    return cust.select(
+        F.md5(F.concat(F.lit("pii-salt-1"), F.col("c_custkey").cast("string"))).alias(
+            "pseudo_id"
+        ),
+        F.concat(F.regexp_replace(head, "[0-9]", "*"), tail).alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 500) * 500).cast("bigint").alias(
+            "acctbal_bucket"
+        ),
+        "c_mktsegment",
+    )
+
+
+# --------------------------------------------------------------------------
+# Longest activity streak per user — gaps-and-islands at hour
+# granularity (the YIM "streak" stat family; ref
+# year_in_music/top_stats.py computes the per-user superlative shape).
+# Island id = hour_number - row_number: constant within a consecutive
+# run, so one window + one groupBy finds every streak; a second
+# window picks each user's best (longest, earliest-start tie-break).
+# Both windows are keyed by user_id — no global sort, no skew beyond
+# a single user's history (bounded).
+# --------------------------------------------------------------------------
+@register(
+    "a_listening_streaks",
+    """
+    WITH hours AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+    ),
+    isl AS (
+        SELECT user_id, h,
+               CAST(epoch(h) AS BIGINT) // 3600
+                 - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h) AS grp
+        FROM hours
+    ),
+    streaks AS (
+        SELECT user_id, MIN(h) AS best_streak_start, COUNT(*) AS len
+        FROM isl GROUP BY user_id, grp
+    ),
+    ranked AS (
+        SELECT user_id, best_streak_start, len,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, best_streak_start ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+        FROM streaks
+    )
+    SELECT user_id,
+           CAST(len AS BIGINT) AS best_streak_hours,
+           best_streak_start,
+           CAST(n_streaks AS BIGINT) AS n_streaks
+    FROM ranked WHERE rn = 1
+    """,
+    doc="longest consecutive-active-hour streak per user "
+    "(gaps-and-islands: hour_number - row_number island id)",
+)
+def a_listening_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    isl = hours.withColumn(
+        "grp",
+        (F.unix_timestamp("h") / 3600).cast("bigint") - F.row_number().over(w),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.min("h").alias("best_streak_start"),
+        F.count(F.lit(1)).alias("len"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("best_streak_start").asc()
+    )
+    w_cnt = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .withColumn("n_streaks", F.count(F.lit(1)).over(w_cnt))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("best_streak_hours"),
+            "best_streak_start",
+            F.col("n_streaks").cast("bigint").alias("n_streaks"),
+        )
+    )

@@ -254,6 +254,50 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Streaming corpus quality gate: the d_clean_corpus admission filter
+# as an ingest-time stream stage. Stateless (pure column expression),
+# so a 100 TB crawl firehose sheds junk before any stateful stage pays
+# shuffle or state store for it. Oracle-checked here in batch form
+# (per-source pass/fail funnel); stream-mode ≡ batch-mode proven in
+# tests/test_streaming.py::test_quality_gate_stream_equals_batch.
+# --------------------------------------------------------------------------
+@register(
+    "st_quality_gate",
+    """
+    WITH toksq AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, source, w, COUNT(*) AS n
+        FROM (SELECT doc_id, source, unnest(ws) AS w FROM toksq)
+        GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+        SELECT doc_id, source, SUM(n) AS total, MAX(n) AS topn
+        FROM uni GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE total >= 20 AND topn * 1.0 / total <= 0.25)
+               AS n_pass,
+           COUNT(*) FILTER (WHERE NOT (total >= 20 AND topn * 1.0 / total <= 0.25))
+               AS n_fail
+    FROM per_doc GROUP BY source
+    """,
+    doc="streaming-ingest quality gate (stateless filter stage): "
+    "per-source pass/fail counts of the d_clean_corpus admission gate",
+)
+def st_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.functions.text import quality_flag
+
+    docs = load_table(spark, sf_dir, "documents")
+    flag = quality_flag(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.when(flag, True)).alias("n_pass"),
+        F.count(F.when(~flag, True)).alias("n_fail"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Stream-stream interval join (attribution shape): each click pairs
 # with the same user's purchases within the following hour. Batch mode
 # is oracle-checked here; stream-mode ≡ batch-mode with bounded state

@@ -1473,3 +1473,156 @@ def t_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(novel_gram) * 1.0 / F.count_distinct("gram"), 6
         ).alias("novelty_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAG-style document chunking: fixed-size overlapping windows over the
+# token stream — the retrieval-index prep step (chunk size 16 tokens,
+# overlap 4 → stride 12; the tail chunk may be short but every token
+# is covered, and start positions past n - overlap that would yield
+# fully-contained fragments are not generated). Pure JVM: sequence()
+# generates start offsets, posexplode-free (chunk_id derives from the
+# start offset, so no ordinality bookkeeping), slice() cuts the
+# window — a map-only explode with no shuffle at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "t_chunk_documents",
+    """
+    WITH toksq AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, GREATEST(len(ws) - 4, 1), 12)) AS s
+        FROM toksq
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 12 AS INT) AS chunk_id,
+           CAST(LEAST(16, len(ws) - s + 1) AS BIGINT) AS chunk_tokens,
+           array_to_string(ws[s:s+15], ' ') AS chunk_text
+    FROM starts
+    """,
+    doc="RAG chunking: overlapping fixed-size token windows "
+    "(size 16, overlap 4), map-only explode",
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, overlap = 16, 4
+    stride = size - overlap
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+    ).withColumn("n", F.size("ws"))
+    starts = d.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.col("n") - overlap, F.lit(1)),
+                F.lit(stride),
+            )
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / stride).cast("int").alias("chunk_id"),
+        F.least(F.lit(size), F.col("n") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("chunk_tokens"),
+        F.concat_ws(" ", F.slice("ws", F.col("s"), F.lit(size))).alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset card: the per-source summary a corpus release ships with —
+# volume (docs, tokens), quality (mean composite score), language mix
+# (modal language + share), and exact-dup health (normalized
+# fingerprint distinct-rate). One groupBy(source) over per-doc
+# map-only columns plus a (source, lang) count with a tiny window on
+# the REDUCED table — at 100 TB the heavy exchange is the single
+# source-keyed aggregate; the language ranking runs over
+# |sources|×|langs| rows, not documents.
+# --------------------------------------------------------------------------
+@register(
+    "x_dataset_card",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, lang, text, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, source, lang,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               {_QUALITY_EXPR} AS quality,
+               md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+        FROM toks
+    ),
+    per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(AVG(quality), 4) AS avg_quality,
+               COUNT(DISTINCT fp) AS n_unique
+        FROM base GROUP BY source
+    ),
+    lang_counts AS (
+        SELECT source, lang, COUNT(*) AS n FROM base GROUP BY source, lang
+    ),
+    top_lang AS (
+        SELECT source, lang, n,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n DESC, lang ASC) AS rn
+        FROM lang_counts
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           p.total_tokens,
+           p.avg_quality,
+           l.lang AS top_lang,
+           ROUND(l.n * 1.0 / p.n_docs, 6) AS top_lang_share,
+           CAST(p.n_docs - p.n_unique AS BIGINT) AS n_exact_dups,
+           ROUND((p.n_docs - p.n_unique) * 1.0 / p.n_docs, 6) AS dup_rate
+    FROM per_source p JOIN top_lang l ON l.source = p.source AND l.rn = 1
+    """,
+    doc="per-source dataset card: volume, mean quality, modal language "
+    "share, exact-dup rate (one doc-level exchange, keyed by source)",
+)
+def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.count_distinct("fp").alias("n_unique"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang").asc())
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "n")
+    )
+    return per_source.join(F.broadcast(top_lang), "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_quality",
+        "top_lang",
+        F.round(F.col("n") * 1.0 / F.col("n_docs"), 6).alias("top_lang_share"),
+        (F.col("n_docs") - F.col("n_unique")).alias("n_exact_dups"),
+        F.round(
+            (F.col("n_docs") - F.col("n_unique")) * 1.0 / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )

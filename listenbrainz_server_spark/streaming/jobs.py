@@ -78,6 +78,21 @@ def session_aggregate(
     ).agg(*aggs)
 
 
+def quality_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming corpus quality filter (NEXT round-5 candidate): the
+    d_clean_corpus admission gate applied to a document stream. The
+    gate is a pure column expression (functions.text.quality_flag), so
+    this stage is STATELESS — no watermark, no state store — and an
+    ingest pipeline can drop junk documents at the earliest possible
+    point, before any stateful dedup/agg pays shuffle or state for
+    them. Works identically on batch DataFrames (the oracle-checked
+    form, st_quality_gate) and on readStream inputs
+    (tests/test_streaming.py proves stream ≡ batch)."""
+    from listenbrainz_server_spark.functions.text import quality_flag
+
+    return df.where(quality_flag(F.col(text_col)))
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, timeout_s: int = 120
 ) -> None:

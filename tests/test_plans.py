@@ -286,3 +286,31 @@ def test_epoch_manifest_doc_keyed(spark, registry):
     tree = tree_of(plan_of(spark, registry, "x_epoch_manifest"))
     assert "CartesianProduct" not in tree
     assert "BatchEvalPython" not in tree
+
+
+def test_pii_mask_is_map_only(spark, registry):
+    """PII masking must stay a pure scan-rewrite: any exchange or
+    Python eval in a governance pass that rewrites every row of a
+    100 TB corpus would dominate the pipeline."""
+    tree = tree_of(plan_of(spark, registry, "x_pii_mask"))
+    assert "Exchange" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_chunking_is_map_only(spark, registry):
+    """RAG chunking is explode + slice — zero shuffles; the chunk id
+    derives from the start offset so no window/ordinality sneaks a
+    sort in."""
+    tree = tree_of(plan_of(spark, registry, "t_chunk_documents"))
+    assert "Exchange" not in tree
+    assert "Window" not in tree
+
+
+def test_dataset_card_single_doc_level_exchange(spark, registry):
+    """The card's doc-level data passes through exactly two
+    source-keyed aggregates (stats + lang counts) and the lang ranking
+    window runs on the reduced (source, lang) table; the join back is
+    broadcast. No exchange other than the two aggregates' shuffles."""
+    tree = tree_of(plan_of(spark, registry, "x_dataset_card"))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree

@@ -309,3 +309,34 @@ def test_interval_join_outer_stream_emits_unmatched(spark, tmp_path):
     }
     batch_unmatched_ids = {cid for cid, _ in batch_unmatched}
     assert must_emit <= got_unmatched <= batch_unmatched_ids
+
+
+def test_quality_gate_stream_equals_batch(spark, tmp_path):
+    """The quality gate is stateless, so streaming it over the
+    documents table file-by-file must admit exactly the docs the batch
+    form admits — in every micro-batch, with no watermark or state."""
+    import listenbrainz_server_spark.streaming.jobs as jobs
+    from listenbrainz_server_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "source"
+    )
+    batch_ids = _rows(jobs.quality_gate(docs), ["doc_id"])
+    assert 0 < len(batch_ids) < docs.count()  # gate discriminates
+
+    doc_dir = str(tmp_path / "doc_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(doc_dir)
+    stream = jobs.read_parquet_stream(
+        spark, doc_dir, spark.read.parquet(doc_dir).schema, max_files=1
+    )
+    q = (
+        jobs.quality_gate(stream)
+        .writeStream.format("memory")
+        .queryName("quality_gate_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.table("quality_gate_sink"), ["doc_id"])
+    assert got == batch_ids
