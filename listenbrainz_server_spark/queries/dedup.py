@@ -20,6 +20,7 @@ from listenbrainz_server_spark.operators.dedup import (
     simhash,
 )
 from listenbrainz_server_spark.queries import register
+from listenbrainz_server_spark.queries.text import _QUALITY_EXPR
 
 _SHINGLE_CTE = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -971,5 +972,92 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware dup-group collapse: within each near-dup component,
+# keep the HIGHEST-quality member — not the minimum id. Min-id
+# collapse (d_dup_groups / d_clean_corpus) is the cheapest canonical
+# choice, but a production corpus keeps the best-written copy of a
+# mirrored page, not the first-crawled one; this query emits each
+# group's elected representative with its size and score. Plan: the
+# same bucketed shingle pairs + connected components, then one keyed
+# join to the (pure-expression) quality column and a per-group argmax
+# window — the window runs on |groups| ≈ |docs| rows keyed by
+# group_id, so the only new cost over d_dup_groups is one window pass.
+# --------------------------------------------------------------------------
+@register(
+    "d_best_representative",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    closure(id, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT c.id, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    ),
+    groups AS (SELECT id AS doc_id, MIN(reach) AS group_id FROM closure GROUP BY id),
+    qtoks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM qtoks),
+    ranked AS (
+        SELECT g.group_id, g.doc_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY g.group_id
+                                  ORDER BY q.quality DESC, g.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY g.group_id) AS group_size
+        FROM groups g JOIN q ON q.doc_id = g.doc_id
+    )
+    SELECT group_id, doc_id AS rep_doc_id,
+           CAST(group_size AS BIGINT) AS group_size,
+           quality AS rep_quality
+    FROM ranked WHERE rn = 1
+    """,
+    doc="per-dup-group argmax-quality representative election "
+    "(quality-aware collapse instead of min-id)",
+)
+def d_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from listenbrainz_server_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, materialize_index=True
+    )
+    groups = connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    joined = groups.join(q, "doc_id")
+    w_best = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    w_size = Window.partitionBy("group_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w_best))
+        .withColumn("group_size", F.count(F.lit(1)).over(w_size))
+        .where(F.col("rn") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("group_size").cast("bigint"),
+            F.col("quality").alias("rep_quality"),
         )
     )

@@ -858,3 +858,82 @@ def v_pca_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "nid"
     )
     return _exact_rerank(emb, cands, k=5)
+
+
+# --------------------------------------------------------------------------
+# kNN label propagation (leave-one-out): predict every vector's label
+# from the majority label of its 5 exact-cosine nearest neighbors —
+# the semi-supervised labeling / auto-annotation pass a training
+# pipeline runs to extend a small labeled seed set (and, run
+# leave-one-out as here, the standard label-noise audit: rows where
+# the neighborhood outvotes the assigned label are relabel/review
+# candidates). Neighbor search is the blocked broadcast-matmul
+# brute-force tier (re-rank-exact at any scale when fed ANN
+# candidates); the vote is one keyed join to the label projection plus
+# a per-query majority window — both shuffles keyed by query id, never
+# all-pairs beyond the neighbor search itself. Tie-breaks are total:
+# score ties rank by neighbor id, vote ties pick the smallest label.
+# --------------------------------------------------------------------------
+@register(
+    "v_knn_classify",
+    f"""
+    WITH {_NORM_CTE},
+    scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+        FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT qid, nid, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) AS rank
+        FROM scored
+    ),
+    votes AS (
+        SELECT r.qid, e.label, COUNT(*) AS n
+        FROM ranked r JOIN embeddings e ON e.vec_id = r.nid
+        WHERE r.rank <= 5
+        GROUP BY r.qid, e.label
+    ),
+    pred AS (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY n DESC, label ASC) AS rn
+        FROM votes
+    )
+    SELECT p.qid AS vec_id,
+           CAST(t.label AS INT) AS true_label,
+           CAST(p.label AS INT) AS pred_label,
+           (t.label = p.label) AS correct
+    FROM pred p JOIN embeddings t ON t.vec_id = p.qid
+    WHERE p.rn = 1
+    """,
+    doc="leave-one-out 5-NN majority-vote label prediction per vector "
+    "(semi-supervised labeling / label-noise audit)",
+)
+def v_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(emb, "vec_id", "embedding", k=5)
+    nbr_labels = emb.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
+    )
+    votes = topk.join(nbr_labels, "nid").groupBy("qid", "nlabel").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("n").desc(), F.col("nlabel").asc())
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("nlabel").alias("pred_label"))
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "qid").select(
+        F.col("qid").alias("vec_id"),
+        F.col("true_label").cast("int"),
+        F.col("pred_label").cast("int"),
+        (F.col("true_label") == F.col("pred_label")).alias("correct"),
+    )
