@@ -930,3 +930,97 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "score", "rank")
     )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lam: float = 0.7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-rank of an ANN/exact
+    candidate set: greedily select ``k`` of each query's candidates by
+
+        argmax  lam * rel(c)  -  (1 - lam) * max_{s in S} sim(c, s)
+
+    — the standard retrieval-diversity pass (Carbonell & Goldstein
+    1998) that keeps a RAG context window from filling with five
+    copies of the same paragraph. At ``lam=1.0`` this degrades exactly
+    to relevance top-k (pinned by test).
+
+    The greedy loop is inherently sequential PER QUERY but embarrassing
+    across queries, so the physical shape is one keyed join (candidates
+    → candidate vectors) plus ``applyInPandas`` grouped by query id:
+    each Arrow group is candidate_mult × dim floats (~10 KB), the
+    pairwise-sim matrix is a numpy matmul inside the group, and the
+    stage scales linearly in #queries with no driver involvement.
+    Determinism: relevance comes in pre-rounded, intra-candidate sims
+    and the objective are rounded to ``round_dp`` before comparison,
+    and ties pick the smaller neighbor id — a total order, so output
+    is stable across partitionings and engines.
+
+    ``candidates``: (qid, nid, score) with score = rounded relevance.
+    Output: (qid, nid, score, mmr_score, rank) with qid/nid dtypes
+    derived from the input id column (no silent bigint narrowing).
+    """
+    import pandas as pd
+
+    id_type = dict(vectors.dtypes)[id_col]
+    vec_side = vectors.select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("v")
+    )
+    g = candidates.select("qid", "nid", "score").join(vec_side, "nid")
+    out_schema = (
+        f"qid {id_type}, nid {id_type}, score double, "
+        f"mmr_score double, rank bigint"
+    )
+
+    def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if pdf.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in
+                 [("qid", pdf["qid"].dtype), ("nid", pdf["nid"].dtype),
+                  ("score", "float64"), ("mmr_score", "float64"),
+                  ("rank", "int64")]}
+            )
+        # Deterministic processing order inside the group.
+        pdf = pdf.sort_values(["score", "nid"], ascending=[False, True]).reset_index(
+            drop=True
+        )
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrms = np.linalg.norm(V, axis=1)
+        nrms[nrms == 0] = 1.0
+        S = np.round((V / nrms[:, None]) @ (V / nrms[:, None]).T, round_dp)
+        rel = pdf["score"].to_numpy(dtype=np.float64)
+        nids = pdf["nid"].to_numpy()
+        selected: list[int] = []
+        remaining = list(range(len(pdf)))
+        picks = []
+        while remaining and len(selected) < k:
+            best = None
+            for i in remaining:
+                pen = max((S[i][j] for j in selected), default=0.0)
+                obj = round(lam * rel[i] - (1.0 - lam) * pen, round_dp)
+                key = (-obj, nids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, obj)
+            _, i, obj = best
+            selected.append(i)
+            remaining.remove(i)
+            picks.append((i, obj))
+        return pd.DataFrame(
+            {
+                "qid": [pdf["qid"].iloc[0]] * len(picks),
+                "nid": [nids[i] for i, _ in picks],
+                "score": [rel[i] for i, _ in picks],
+                "mmr_score": [obj for _, obj in picks],
+                "rank": list(range(1, len(picks) + 1)),
+            }
+        )
+
+    return g.groupBy("qid").applyInPandas(select_group, out_schema)

@@ -1131,3 +1131,109 @@ def a_listening_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_streaks").cast("bigint").alias("n_streaks"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source token-budget admission (the rate-limit half of the ingest
+# gate family, next to st_quality_gate's quality half): each source
+# may contribute at most BUDGET tokens to the corpus; docs are
+# admitted in deterministic arrival order (doc_id) until the source's
+# running token total crosses the cap. One source-keyed cumulative
+# window. Scale note: the window sorts each source's docs in one
+# task — for a mega-source beyond a task's sort budget the same
+# contract is served by the two-pass histogram-CDF trick
+# (t_quality_calibrated_hist): bucket doc_ids, cumsum the per-bucket
+# token totals, broadcast the bucket offsets back.
+# --------------------------------------------------------------------------
+@register(
+    "x_source_token_budget",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           (cum_tokens <= 2000) AS admitted
+    FROM cum
+    """,
+    doc="per-source token-budget cap: arrival-ordered cumulative "
+    "admission so no source exceeds its corpus contribution quota",
+)
+def x_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return d.withColumn("cum_tokens", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("cum_tokens").cast("bigint"),
+        (F.col("cum_tokens") <= 2000).alias("admitted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix — first-order Markov transitions over
+# each user's event stream (the w_session_paths family reduced to its
+# stochastic matrix: input for next-event prediction baselines and
+# funnel-shape drift monitors). One lead() window keyed by user, then
+# a tiny (type, type) aggregate; probabilities normalize per source
+# row. The window is per-user (bounded); the matrix is |types|² rows.
+# --------------------------------------------------------------------------
+@register(
+    "w_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS t FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+           ROUND(p.n * 1.0 / t.t, 6) AS prob
+    FROM pairs p JOIN tot t USING (from_type)
+    """,
+    doc="first-order event-type Markov transition matrix "
+    "(per-user lead window, per-row-normalized probabilities)",
+)
+def w_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("from_type")
+    return pairs.withColumn("t", F.sum("n").over(w_tot)).select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("prob"),
+    )

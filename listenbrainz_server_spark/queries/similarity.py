@@ -16,6 +16,7 @@ from listenbrainz_server_spark.operators.similarity import (
     hyperplane_component,
     lsh_bucketed_topk,
     neardup_pairs,
+    mmr_rerank,
 )
 from listenbrainz_server_spark.queries import register
 
@@ -937,3 +938,25 @@ def v_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pred_label").cast("int"),
         (F.col("true_label") == F.col("pred_label")).alias("correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# MMR-diversified retrieval: exact top-20 relevance candidates per
+# query, greedily re-ranked to 5 with maximal marginal relevance
+# (lambda = 0.7) — the de-duplicating re-rank a RAG serving stack runs
+# so a context window isn't five near-copies of one paragraph. The
+# greedy loop is non-SQL (rows-only driver check); the contracts are
+# pinned locally instead: lambda=1.0 degrades exactly to relevance
+# top-k, rank 1 is always the relevance top-1, and the selected sets
+# are strictly more diverse than plain top-5 (test_operators.py).
+# --------------------------------------------------------------------------
+@register(
+    "v_mmr_rerank",
+    None,
+    doc="MMR-diversified top-5 from exact top-20 candidates "
+    "(lambda=0.7; greedy per-query Arrow groups, rows-only check)",
+)
+def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = brute_force_topk(emb, "vec_id", "embedding", k=20)
+    return mmr_rerank(emb, cands, "vec_id", "embedding", k=5, lam=0.7)

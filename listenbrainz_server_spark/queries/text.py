@@ -1626,3 +1626,84 @@ def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - F.col("n_unique")) * 1.0 / F.col("n_docs"), 6
         ).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# PMI co-occurrence pairs — pointwise mutual information over a
+# forward window of 2 tokens (the word2vec/GloVe-style co-occurrence
+# statistic that seeds embedding training and collocation mining).
+# Positions come from posexplode; window pairs are TWO EQUI-JOINS on
+# (doc_id, position + d) for d ∈ {1, 2} — not a range join, so the
+# pair generation shuffles on exact keys and never widens beyond
+# 2×|tokens| rows. Totals ride broadcast 1-row cross joins; the
+# top-50 is TakeOrderedAndProject (no global sort). min-count ≥ 5
+# keeps the PMI estimate out of the noise floor.
+# --------------------------------------------------------------------------
+@register(
+    "t_pmi_cooccurrence",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+    words AS (SELECT doc_id, i, t[i] AS w FROM pos),
+    pairs_raw AS (
+        SELECT a.w AS w1, b.w AS w2
+        FROM words a JOIN words b
+          ON a.doc_id = b.doc_id AND (b.i = a.i + 1 OR b.i = a.i + 2)
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS n FROM pairs_raw GROUP BY 1, 2),
+    wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY 1),
+    tots AS (SELECT (SELECT SUM(n) FROM pc) AS np, (SELECT SUM(n) FROM wc) AS nw)
+    SELECT pc.w1, pc.w2, CAST(pc.n AS BIGINT) AS n,
+           ROUND(LN((pc.n * 1.0 / tots.np)
+                    / ((c1.n * 1.0 / tots.nw) * (c2.n * 1.0 / tots.nw))), 4)
+               AS pmi
+    FROM pc
+    CROSS JOIN tots
+    JOIN wc c1 ON c1.w = pc.w1
+    JOIN wc c2 ON c2.w = pc.w2
+    WHERE pc.n >= 5
+    ORDER BY pmi DESC, pc.w1, pc.w2
+    LIMIT 50
+    """,
+    doc="top-50 PMI token-pair collocations (forward window 2, "
+    "min count 5) — embedding-training co-occurrence statistics",
+)
+def t_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.posexplode("t").alias("p", "w"))
+        .select("doc_id", (F.col("p") + 1).alias("i"), "w")
+    )
+    a = words.select("doc_id", F.col("i").alias("ia"), F.col("w").alias("w1"))
+    parts = []
+    for d in (1, 2):
+        b = words.select(
+            "doc_id", (F.col("i") - d).alias("ia"), F.col("w").alias("w2")
+        )
+        parts.append(a.join(b, ["doc_id", "ia"]).select("w1", "w2"))
+    pairs = parts[0].unionByName(parts[1])
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+    np_tot = pc.agg(F.sum("n").alias("np"))
+    nw_tot = wc.agg(F.sum("wn").alias("nw"))
+    scored = (
+        pc.where(F.col("n") >= 5)
+        .join(F.broadcast(np_tot))
+        .join(F.broadcast(nw_tot))
+        .join(wc.withColumnRenamed("w", "w1").withColumnRenamed("wn", "n1"), "w1")
+        .join(wc.withColumnRenamed("w", "w2").withColumnRenamed("wn", "n2"), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("n") * 1.0 / F.col("np"))
+                    / ((F.col("n1") * 1.0 / F.col("nw")) * (F.col("n2") * 1.0 / F.col("nw")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)

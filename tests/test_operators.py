@@ -586,3 +586,77 @@ def test_pca_prefix_beats_raw_prefix_recall(spark):
     recall_raw = len(raw & exact) / len(exact)
     recall_pca = len(pca & exact) / len(exact)
     assert recall_pca > recall_raw + 0.05, (recall_raw, recall_pca)
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    """At lambda=1.0 the diversity penalty vanishes, so MMR must equal
+    the relevance top-k exactly — same (qid, nid, rank) triples."""
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    cands = brute_force_topk(emb, "vec_id", "embedding", k=20)
+    plain = {
+        (r.qid, r.nid, r.rank)
+        for r in cands.where(F.col("rank") <= 5).collect()
+    }
+    mmr = {
+        (r.qid, r.nid, r.rank)
+        for r in mmr_rerank(emb, cands, "vec_id", "embedding", k=5, lam=1.0).collect()
+    }
+    assert mmr == plain
+
+
+def test_mmr_diversifies_and_keeps_top1(spark):
+    """At lambda=0.7: rank 1 is always the relevance top-1 (empty
+    penalty on the first pick), every selected set is 5 distinct
+    candidates, the selection actually differs from plain top-5
+    somewhere, and the mean intra-set similarity drops vs plain
+    top-5 (the point of MMR)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    cands = brute_force_topk(emb, "vec_id", "embedding", k=20)
+    out = mmr_rerank(emb, cands, "vec_id", "embedding", k=5, lam=0.7)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    top1 = {r.qid: r.nid for r in cands.where(F.col("rank") == 1).collect()}
+    for qid, grp in by_q.items():
+        nids = [r.nid for r in grp]
+        assert len(nids) == 5 == len(set(nids))
+        first = min(grp, key=lambda r: r.rank)
+        assert first.nid == top1[qid]
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()
+    }
+
+    def mean_intra_sim(sets):
+        sims = []
+        for nids in sets:
+            V = np.stack([vecs[n] / np.linalg.norm(vecs[n]) for n in nids])
+            S = V @ V.T
+            iu = np.triu_indices(len(nids), k=1)
+            sims.append(S[iu].mean())
+        return float(np.mean(sims))
+
+    plain_sets = {}
+    for r in cands.where(F.col("rank") <= 5).collect():
+        plain_sets.setdefault(r.qid, []).append(r.nid)
+    mmr_sets = {q: [r.nid for r in grp] for q, grp in by_q.items()}
+    assert any(set(mmr_sets[q]) != set(plain_sets[q]) for q in mmr_sets)
+    assert mean_intra_sim(mmr_sets.values()) < mean_intra_sim(plain_sets.values())
