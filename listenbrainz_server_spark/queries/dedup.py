@@ -17,6 +17,7 @@ from listenbrainz_server_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
+    shingle_index,
     simhash,
 )
 from listenbrainz_server_spark.queries import register
@@ -1060,4 +1061,50 @@ def d_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("group_size").cast("bigint"),
             F.col("quality").alias("rep_quality"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hot-shingle skew report — the dedup tier's companion to
+# v_bucket_stats: the top-20 shingles by document frequency, each with
+# its share of the corpus and the pair-join cost it would induce
+# (df·(df-1)/2 candidate pairs from that shingle alone). This is the
+# evidence behind jaccard_pairs' max_shingle_df cap: at 100 TB one
+# boilerplate shingle ("all rights reserved") can otherwise dominate
+# the entire candidate join. One shingle-keyed aggregate over the
+# inverted index, then TakeOrdered(20) — no global sort.
+# --------------------------------------------------------------------------
+@register(
+    "d_hot_shingles",
+    f"""
+    WITH {_SHINGLE_CTE},
+    df AS (SELECT shingle, COUNT(*) AS doc_freq FROM idx GROUP BY shingle),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT shingle, CAST(doc_freq AS BIGINT) AS doc_freq,
+           ROUND(doc_freq * 1.0 / n_docs, 6) AS doc_share,
+           CAST(doc_freq * (doc_freq - 1) // 2 AS BIGINT) AS pair_cost
+    FROM df CROSS JOIN tot
+    ORDER BY doc_freq DESC, shingle
+    LIMIT 20
+    """,
+    doc="top-20 hottest shingles by document frequency with induced "
+    "pair-join cost (the skew evidence behind the max_shingle_df cap)",
+)
+def d_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    idx = shingle_index(docs, "doc_id", "text", n=3)
+    df_counts = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df_counts.crossJoin(F.broadcast(tot))
+        .select(
+            "shingle",
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            F.round(F.col("doc_freq") * 1.0 / F.col("n_docs"), 6).alias("doc_share"),
+            F.expr("CAST(doc_freq * (doc_freq - 1) DIV 2 AS BIGINT)").alias(
+                "pair_cost"
+            ),
+        )
+        .orderBy(F.col("doc_freq").desc(), "shingle")
+        .limit(20)
     )

@@ -1237,3 +1237,90 @@ def w_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("prob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic subsample confidence interval for a mean — the
+# resampling-statistics pattern at scale: 32 half-sample replicates,
+# each a hash-gated ~50% subsample (bit b of md5(replicate, event_id)
+# — identical bytes in both engines, so the replicate assignment is
+# reproducible anywhere), mean per replicate, and the spread of the
+# replicate means gives the standard error (se ≈ sd/√2 for
+# delete-half subsamples). The physical shape is the Poisson-
+# bootstrap shape: a map-side explode of each row into its replicate
+# memberships (32×|rows|, embarrassingly parallel) and one
+# replicate-keyed aggregate — no resampling-with-replacement shuffle,
+# no driver-side loop. CI math runs on the ROUNDED aggregate moments
+# so both engines derive identical bounds.
+# --------------------------------------------------------------------------
+@register(
+    "x_subsample_ci",
+    """
+    WITH assign AS (
+        SELECT r.b, e.value
+        FROM events e
+        CROSS JOIN (SELECT unnest(range(0, 32)) AS b) r
+        WHERE substr(md5('rep' || CAST(r.b AS VARCHAR) || ':'
+                         || CAST(e.event_id AS VARCHAR)), 1, 1) <= '7'
+    ),
+    rmeans AS (SELECT b, AVG(value) AS m FROM assign GROUP BY b),
+    stats AS (
+        SELECT ROUND(AVG(m), 4) AS boot_mean,
+               ROUND(STDDEV_SAMP(m), 4) AS boot_sd
+        FROM rmeans
+    ),
+    base AS (
+        SELECT ROUND(AVG(value), 4) AS mean_value,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+    )
+    SELECT base.mean_value, base.n,
+           CAST(32 AS INT) AS n_replicates,
+           stats.boot_mean, stats.boot_sd,
+           ROUND(base.mean_value - 1.96 * stats.boot_sd / sqrt(2.0), 4) AS ci_low,
+           ROUND(base.mean_value + 1.96 * stats.boot_sd / sqrt(2.0), 4) AS ci_high
+    FROM base CROSS JOIN stats
+    """,
+    doc="delete-half subsample CI for mean(events.value): 32 hash-"
+    "gated replicates, map-side explode + one keyed aggregate",
+)
+def x_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    reps = ev.select(
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.col("event_id"),
+    ).where(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("rep"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        <= "7"
+    )
+    rmeans = reps.groupBy("b").agg(F.avg("value").alias("m"))
+    stats = rmeans.agg(
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.stddev_samp("m"), 4).alias("boot_sd"),
+    )
+    base = ev.agg(
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    half_se = F.col("boot_sd") / F.sqrt(F.lit(2.0))
+    return base.crossJoin(F.broadcast(stats)).select(
+        "mean_value",
+        "n",
+        F.lit(32).cast("int").alias("n_replicates"),
+        "boot_mean",
+        "boot_sd",
+        F.round(F.col("mean_value") - 1.96 * half_se, 4).alias("ci_low"),
+        F.round(F.col("mean_value") + 1.96 * half_se, 4).alias("ci_high"),
+    )

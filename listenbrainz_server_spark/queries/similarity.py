@@ -81,7 +81,9 @@ def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIG_BITS = 8
 
 
-def _lsh_sql() -> str:
+def _sig_sql_expr() -> str:
+    """The sign-LSH signature bitstring as a DuckDB expression over
+    ``embedding`` — shared by the v_lsh_* oracles and v_bucket_stats."""
     bit_exprs = []
     for h in range(_SIG_BITS):
         comps = ", ".join(
@@ -92,7 +94,11 @@ def _lsh_sql() -> str:
             f"i -> (embedding[i]::DOUBLE) * ([{comps}][i])))"
         )
         bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
-    sig = " || ".join(bit_exprs)
+    return " || ".join(bit_exprs)
+
+
+def _lsh_sql() -> str:
+    sig = _sig_sql_expr()
     return f"""
     WITH sigs AS (
         SELECT vec_id, embedding, {sig} AS sig,
@@ -960,3 +966,58 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cands = brute_force_topk(emb, "vec_id", "embedding", k=20)
     return mmr_rerank(emb, cands, "vec_id", "embedding", k=5, lam=0.7)
+
+
+# --------------------------------------------------------------------------
+# LSH index health report — the skew x-ray for the ANN tier: bucket
+# occupancy (count, max, mean) and the candidate-pair volume the
+# bucket structure implies, vs all-pairs. This is the number an
+# operator watches at 100 TB: max_bucket creeping up means a
+# signature is under-sized (sized_sig_bits exists precisely to keep
+# it flat), and pair_reduction is the measured win over brute force.
+# Signature is a pure projection; the report is one signature-keyed
+# aggregate over |vectors| rows then a scalar rollup.
+# --------------------------------------------------------------------------
+@register(
+    "v_bucket_stats",
+    f"""
+    WITH sigs AS (SELECT vec_id, {_sig_sql_expr()} AS sig FROM embeddings),
+    buckets AS (SELECT sig, COUNT(*) AS n FROM sigs GROUP BY sig),
+    tot AS (SELECT COUNT(*) AS nv FROM sigs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           ROUND(AVG(n), 4) AS avg_bucket,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           ROUND(SUM(n * (n - 1) // 2) * 1.0
+                 / (tot.nv * (tot.nv - 1) // 2), 6) AS pair_reduction
+    FROM buckets CROSS JOIN tot
+    GROUP BY tot.nv
+    """,
+    doc=f"LSH index health: bucket occupancy + candidate-pair volume "
+    f"vs all-pairs ({_SIG_BITS}-bit signature)",
+)
+def v_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.similarity import as_double, lsh_signature
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id",
+        lsh_signature(as_double(F.col("embedding")), _DIMS, _SIG_BITS).alias("sig"),
+    )
+    buckets = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("n"))
+    tot = sigs.agg(F.count(F.lit(1)).alias("nv"))
+    pairs = F.expr("n * (n - 1) DIV 2")
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .groupBy("nv")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.round(F.avg("n"), 4).alias("avg_bucket"),
+            F.sum(pairs).cast("bigint").alias("candidate_pairs"),
+            F.round(
+                F.sum(pairs) * 1.0 / F.expr("first(nv * (nv - 1) DIV 2)"), 6
+            ).alias("pair_reduction"),
+        )
+        .drop("nv")
+    )
