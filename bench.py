@@ -64,6 +64,12 @@ HEADLINE_NEW = (
     "v_sq8_topk",
     "x_interleave_domains",
     "t_quality_calibrated_hist",
+    # r4 session-3 families: RAG chunking, kNN label propagation,
+    # MMR diversified re-rank, PMI collocations.
+    "t_chunk_documents",
+    "v_knn_classify",
+    "v_mmr_rerank",
+    "t_pmi_cooccurrence",
 )
 
 
