@@ -1108,3 +1108,89 @@ def d_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "shingle")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Jaccard threshold calibration sweep — before committing a dedup
+# threshold at 100 TB you want the pair-count and docs-affected curve
+# it implies: too low collapses distinct documents, too high leaves
+# mirrors in. ONE shingle self-join computes every candidate pair's
+# exact Jaccard (>= 0.1 floor); a 9-row broadcast threshold dim then
+# re-buckets the same pair table per threshold — the expensive join
+# never re-runs across sweep points. Zero-pair thresholds surface as
+# zero rows, not missing rows (left join back to the dim).
+# --------------------------------------------------------------------------
+@register(
+    "d_threshold_sweep",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jp AS (
+        SELECT id_a, id_b,
+               ROUND(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.1
+    ),
+    th AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                          0.6, 0.7, 0.8, 0.9]) AS threshold),
+    hits AS (
+        SELECT th.threshold, jp.id_a, jp.id_b
+        FROM th JOIN jp ON jp.jaccard >= th.threshold
+    ),
+    pair_counts AS (
+        SELECT threshold, COUNT(*) AS n_pairs FROM hits GROUP BY 1
+    ),
+    doc_counts AS (
+        SELECT threshold, COUNT(DISTINCT id) AS n_docs FROM (
+            SELECT threshold, id_a AS id FROM hits
+            UNION ALL
+            SELECT threshold, id_b AS id FROM hits
+        ) GROUP BY 1
+    )
+    SELECT t.threshold,
+           CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs_affected
+    FROM th t
+    LEFT JOIN pair_counts pc ON pc.threshold = t.threshold
+    LEFT JOIN doc_counts dc ON dc.threshold = t.threshold
+    """,
+    doc="dedup threshold calibration: pair count + docs affected at "
+    "each Jaccard cut, from ONE candidate-pair join",
+)
+def d_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    jp = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, materialize_index=True
+    ).localCheckpoint(eager=True)  # one join feeds all 9 sweep points
+    thresholds = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in thresholds])).alias("threshold")
+    )
+    hits = F.broadcast(th).join(jp, jp.jaccard >= th.threshold).select(
+        "threshold", "id_a", "id_b"
+    )
+    pair_counts = hits.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    doc_counts = (
+        hits.select("threshold", F.col("id_a").alias("id"))
+        .unionByName(hits.select("threshold", F.col("id_b").alias("id")))
+        .groupBy("threshold")
+        .agg(F.count_distinct("id").alias("n_docs"))
+    )
+    return (
+        th.join(pair_counts, "threshold", "left")
+        .join(doc_counts, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+    )

@@ -1324,3 +1324,42 @@ def x_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_value") - 1.96 * half_se, 4).alias("ci_low"),
         F.round(F.col("mean_value") + 1.96 * half_se, 4).alias("ci_high"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit — the release gate that pairs with x_pii_mask:
+# after generalization, every quasi-identifier combination must be
+# shared by at least k individuals or the row is re-identifiable.
+# Audits a CANDIDATE finer generalization ($100 balance buckets —
+# the release x_pii_mask would prefer if it passed) and reports every
+# violating cell with its population: non-empty result = that
+# generalization leaks, fall back to the coarser $500 tier. One keyed
+# aggregate; the audit output is |violating cells|, not |rows|.
+# --------------------------------------------------------------------------
+@register(
+    "x_kanon_audit",
+    """
+    WITH cells AS (
+        SELECT c_mktsegment,
+               CAST(FLOOR(c_acctbal / 100) * 100 AS BIGINT) AS acctbal_bucket,
+               COUNT(*) AS cell_size
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, acctbal_bucket, CAST(cell_size AS BIGINT) AS cell_size
+    FROM cells WHERE cell_size < 5
+    """,
+    doc="k-anonymity audit (k=5) of a candidate $100-bucket "
+    "generalization; violating cells returned, empty = releasable",
+)
+def x_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 100) * 100).cast("bigint").alias(
+            "acctbal_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("cell_size"))
+    return cells.where(F.col("cell_size") < 5).select(
+        "c_mktsegment", "acctbal_bucket", F.col("cell_size").cast("bigint")
+    )

@@ -1021,3 +1021,100 @@ def v_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("nv")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding drift monitor — per-label centroid shift between a
+# reference and a current slice (here: deterministic md5 halves of the
+# corpus, so the oracle is reproducible; in production the slices are
+# last week's embeddings vs this week's). The pipeline alarm for a
+# silently retrained/upgraded encoder: a nonzero shift on every label
+# at once means the embedding space moved and every downstream ANN
+# index / threshold is stale. Per-dim means are ROUNDED on both
+# engines before the distance math (the v_centroid_outliers rule) so
+# verdicts can't wobble on summation order. Shape: posexplode to
+# (label, slice, dim) → one keyed aggregate → 64-row-per-label
+# reduce; no pairwise anything.
+# --------------------------------------------------------------------------
+@register(
+    "v_embedding_drift",
+    f"""
+    WITH split AS (
+        SELECT label, embedding,
+               (substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7') AS is_ref
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, is_ref, unnest(range(1, {_DIMS} + 1)) AS d, embedding
+        FROM split
+    ),
+    comp AS (
+        SELECT label, is_ref, d, ROUND(AVG(embedding[d]::DOUBLE), 6) AS m
+        FROM dims GROUP BY 1, 2, 3
+    ),
+    wide AS (
+        SELECT r.label, r.d, r.m AS m_ref, c.m AS m_cur
+        FROM comp r JOIN comp c ON r.label = c.label AND r.d = c.d
+        WHERE r.is_ref AND NOT c.is_ref
+    ),
+    counts AS (
+        SELECT label,
+               COUNT(*) FILTER (WHERE is_ref) AS n_ref,
+               COUNT(*) FILTER (WHERE NOT is_ref) AS n_cur
+        FROM split GROUP BY label
+    )
+    SELECT w.label AS label,
+           CAST(c.n_ref AS BIGINT) AS n_ref,
+           CAST(c.n_cur AS BIGINT) AS n_cur,
+           ROUND(sqrt(SUM((w.m_ref - w.m_cur) * (w.m_ref - w.m_cur))), 6)
+               AS centroid_shift
+    FROM wide w JOIN counts c ON c.label = w.label
+    GROUP BY w.label, c.n_ref, c.n_cur
+    """,
+    doc="per-label centroid drift between md5-half slices of the "
+    "embedding corpus (encoder-drift alarm; rounded moments)",
+)
+def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.similarity import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = emb.select(
+        "label",
+        (
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "7"
+        ).alias("is_ref"),
+        F.posexplode(as_double(F.col("embedding"))).alias("p", "x"),
+    )
+    comp = split.groupBy("label", "is_ref", "p").agg(
+        F.round(F.avg("x"), 6).alias("m")
+    )
+    wide = comp.groupBy("label", "p").agg(
+        F.max(F.when(F.col("is_ref"), F.col("m"))).alias("m_ref"),
+        F.max(F.when(~F.col("is_ref"), F.col("m"))).alias("m_cur"),
+    )
+    counts = emb.select(
+        "label",
+        (
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "7"
+        ).alias("is_ref"),
+    ).groupBy("label").agg(
+        F.count(F.when(F.col("is_ref"), True)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), True)).alias("n_cur"),
+    )
+    drift = wide.groupBy("label").agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("m_ref") - F.col("m_cur"))
+                    * (F.col("m_ref") - F.col("m_cur"))
+                )
+            ),
+            6,
+        ).alias("centroid_shift")
+    )
+    return drift.join(counts, "label").select(
+        "label",
+        F.col("n_ref").cast("bigint"),
+        F.col("n_cur").cast("bigint"),
+        "centroid_shift",
+    )

@@ -1707,3 +1707,70 @@ def t_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)
+
+
+# --------------------------------------------------------------------------
+# Per-document top TF-IDF terms — the classic retrieval feature
+# extraction (and the cheap keyword-summary a dataset card links per
+# doc). TF from one doc-keyed unigram aggregate; DF over the DISTINCT
+# (doc, word) projection; IDF folds the corpus size in as a broadcast
+# scalar; per-doc top-3 by a doc-keyed window. All exchanges are
+# keyed by doc or word — the vocab-sized DF table is the only
+# broadcast. smooth idf = ln((1+N)/(1+df)) + 1 keeps zero divisions
+# out at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "t_tfidf_topterms",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w,
+               ROUND(tf.tf * (LN((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, w, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, w ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, w AS term, tfidf, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="top-3 TF-IDF terms per document (smooth idf; doc/word-keyed "
+    "exchanges only)",
+)
+def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tfidf", "rank")
+    )
