@@ -660,3 +660,20 @@ def test_mmr_diversifies_and_keeps_top1(spark):
     mmr_sets = {q: [r.nid for r in grp] for q, grp in by_q.items()}
     assert any(set(mmr_sets[q]) != set(plain_sets[q]) for q in mmr_sets)
     assert mean_intra_sim(mmr_sets.values()) < mean_intra_sim(plain_sets.values())
+
+
+def test_pii_mask_release_is_k_anonymous(spark):
+    """The granularity x_pii_mask actually releases ($500 balance
+    buckets) must pass the k=5 audit that the finer $100 candidate
+    (x_kanon_audit) fails — the two queries together are the
+    generalize-then-audit loop."""
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.01"
+    released = reg["x_pii_mask"].fn(spark, sf)
+    cells = released.groupBy("c_mktsegment", "acctbal_bucket").count()
+    assert cells.agg(F.min("count")).first()[0] >= 5
+    assert reg["x_kanon_audit"].fn(spark, sf).count() > 0

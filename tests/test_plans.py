@@ -314,3 +314,21 @@ def test_dataset_card_single_doc_level_exchange(spark, registry):
     tree = tree_of(plan_of(spark, registry, "x_dataset_card"))
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_threshold_sweep_reuses_one_candidate_join(spark, registry):
+    """The 9-point threshold sweep must NOT re-run the shingle
+    self-join per sweep point: the pair table is pinned once and every
+    downstream branch reads the pinned rows. Proof: the final plan
+    contains no parquet scan at all — only the checkpointed RDD."""
+    plan = plan_of(spark, registry, "d_threshold_sweep")
+    tree = tree_of(plan)
+    assert "Scan ExistingRDD" in tree
+    assert "Scan parquet" not in tree
+
+
+def test_tfidf_corpus_size_broadcasts(spark, registry):
+    """The 1-row corpus-size side of t_tfidf_topterms must ride a
+    broadcast, never a shuffled join of the tf table."""
+    tree = tree_of(plan_of(spark, registry, "t_tfidf_topterms"))
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree
