@@ -1194,3 +1194,62 @@ def d_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_affected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# LSH parameter planner — the S-curve self-tuning step: for every
+# (bands, rows) factorization of the H=16 minhash budget, the
+# collision probability curve is p(t) = 1 - (1 - t^rows)^bands, and
+# its midpoint t50 = (1 - 0.5^(1/bands))^(1/rows) is where candidate
+# recall crosses 50%. The planner reports each config's midpoint and
+# flags the one whose midpoint sits closest to the d_minhash_lsh
+# target threshold (0.5) — the analytic rule that picks banding
+# BEFORE paying for an index build. Generated 5-row dim, pure math,
+# zero table scans.
+# --------------------------------------------------------------------------
+@register(
+    "d_lsh_scurve",
+    """
+    WITH configs AS (
+        SELECT unnest([1, 2, 4, 8, 16]) AS bands
+    ),
+    curves AS (
+        SELECT bands, CAST(16 / bands AS INT) AS rows_per_band,
+               ROUND(POWER(1.0 - POWER(0.5, 1.0 / bands),
+                           1.0 / (16 / bands)), 6) AS t50
+        FROM configs
+    ),
+    ranked AS (
+        SELECT bands, rows_per_band, t50,
+               ROW_NUMBER() OVER (ORDER BY ABS(t50 - 0.5), bands) AS rn
+        FROM curves
+    )
+    SELECT CAST(bands AS INT) AS bands, rows_per_band, t50,
+           (rn = 1) AS selected
+    FROM ranked
+    """,
+    doc="LSH banding planner: S-curve midpoint per (bands, rows) "
+    "config, closest-to-target flagged (analytic, no index build)",
+)
+def d_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    bands = [1, 2, 4, 8, 16]
+    cfg = spark.range(1).select(
+        F.explode(F.array(*[F.lit(b) for b in bands])).alias("bands")
+    )
+    curves = cfg.select(
+        F.col("bands").cast("int").alias("bands"),
+        (16 / F.col("bands")).cast("int").alias("rows_per_band"),
+        F.round(
+            F.pow(
+                1.0 - F.pow(F.lit(0.5), 1.0 / F.col("bands")),
+                F.col("bands") / 16.0,
+            ),
+            6,
+        ).alias("t50"),
+    )
+    w = Window.orderBy(F.abs(F.col("t50") - 0.5), F.col("bands"))
+    return curves.withColumn("rn", F.row_number().over(w)).select(
+        "bands", "rows_per_band", "t50", (F.col("rn") == 1).alias("selected")
+    )

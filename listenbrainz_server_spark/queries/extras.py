@@ -1363,3 +1363,85 @@ def x_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.where(F.col("cell_size") < 5).select(
         "c_mktsegment", "acctbal_bucket", F.col("cell_size").cast("bigint")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout key — multi-dimensional clustering for scan
+# pruning: interleaving the bits of (user bucket, hour bucket) gives a
+# single sort key under which BOTH a user-range filter and a
+# time-range filter touch few contiguous files — the 100 TB data-
+# layout lever Spark itself doesn't ship (Delta/Iceberg OPTIMIZE
+# ZORDER compute exactly this key and sort by it). Pure bit
+# arithmetic, map-only; writing the table back sorted by zkey is the
+# S9 partitioned-sink path. 8 bits per dimension → 16-bit key.
+# --------------------------------------------------------------------------
+def _zorder_sql() -> str:
+    terms = " + ".join(
+        f"(((user_id % 256) // {1 << i}) % 2) * {1 << (2 * i)} + "
+        f"(((CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 256) // {1 << i}) % 2 * {1 << (2 * i + 1)}"
+        for i in range(8)
+    )
+    return f"""
+    SELECT event_id, user_id,
+           CAST({terms} AS BIGINT) AS zkey
+    FROM events
+    """
+
+
+@register(
+    "x_zorder_key",
+    _zorder_sql(),
+    doc="Morton z-order key over (user bucket, hour bucket) — the "
+    "multi-dim clustering sort key for layout-level scan pruning",
+)
+def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id") % 256
+    h = (F.unix_timestamp("ts") / 3600).cast("bigint") % 256
+    zkey = F.lit(0).cast("bigint")
+    for i in range(8):
+        zkey = (
+            zkey
+            + (F.floor(u / (1 << i)) % 2) * (1 << (2 * i))
+            + (F.floor(h / (1 << i)) % 2) * (1 << (2 * i + 1))
+        )
+    return ev.select("event_id", "user_id", zkey.cast("bigint").alias("zkey"))
+
+
+# --------------------------------------------------------------------------
+# User growth curve — cumulative distinct users by day. The naive
+# form (COUNT(DISTINCT user) OVER cumulative window) holds every id
+# in window state; the scalable identity is: a user contributes to
+# the cumulative count exactly from their FIRST-SEEN day, so one
+# per-user min(day) aggregate + a day-level cumulative sum over the
+# REDUCED (≤ |days|) table gives the same curve. Pattern generalizes
+# to any cumulative-distinct metric at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "a_user_growth",
+    """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT d AS day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    """,
+    doc="cumulative-distinct user growth via first-seen-day reduction "
+    "(no distinct-state window; cumsum runs on the day-level table)",
+)
+def a_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").alias("day"),
+        F.col("new_users").cast("bigint"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
