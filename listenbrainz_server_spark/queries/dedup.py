@@ -1253,3 +1253,90 @@ def d_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curves.withColumn("rn", F.row_number().over(w)).select(
         "bands", "rows_per_band", "t50", (F.col("rn") == 1).alias("selected")
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy string join (edit distance ≤ 1) — entity resolution without a
+# quadratic comparison: the SymSpell/deletion-neighborhood trick.
+# Each string expands to itself plus every single-character deletion;
+# two strings within edit distance 1 (insert/delete/substitute) MUST
+# share a variant, so an equi join on the variant string finds every
+# candidate and an exact levenshtein filter removes the (distance-2)
+# false positives. Per-string fan-out is |s|+1 variants — linear, and
+# the join shuffles on variant keys, never all-pairs. The "dirty"
+# side is a deterministic perturbation of every 3rd customer name
+# (drop the (key mod len)-th char) so the oracle reproduces the same
+# fixture — the st_stream_dedup duplicate-injection pattern.
+# --------------------------------------------------------------------------
+@register(
+    "d_fuzzy_match",
+    """
+    WITH pert AS (
+        SELECT c_custkey AS pid,
+               SUBSTR(c_name, 1, pos - 1) || SUBSTR(c_name, pos + 1) AS pname
+        FROM (SELECT c_custkey, c_name,
+                     (c_custkey % (LENGTH(c_name) - 1)) + 1 AS pos
+              FROM customer WHERE c_custkey % 3 = 0)
+    ),
+    lvars AS (
+        SELECT c_custkey AS lid, c_name AS lname,
+               unnest(list_prepend(c_name,
+                   list_transform(range(1, LENGTH(c_name) + 1),
+                       i -> SUBSTR(c_name, 1, i - 1) || SUBSTR(c_name, i + 1))))
+                   AS v
+        FROM customer
+    ),
+    rvars AS (
+        SELECT pid, pname,
+               unnest(list_prepend(pname,
+                   list_transform(range(1, LENGTH(pname) + 1),
+                       i -> SUBSTR(pname, 1, i - 1) || SUBSTR(pname, i + 1))))
+                   AS v
+        FROM pert
+    ),
+    cands AS (
+        SELECT DISTINCT l.lid, l.lname, r.pid, r.pname
+        FROM lvars l JOIN rvars r ON l.v = r.v
+    )
+    SELECT lid, pid, CAST(levenshtein(lname, pname) AS INT) AS distance
+    FROM cands
+    WHERE levenshtein(lname, pname) <= 1
+    """,
+    doc="edit-distance-1 fuzzy join via deletion-neighborhood "
+    "variants + exact levenshtein verify (SymSpell-style, never "
+    "all-pairs)",
+)
+def d_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+
+    def deletion_variants(s):
+        return F.array_union(
+            F.array(s),
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.concat(
+                    F.substr(s, F.lit(1), i - 1), F.substr(s, i + 1, F.length(s))
+                ),
+            ),
+        )
+
+    pos = (F.col("c_custkey") % (F.length("c_name") - 1) + 1).cast("int")
+    pert = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("pid"),
+        F.concat(
+            F.substr(F.col("c_name"), F.lit(1), pos - 1),
+            F.substr(F.col("c_name"), pos + 1, F.length("c_name")),
+        ).alias("pname"),
+    )
+    lvars = cust.select(
+        F.col("c_custkey").alias("lid"),
+        F.col("c_name").alias("lname"),
+        F.explode(deletion_variants(F.col("c_name"))).alias("v"),
+    )
+    rvars = pert.select(
+        "pid", "pname", F.explode(deletion_variants(F.col("pname"))).alias("v")
+    )
+    cands = lvars.join(rvars, "v").select("lid", "lname", "pid", "pname").distinct()
+    return cands.where(F.levenshtein("lname", "pname") <= 1).select(
+        "lid", "pid", F.levenshtein("lname", "pname").cast("int").alias("distance")
+    )
