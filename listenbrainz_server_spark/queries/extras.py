@@ -1445,3 +1445,46 @@ def a_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users via HLL sketch algebra — the ONLY
+# shape that survives 100 TB: exact rolling distinct needs every
+# (day, user) pair re-deduplicated per window (state ∝ users ×
+# window), while a mergeable sketch needs one fixed-size sketch per
+# day and a union across each 7-day window. One day-keyed sketch
+# aggregate over the fact table; the window merge runs on the
+# |days|-sized dim (broadcast self-join), touching the fact table
+# once. Estimates are not SQL-reproducible in DuckDB → rows-only
+# driver check; accuracy vs exact is pinned by
+# tests/test_operators.py::test_hll_rolling_matches_exact.
+# --------------------------------------------------------------------------
+@register(
+    "x_hll_rolling_distinct",
+    None,
+    doc="rolling 7-day distinct users from mergeable per-day HLL "
+    "sketches (sketch-union window merge; rows-only, accuracy "
+    "test-pinned)",
+)
+def x_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    d = daily.select("day").alias("d")
+    e = daily.alias("e")
+    win = F.broadcast(d).join(
+        e,
+        (F.col("e.day") <= F.col("d.day"))
+        & (F.col("e.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS")),
+    )
+    return (
+        win.groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("e.sk")))
+            .cast("bigint")
+            .alias("rolling_users")
+        )
+    )

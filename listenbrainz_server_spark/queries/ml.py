@@ -399,3 +399,73 @@ def m_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return als_cv_lifecycle(
         spark, sf_dir, registry_dir, max_iter=2, parallelism=4
     )
+
+
+# --------------------------------------------------------------------------
+# Supervised quality classifier — the learned upgrade of the
+# heuristic quality gate: logistic regression on cheap per-doc
+# features (token count, top-word share, punctuation share, stopword
+# share) against the gate's label. At 100 TB the value is the usual
+# distillation loop: score a labeled slice with the expensive gate
+# (or human labels), fit the cheap model once on the driver-coordinated
+# MLlib job, then the scoring pass is a pure column expression
+# (coefficients folded into the plan — no model server, no Python).
+# Iterative fit → rows-only driver check; separability of the
+# fixture's label makes AUC≈1 a strong correctness signal
+# (tests/test_operators.py::test_quality_classifier_auc).
+# --------------------------------------------------------------------------
+@register(
+    "m_quality_classifier",
+    None,
+    doc="logistic-regression quality model on per-doc text features; "
+    "scoring folded back into column expressions (rows-only, AUC "
+    "test-pinned)",
+)
+def m_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from listenbrainz_server_spark.functions.text import (
+        punct_ratio,
+        quality_flag,
+        stopword_ratio,
+        token_count,
+        top_word_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("double").alias("f_tokens"),
+        (top_word_count(toks) * 1.0 / F.greatest(F.size(toks), F.lit(1))).alias(
+            "f_top_share"
+        ),
+        punct_ratio(F.col("text")).alias("f_punct"),
+        stopword_ratio(F.col("text")).alias("f_stop"),
+        quality_flag(F.col("text")).cast("double").alias("label"),
+    ).localCheckpoint(eager=True)  # pin: assembler + LR iterate the lineage
+    asm = VectorAssembler(
+        inputCols=["f_tokens", "f_top_share", "f_punct", "f_stop"],
+        outputCol="features",
+    )
+    lr = LogisticRegression(maxIter=20, regParam=0.01)
+    model = lr.fit(asm.transform(feats))
+    # Fold the fitted coefficients back into a pure column expression —
+    # the deployable scoring path (no MLlib, no Python at inference).
+    w = model.coefficients
+    b = float(model.intercept)
+    margin = (
+        F.col("f_tokens") * float(w[0])
+        + F.col("f_top_share") * float(w[1])
+        + F.col("f_punct") * float(w[2])
+        + F.col("f_stop") * float(w[3])
+        + F.lit(b)
+    )
+    prob = 1.0 / (1.0 + F.exp(-margin))
+    return feats.select(
+        "doc_id",
+        F.col("label").cast("int").alias("label"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= 0.5).cast("int").alias("prediction"),
+    )

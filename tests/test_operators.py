@@ -677,3 +677,60 @@ def test_pii_mask_release_is_k_anonymous(spark):
     cells = released.groupBy("c_mktsegment", "acctbal_bucket").count()
     assert cells.agg(F.min("count")).first()[0] >= 5
     assert reg["x_kanon_audit"].fn(spark, sf).count() > 0
+
+
+def test_hll_rolling_matches_exact(spark):
+    """The sketch-union rolling distinct must track the exact rolling
+    distinct within HLL error (lgConfigK=12 → ~2%; assert 5%)."""
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.day: r.rolling_users
+        for r in load_all()["x_hll_rolling_distinct"].fn(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    days = [r.day for r in ev.select("day").distinct().collect()]
+    pairs = ev.distinct().collect()
+    for day in days:
+        exact = len(
+            {
+                p.user_id
+                for p in pairs
+                if 0 <= (day - p.day).total_seconds() <= 6 * 86400
+            }
+        )
+        assert abs(approx[day] - exact) <= max(1, 0.05 * exact), (day, approx[day], exact)
+
+
+def test_quality_classifier_auc(spark):
+    """The label is a function of two of the features, so the fitted
+    model must separate near-perfectly — AUC > 0.95 — and folding the
+    coefficients into column expressions must agree with the gate on
+    almost every doc."""
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.queries import load_all
+
+    out = load_all()["m_quality_classifier"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    # Exact AUC by rank-sum (small n).
+    pos = sorted(r.prob for r in out if r.label == 1)
+    neg = sorted(r.prob for r in out if r.label == 0)
+    assert pos and neg
+    import bisect
+
+    wins = sum(
+        bisect.bisect_left(neg, p) + 0.5 * (bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p))
+        for p in pos
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert auc > 0.95, auc
+    agree = sum(1 for r in out if r.prediction == r.label) / len(out)
+    assert agree > 0.9, agree
