@@ -455,14 +455,9 @@ def d_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run-length top-word count) — zero shuffles, where the previous
     # explode → groupBy(doc, w) → groupBy(doc) formulation paid two
     # full-corpus exchanges before the pipeline even started.
-    from listenbrainz_server_spark.functions.text import top_word_count
+    from listenbrainz_server_spark.functions.text import quality_flag
 
-    ws = F.split("text", " ")
-    total = F.size(ws).cast("bigint")
-    top_n = top_word_count(ws)
-    qdocs = docs.where(
-        (total >= 20) & (top_n * 1.0 / total <= 0.25)
-    )
+    qdocs = docs.where(quality_flag(F.col("text")))
 
     # 2. Exact dedup: min-id representative per fingerprint.
     exact_reps = exact_dedup(qdocs, "text", "doc_id").select("doc_id")
@@ -757,16 +752,12 @@ def d_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the composed corpus-cleaning pipeline (one row, no collects)",
 )
 def d_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from listenbrainz_server_spark.functions.text import token_count, top_word_count
+    from listenbrainz_server_spark.functions.text import quality_flag, token_count
     from listenbrainz_server_spark.operators.joins import semi_join
     from listenbrainz_server_spark.operators.packing import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    total = F.size(ws).cast("bigint")
-    qdocs = docs.where(
-        (total >= 20) & (top_word_count(ws) * 1.0 / total <= 0.25)
-    )
+    qdocs = docs.where(quality_flag(F.col("text")))
     exact_reps = exact_dedup(qdocs, "text", "doc_id").select("doc_id")
     sdocs = semi_join(qdocs, exact_reps, ["doc_id"]).localCheckpoint(eager=True)
     pairs = jaccard_pairs(

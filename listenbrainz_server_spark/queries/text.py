@@ -1774,3 +1774,52 @@ def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", F.col("w").alias("term"), "tfidf", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit of the corpus vocabulary — log-log regression of term
+# frequency on rank. The one-number health check for synthetic or
+# over-filtered corpora: natural language sits near slope -1; a
+# near-flat slope says the corpus is template/noise-dominated and
+# dedup/quality thresholds need revisiting. Uses the built-in
+# regression aggregates (regr_slope/intercept/r2 — identical
+# definitions in both engines) over the DATA-REDUCED vocab table, so
+# the rank window never touches document-scale rows.
+# --------------------------------------------------------------------------
+@register(
+    "t_zipf_fit",
+    """
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    freqs AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS r FROM freqs
+    ),
+    top AS (SELECT * FROM ranked WHERE r <= 1000)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(LN(f), LN(r)), 4) AS zipf_slope,
+           ROUND(regr_intercept(LN(f), LN(r)), 4) AS zipf_intercept,
+           ROUND(regr_r2(LN(f), LN(r)), 4) AS r2
+    FROM top
+    """,
+    doc="log-log Zipf fit of term frequency vs rank over the top-1000 "
+    "vocab (regression aggregates on the reduced table)",
+)
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freqs.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("w").asc()))
+    ).where(F.col("r") <= 1000)
+    lf, lr = F.log(F.col("f")), F.log(F.col("r"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 4).alias("r2"),
+    )
