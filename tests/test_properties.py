@@ -168,3 +168,34 @@ def test_asof_join_matches_bruteforce(spark, left, right):
             assert got[i] == (float(bv), ts(bt)), (i, k, t)
         else:
             assert got[i] == (None, None), (i, k, t)
+
+
+# ---------------------------------------------------------------------------
+# Deletion-neighborhood completeness — the guarantee d_fuzzy_match's
+# bucketed join rests on: any two strings within Levenshtein distance
+# 1 share at least one member of {s} ∪ {s minus one char}, so the
+# variant equi-join can never miss a true match (false positives are
+# removed by the exact levenshtein filter afterwards).
+# ---------------------------------------------------------------------------
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _variants(s: str) -> set[str]:
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+@given(
+    st.text(alphabet="abc", min_size=0, max_size=8),
+    st.text(alphabet="abc", min_size=0, max_size=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_deletion_neighborhood_covers_distance_one(a, b):
+    if _lev(a, b) <= 1:
+        assert _variants(a) & _variants(b), (a, b)
