@@ -101,3 +101,94 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("signup_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_clicks")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time dimension join — the warehouse temporal pattern:
+# the dimension's history is materialized as validity intervals
+# (type-2 rows: valid_from = change ts, valid_to = next change via
+# one per-key lead window, open tail closed with a far sentinel), and
+# facts join to the dimension row whose interval contains the fact
+# timestamp. Here the "dimension" is each user's spend tier, re-
+# derived at every purchase; facts are all non-purchase events. The
+# physical join is the bucketized interval equi join (never |L|x|R|);
+# the SCD2 build is one keyed window over the (small) change stream.
+# --------------------------------------------------------------------------
+@register(
+    "j_scd2_join",
+    """
+    WITH horizon AS (
+        SELECT MAX(ts) + INTERVAL 1 SECOND AS h FROM events
+    ),
+    dim AS (
+        SELECT user_id,
+               CASE WHEN value >= 15 THEN 'gold'
+                    WHEN value >= 5 THEN 'silver'
+                    ELSE 'bronze' END AS tier,
+               ts AS valid_from,
+               COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        (SELECT h FROM horizon)) AS valid_to
+        FROM events WHERE event_type = 'purchase'
+    ),
+    facts AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type <> 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts, d.tier, d.valid_from
+    FROM facts f JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts >= d.valid_from AND f.ts < d.valid_to
+    """,
+    doc="SCD2 join: type-2 validity intervals from the change stream "
+    "(lead window), facts matched point-in-time via bucketized "
+    "interval join",
+)
+def j_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # Open-tail sentinel = data horizon, NOT a far-future constant: the
+    # bucketized join explodes each interval into every bucket it
+    # overlaps, so a year-2100 sentinel would fan the open rows into
+    # tens of thousands of buckets. Horizon-clamping keeps the fan-out
+    # proportional to actual history.
+    horizon = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("_h")
+    )
+    dim = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.when(F.col("value") >= 15, "gold")
+            .when(F.col("value") >= 5, "silver")
+            .otherwise("bronze")
+            .alias("tier"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+        .crossJoin(F.broadcast(horizon))
+        .withColumn(
+            "valid_to",
+            F.coalesce(
+                F.lead("valid_from").over(
+                    Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+                ),
+                F.col("_h"),
+            ),
+        )
+        .drop("event_id", "_h")
+    )
+    facts = ev.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = range_join_bucketed(
+        facts,
+        dim,
+        keys=["user_id"],
+        left_ts="ts",
+        right_start="valid_from",
+        right_end="valid_to",
+        bucket_seconds=86400,
+    )
+    return joined.select("event_id", "user_id", "ts", "tier", "valid_from")
