@@ -1488,3 +1488,50 @@ def x_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rolling_users")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Listen-share inequality (Gini) — how concentrated activity is
+# across users: the balance metric a sampling strategy consults
+# before per-user caps (a4_capped_count's "why") and the corpus
+# analog of x_dataset_card's dup-rate. Exact Gini via the rank
+# identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over per-user totals
+# sorted ascending — one fact-table aggregate, then a window over the
+# |users|-sized reduction. Ties rank deterministically by user id.
+# --------------------------------------------------------------------------
+@register(
+    "a_listen_gini",
+    """
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n ASC, user_id ASC) AS i
+        FROM per_user
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(2.0 * SUM(i * n) / (COUNT(*) * SUM(n))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+    doc="exact Gini of per-user event counts (rank identity over the "
+    "user-level reduction; activity-concentration report)",
+)
+def a_listen_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = per_user.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy(F.col("n").asc(), F.col("user_id").asc())),
+    )
+    cnt = F.count(F.lit(1))
+    return ranked.agg(
+        cnt.cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("n")) / (cnt * F.sum("n"))
+            - (cnt + 1.0) / cnt,
+            6,
+        ).alias("gini"),
+    )

@@ -332,3 +332,12 @@ def test_tfidf_corpus_size_broadcasts(spark, registry):
     broadcast, never a shuffled join of the tf table."""
     tree = tree_of(plan_of(spark, registry, "t_tfidf_topterms"))
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree
+
+
+def test_scd2_join_is_bucketized_not_cartesian(spark, registry):
+    """The point-in-time join must go through the bucketized interval
+    equi join — no cartesian/broadcast-nested-loop over facts, and the
+    interval explode present."""
+    tree = tree_of(plan_of(spark, registry, "j_scd2_join"))
+    assert "CartesianProduct" not in tree
+    assert "Generate explode" in tree or "Generate" in tree
