@@ -1535,3 +1535,75 @@ def a_listen_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session-duration distribution — the engagement summary over the
+# sessionized stream: session count, events per session, and the
+# duration percentiles product analytics watches. Sessions come from
+# the same native session_window operator st_session_window uses
+# (extra min/max aggregates ride the same single exchange); the stats
+# run over the |sessions|-sized reduction. Durations are defined
+# first-event→last-event in whole seconds (epoch floored on both
+# engines — DuckDB's CAST rounds).
+# --------------------------------------------------------------------------
+@register(
+    "a_session_stats",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts >= LAG(ts) OVER w + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, sid, COUNT(*) AS n_events,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+                 - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS dur_s
+        FROM sessions GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_events,
+           ROUND(AVG(dur_s), 4) AS avg_dur_s,
+           ROUND(quantile_cont(dur_s, 0.5), 4) AS p50_dur_s,
+           ROUND(quantile_cont(dur_s, 0.9), 4) AS p90_dur_s
+    FROM per_session
+    """,
+    doc="session count, events/session, and duration percentiles over "
+    "the sessionized stream (single-exchange session build)",
+)
+def a_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.streaming.jobs import session_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = session_aggregate(
+        ev,
+        "ts",
+        "user_id",
+        gap="30 minutes",
+        extra_aggs=[
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        ],
+    )
+    per_session = sess.select(
+        "n_events",
+        (
+            F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
+        ).alias("dur_s"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.avg("dur_s"), 4).alias("avg_dur_s"),
+        F.round(F.percentile("dur_s", F.lit(0.5)), 4).alias("p50_dur_s"),
+        F.round(F.percentile("dur_s", F.lit(0.9)), 4).alias("p90_dur_s"),
+    )
