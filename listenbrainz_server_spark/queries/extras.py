@@ -1607,3 +1607,47 @@ def a_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("dur_s", F.lit(0.5)), 4).alias("p50_dur_s"),
         F.round(F.percentile("dur_s", F.lit(0.9)), 4).alias("p90_dur_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# DAU/WAU stickiness — daily actives over rolling-7-day actives, the
+# standard engagement ratio. This is the EXACT tier (distinct
+# (day, user) pairs re-counted per window — fine while users × 7 days
+# fits a shuffle); x_hll_rolling_distinct is the same window on
+# sketches, the shape that replaces this at 100 TB. Day dim is tiny →
+# the rolling window is a broadcast day-to-day join, and the fact
+# table reduces to distinct (day, user) once.
+# --------------------------------------------------------------------------
+@register(
+    "a_dau_wau",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    wau AS (
+        SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
+        FROM dau d JOIN du e ON e.day <= d.day AND e.day >= d.day - 6
+        GROUP BY d.day
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           ROUND(d.dau * 1.0 / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+    doc="DAU / rolling-7-day-WAU stickiness (exact tier; HLL variant "
+    "is x_hll_rolling_distinct)",
+)
+def a_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    win = F.broadcast(dau.select("day")).join(
+        du.select(F.col("day").alias("eday"), "user_id"),
+        (F.col("eday") <= F.col("day"))
+        & (F.col("eday") >= F.date_sub(F.col("day"), 6)),
+    )
+    wau = win.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("bigint"),
+        F.col("wau").cast("bigint"),
+        F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+    )
