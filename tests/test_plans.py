@@ -341,3 +341,25 @@ def test_scd2_join_is_bucketized_not_cartesian(spark, registry):
     tree = tree_of(plan_of(spark, registry, "j_scd2_join"))
     assert "CartesianProduct" not in tree
     assert "Generate explode" in tree or "Generate" in tree
+
+
+def test_gini_window_runs_on_user_reduction(spark, registry):
+    """The Gini rank window must sort the |users|-sized aggregate, not
+    document/event-scale rows: the plan's window sits ABOVE the
+    per-user aggregate (exactly two aggregates: per-user + final)."""
+    tree = tree_of(plan_of(spark, registry, "a_listen_gini"))
+    assert "Window" in tree
+    # Formatted plans print top-down (outputs above inputs), so "the
+    # window consumes an aggregate" = a HashAggregate appears BELOW
+    # the Window node; a window directly over raw events would have
+    # only a scan beneath it.
+    win_pos = tree.index("Window")
+    assert "HashAggregate" in tree[win_pos:]
+
+
+def test_dau_wau_day_dim_broadcasts(spark, registry):
+    """The rolling-window day-to-day join must broadcast the tiny day
+    dim, never shuffle the distinct (day,user) table for it."""
+    tree = tree_of(plan_of(spark, registry, "a_dau_wau"))
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "CartesianProduct" not in tree
