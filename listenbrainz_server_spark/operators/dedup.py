@@ -144,6 +144,12 @@ def minhash_band_buckets(
     slice); every LSH consumer (candidate pairs, sketch calibration,
     incremental probing) derives buckets here so the tiers can't
     silently disagree on the banding scheme."""
+    # A non-divisible width would silently drop trailing hash
+    # components and weaken the LSH guarantee (simhash_pairs asserts
+    # the same invariant).
+    assert num_hashes % bands == 0, (
+        f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+    )
     rows = num_hashes // bands
     band_cols = [
         F.struct(

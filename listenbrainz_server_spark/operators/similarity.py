@@ -416,8 +416,14 @@ def bucket_scored_pairs(
         .select(
             "qid",
             "nid",
+            # NULL-guard the zero-norm case (same rule as _exact_rerank):
+            # a zero vector sharing a bucket must not trip ANSI
+            # DIVIDE_BY_ZERO.
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                F.when(
+                    (F.col("na") != 0) & (F.col("nb") != 0),
+                    dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                ),
                 round_dp,
             ).alias("score"),
         )

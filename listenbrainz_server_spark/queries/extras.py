@@ -759,7 +759,9 @@ def _epoch_manifest_sql() -> str:
     ),
     base AS (
         SELECT doc_id, source,
-               CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 AS m,
+               CASE WHEN regexp_extract(source, '(\\d+)', 1) = '' THEN 1
+                    ELSE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4
+               END AS m,
                substr(md5(CAST(doc_id AS VARCHAR) || ':keep'), 1, 8) AS h
         FROM documents
     ),

@@ -782,7 +782,7 @@ def _hard_negative_sql() -> str:
     ),
     scored AS (
         SELECT a.vec_id AS qid, b.vec_id AS nid,
-               ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+               ROUND({_DOT} / NULLIF(a.nrm * b.nrm, 0), 6) AS score
         FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id
     ),
     ranked AS (
@@ -947,24 +947,37 @@ def v_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MMR-diversified retrieval: exact top-20 relevance candidates per
-# query, greedily re-ranked to 5 with maximal marginal relevance
-# (lambda = 0.7) — the de-duplicating re-rank a RAG serving stack runs
-# so a context window isn't five near-copies of one paragraph. The
-# greedy loop is non-SQL (rows-only driver check); the contracts are
-# pinned locally instead: lambda=1.0 degrades exactly to relevance
-# top-k, rank 1 is always the relevance top-1, and the selected sets
-# are strictly more diverse than plain top-5 (test_operators.py).
+# MMR-diversified retrieval: multi-probe LSH ANN top-20 relevance
+# candidates per query, greedily re-ranked to 5 with maximal marginal
+# relevance (lambda = 0.7) — the de-duplicating re-rank a RAG serving
+# stack runs so a context window isn't five near-copies of one
+# paragraph. The candidate stage is the same multi-probe ANN tier as
+# v_lsh_multiprobe with a corpus-sized signature (sized_sig_bits keeps
+# expected bucket population bounded at any n; the probe explode
+# multiplies only the query side) — no all-pairs stage anywhere in the
+# plan, so the whole pipeline stays linear-ish at 100 TB. The greedy
+# loop is non-SQL (rows-only driver check); the contracts are pinned
+# locally instead: exact-match vs a 30-line numpy reference oracle on
+# a seeded fixture, a fixture-scale overlap cross-check vs the
+# exact-candidate variant (the v_ann_recall_report pattern),
+# lambda=1.0 degrades exactly to relevance top-k, rank 1 is always
+# the relevance top-1, and the selected sets are strictly more
+# diverse than plain top-5 (test_operators.py).
 # --------------------------------------------------------------------------
 @register(
     "v_mmr_rerank",
     None,
-    doc="MMR-diversified top-5 from exact top-20 candidates "
-    "(lambda=0.7; greedy per-query Arrow groups, rows-only check)",
+    doc="MMR-diversified top-5 from multi-probe LSH ANN top-20 "
+    "candidates (lambda=0.7; greedy per-query Arrow groups, "
+    "rows-only check)",
 )
 def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.similarity import lsh_multiprobe_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cands = brute_force_topk(emb, "vec_id", "embedding", k=20)
+    cands = lsh_multiprobe_topk(
+        emb, "vec_id", "embedding", dims=_DIMS, k=20
+    ).select("qid", "nid", "score")
     return mmr_rerank(emb, cands, "vec_id", "embedding", k=5, lam=0.7)
 
 
@@ -1091,6 +1104,12 @@ def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = comp.groupBy("label", "p").agg(
         F.max(F.when(F.col("is_ref"), F.col("m"))).alias("m_ref"),
         F.max(F.when(~F.col("is_ref"), F.col("m"))).alias("m_cur"),
+    ).where(
+        # A label whose vectors all hash into one md5 half has no
+        # counterpart slice: the oracle's inner join drops it, so drop
+        # the NULL-sided rows here too instead of summing NULLs into a
+        # NULL centroid_shift.
+        F.col("m_ref").isNotNull() & F.col("m_cur").isNotNull()
     )
     counts = emb.select(
         "label",
