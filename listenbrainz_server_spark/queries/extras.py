@@ -1498,8 +1498,16 @@ def x_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # before per-user caps (a4_capped_count's "why") and the corpus
 # analog of x_dataset_card's dup-rate. Exact Gini via the rank
 # identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over per-user totals
-# sorted ascending — one fact-table aggregate, then a window over the
-# |users|-sized reduction. Ties rank deterministically by user id.
+# sorted ascending. The Spark plan never ranks users: tied users share
+# the same x, so Σ i·x is tie-order independent and collapses to the
+# VALUE-grouped form Σ_v v·(c_v·B_v + c_v(c_v+1)/2) where B_v counts
+# users with smaller totals — one fact-table aggregate, one groupBy
+# over count values, and a prefix sum over the |distinct count
+# values|-sized frame (thousands of rows at any corpus size, vs the
+# |users|-sized single-partition sort SURVEY §4.3 names as the 100 TB
+# hazard). Σ runs in decimal(38,0) so rank×count products can't
+# overflow bigint at scale. The oracle keeps the per-user ROW_NUMBER
+# form — the identity is exact, so the hash must still match.
 # --------------------------------------------------------------------------
 @register(
     "a_listen_gini",
@@ -1523,17 +1531,29 @@ def x_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_listen_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    ranked = per_user.withColumn(
-        "i",
-        F.row_number().over(Window.orderBy(F.col("n").asc(), F.col("user_id").asc())),
+    by_val = per_user.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, -1)
+    pref = by_val.withColumn("b", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    # Ranks of the c tied users at value n are b+1 .. b+c, so their
+    # Σ i·x contribution is n·(c·b + c(c+1)/2) — c(c+1) is even, so
+    # DIV keeps it integral; decimal(38,0) keeps the sum exact.
+    contrib = (
+        F.col("n").cast("decimal(38,0)")
+        * (F.col("c") * F.col("b") + F.expr("c * (c + 1) DIV 2")).cast(
+            "decimal(38,0)"
+        )
     )
-    cnt = F.count(F.lit(1))
-    return ranked.agg(
-        cnt.cast("bigint").alias("n_users"),
-        F.sum("n").cast("bigint").alias("n_events"),
+    stats = pref.agg(
+        F.sum("c").cast("bigint").alias("n_users"),
+        F.sum(F.col("n") * F.col("c")).cast("bigint").alias("n_events"),
+        F.sum(contrib).alias("si"),
+    )
+    return stats.select(
+        "n_users",
+        "n_events",
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("n")) / (cnt * F.sum("n"))
-            - (cnt + 1.0) / cnt,
+            2.0 * F.col("si") / (F.col("n_users") * F.col("n_events"))
+            - (F.col("n_users") + 1.0) / F.col("n_users"),
             6,
         ).alias("gini"),
     )

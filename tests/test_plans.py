@@ -195,6 +195,21 @@ def test_vocab_coverage_aggregates_before_window(spark, registry):
     assert "BatchEvalPython" not in tree
 
 
+def test_listen_gini_window_over_value_reduction(spark, registry):
+    """a_listen_gini: the prefix-sum window must sit ABOVE the double
+    reduction (events → per-user counts → per-count-VALUE frame), so
+    the single-partition exchange it implies carries |distinct count
+    values| rows, never |users| (SURVEY §4.3's named hazard). No
+    per-user rank survives in the plan and no Python evaluation."""
+    tree = tree_of(plan_of(spark, registry, "a_listen_gini"))
+    assert "Window" in tree
+    # Both keyed reductions (user_id, then n) below the window:
+    # partial+final pairs make >= 4 HashAggregates under it.
+    below = tree[tree.index("Window"):]
+    assert below.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in tree
+
+
 def test_quality_hist_no_per_source_doc_sort(spark, registry):
     """t_quality_calibrated_hist: the mega-domain contract — documents
     join a broadcast (source, bin) dim; the only Sort in the plan may
