@@ -11,6 +11,15 @@ parser to recover the JSON line intact.
 
 Each query is timed to full materialization (noop-format write — same
 work the correctness gate does, minus driver-side collection).
+
+Headline timings are the MEDIAN OF 3 runs per query (VERDICT r4 #4):
+single-shot numbers mix first-touch costs (JIT, Arrow worker spin-up,
+parquet footer caches) into whichever queries run early, which round 4
+showed can fabricate 15%+ "regressions" that a second run disproves.
+The --all sweep stays single-pass (218 queries amortize warm-up
+naturally, and its round-over-round numbers have tracked plan changes
+faithfully); the headline artifact is the regression tripwire, so it
+pays for statistical hygiene.
 """
 
 from __future__ import annotations
@@ -91,15 +100,19 @@ def main() -> None:
     # query execution, not session cold-start.
     registry["a1_pricing_summary"].fn(spark, sf_dir).count()
 
+    runs = 1 if run_all else 3
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        t0 = time.time()
+        samples: list[float] = []
         try:
-            df = registry[name].fn(spark, sf_dir)
-            # Force full execution of every operator in the plan.
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 2)
+            for _ in range(runs):
+                t0 = time.time()
+                df = registry[name].fn(spark, sf_dir)
+                # Force full execution of every operator in the plan.
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            timings[name] = round(sorted(samples)[len(samples) // 2], 2)
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
             errors[name] = str(e).splitlines()[0][:120]
 
@@ -110,6 +123,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": runs,
     }
     if not run_all:
         out["value_comparable"] = round(

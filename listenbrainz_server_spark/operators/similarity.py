@@ -639,10 +639,17 @@ def lsh_multiprobe_topk(
     sig_bits: int | None = None,
     n_flip: int = 1,
     round_dp: int = 6,
+    vectorized: bool = True,
 ) -> DataFrame:
-    """Multi-probe sign-LSH ANN top-k — pure column expressions end to
-    end (no Python workers). ``sig_bits=None`` auto-sizes from the
-    corpus via ``sized_sig_bits`` (see ``lsh_bucketed_topk``).
+    """Multi-probe sign-LSH ANN top-k. ``sig_bits=None`` auto-sizes
+    from the corpus via ``sized_sig_bits`` (see ``lsh_bucketed_topk``).
+
+    ``vectorized=True`` (default) scores buckets with a cogrouped
+    Arrow/numpy matmul (the ivf_topk SEARCH shape — right whenever
+    probe fan-out × bucket population is large); ``vectorized=False``
+    keeps the pure-column-expression path (no Python workers at all —
+    right for small fixed-signature buckets where worker spin-up
+    exceeds the scoring).
 
     Single-bucket LSH misses neighbors that land one hyperplane away;
     multi-probe recovers them WITHOUT doubling buckets: each query
@@ -687,6 +694,71 @@ def lsh_multiprobe_topk(
         F.col("nrm").alias("q_nrm"),
         F.explode(probe_sigs).alias("sig"),
     )
+
+    if vectorized:
+        # The ivf_topk SEARCH shape: cogroup probes and members on the
+        # signature key and matmul inside each bucket (numpy, Arrow
+        # batches). The expression path below costs ~µs per candidate
+        # pair in the interpreted higher-order-function dot; with a
+        # corpus-sized signature the probe fan-out × bucket population
+        # makes that the whole runtime (measured 14 s vs ~2 s at sf0.1
+        # feeding v_mmr_rerank). A (q, n) pair meets at most once —
+        # probe signatures are distinct and n has one signature — so
+        # per-bucket local top-k + one global window merge is exact.
+        import numpy as np
+        import pandas as pd
+
+        id_spark_t = vectors.schema[id_col].dataType.simpleString()
+        id_pd_dtype = {
+            "tinyint": "int64",
+            "smallint": "int64",
+            "int": "int64",
+            "bigint": "int64",
+        }.get(id_spark_t, "object")
+
+        def score_bucket(probe_pdf: "pd.DataFrame", member_pdf: "pd.DataFrame"):
+            empty = pd.DataFrame({"qid": [], "nid": [], "score": []}).astype(
+                {"qid": id_pd_dtype, "nid": id_pd_dtype, "score": "float64"}
+            )
+            if len(probe_pdf) == 0 or len(member_pdf) == 0:
+                return empty
+            qids = probe_pdf["qid"].to_numpy()
+            nids = member_pdf["nid"].to_numpy()
+            q = np.vstack(probe_pdf["qv"].to_numpy()).astype("float64")
+            m = np.vstack(member_pdf["nv"].to_numpy()).astype("float64")
+            qn = probe_pdf["q_nrm"].to_numpy(dtype="float64")
+            mn = member_pdf["n_nrm"].to_numpy(dtype="float64")
+            qn[qn == 0] = 1.0
+            mn[mn == 0] = 1.0
+            # Raw scores; rounding happens Spark-side (F.round HALF_UP
+            # matches the expression path and the DuckDB oracle).
+            scores = (q / qn[:, None]) @ (m / mn[:, None]).T
+            scores[qids[:, None] == nids[None, :]] = -np.inf
+            out_q, out_n, out_s = [], [], []
+            for i in range(len(qids)):
+                row = scores[i]
+                order = np.lexsort((nids, -row))[: min(k, len(nids))]
+                order = order[row[order] > -np.inf]
+                out_q.extend([qids[i]] * len(order))
+                out_n.extend(nids[order])
+                out_s.extend(row[order])
+            return pd.DataFrame({"qid": out_q, "nid": out_n, "score": out_s})
+
+        scored = (
+            probes.groupby("sig")
+            .cogroup(members.groupby("sig"))
+            .applyInPandas(
+                score_bucket,
+                schema=f"qid {id_spark_t}, nid {id_spark_t}, score double",
+            )
+            .withColumn("score", F.round(F.col("score"), round_dp))
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select("qid", "nid", "score", "rank")
+        )
 
     score = F.round(
         dot(F.col("qv"), F.col("nv")) / (F.col("q_nrm") * F.col("n_nrm")), round_dp

@@ -313,6 +313,15 @@ def als_cv_lifecycle(
         .localCheckpoint(eager=True)
     )
 
+    # Size ALS's block count from the interaction volume instead of the
+    # fixed default 10: each block is an independent least-squares task
+    # per iteration, so too many blocks on a small split is pure
+    # scheduler overhead while too few on a 100 TB split starves the
+    # cluster. ~150k interactions per block, clamped to [4, cluster
+    # parallelism] — the same sizing rule shape as sized_sig_bits.
+    n_train = train.count()
+    num_blocks = max(4, min(spark.sparkContext.defaultParallelism,
+                            n_train // 150_000))
     als = ALS(
         implicitPrefs=True,
         seed=45,  # the reference's split seed (train_models.py:78)
@@ -321,6 +330,8 @@ def als_cv_lifecycle(
         userCol="user",
         itemCol="item",
         ratingCol="rating",
+        numUserBlocks=num_blocks,
+        numItemBlocks=num_blocks,
     )
     grid = (
         ParamGridBuilder()

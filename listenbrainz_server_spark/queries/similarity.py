@@ -232,8 +232,14 @@ def v_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.similarity import lsh_multiprobe_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # vectorized=False: with the fixture-pinned 8-bit signature the
+    # buckets hold a handful of rows, so the pure-expression re-rank
+    # beats Arrow worker spin-up (measured 2.6 vs 2.9 s at sf0.1); the
+    # corpus-sized callers (v_mmr_rerank's candidate stage) take the
+    # vectorized default instead.
     return lsh_multiprobe_topk(
-        emb, "vec_id", "embedding", dims=_DIMS, k=5, sig_bits=_SIG_BITS, n_flip=1
+        emb, "vec_id", "embedding", dims=_DIMS, k=5, sig_bits=_SIG_BITS,
+        n_flip=1, vectorized=False,
     )
 
 
