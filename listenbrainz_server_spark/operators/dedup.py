@@ -460,6 +460,115 @@ def exact_substring_pairs(
     )
 
 
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    stride: int = 8,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Maximal verbatim-run EXTENTS for exact-substring matches — the
+    span report a dedup operator asks for right after
+    ``exact_substring_pairs`` says two docs share text: WHERE in each
+    document the shared run sits (1-based offsets into the normalized
+    text) and how long it is.
+
+    Shape: the same fine (stride 1) / coarse (``stride``) char-k-gram
+    indexes as the pairs tier, but POSITION-BEARING; the md5(gram) equi
+    join yields anchors (cid, fid, cpos, fpos), and anchors of one
+    contiguous shared run all sit on one DIAGONAL (cpos − fpos
+    constant) at coarse-grid spacing — so a classic gaps-and-islands
+    pass per (pair, diagonal) merges them into maximal runs: a gap
+    > ``stride`` between neighboring anchors starts a new island (a
+    continuous run materializes every coarse-grid gram, so a missing
+    one proves discontinuity). Every window is keyed by (cid, fid,
+    diag) — bounded by a single pair's anchor count, never the corpus —
+    and the join shuffles on the gram key alone.
+
+    Output (directional — src's coarse grid anchored against dst's
+    fine index; document both directions by unioning with swapped
+    roles if symmetric reporting is wanted):
+    (src_id, dst_id, src_start, src_end, dst_start, dst_end,
+     span_chars, n_anchors). A reported span of n_anchors=1 certifies
+    a shared run of at least k chars; span_chars is the certified
+    verbatim extent (k + (n_anchors-1)·stride when anchors are
+    grid-contiguous).
+
+    Reference grounding: extends listens/delete.py:53-60's
+    identity-group dedup to located verbatim spans.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+
+    def gram_pos_index(out_id: str, pos_name: str, s: int) -> DataFrame:
+        grams_expr = (
+            f"transform(sequence(1, length(_t) - {k} + 1, {s}), "
+            f"p -> struct(p AS pos, substr(_t, p, {k}) AS gram))"
+        )
+        return (
+            docs.select(F.col(id_col).alias(out_id), norm.alias("_t"))
+            .where(F.length("_t") >= k)
+            .select(out_id, F.explode(F.expr(grams_expr)).alias("_pg"))
+            .select(
+                out_id,
+                F.col("_pg.pos").alias(pos_name),
+                F.md5("_pg.gram").alias("g"),
+            )
+        )
+
+    cg = gram_pos_index("cid", "cpos", stride)
+    fg = gram_pos_index("fid", "fpos", 1)
+    if max_gram_df is not None:
+        hot = (
+            cg.groupBy("g")
+            .agg(F.count_distinct("cid").alias("_df"))
+            .where(F.col("_df") > max_gram_df)
+            .select("g")
+        )
+        cg = cg.join(F.broadcast(hot), "g", "left_anti")
+
+    anchors = (
+        cg.join(fg, "g")
+        .where(F.col("cid") != F.col("fid"))
+        .select(
+            F.col("cid").alias("src_id"),
+            F.col("fid").alias("dst_id"),
+            "cpos",
+            (F.col("cpos") - F.col("fpos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("src_id", "dst_id", "diag").orderBy("cpos")
+    brk = F.when(
+        F.col("cpos") - F.lag("cpos").over(w) > stride, 1
+    ).otherwise(0)
+    islands = anchors.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("src_id", "dst_id", "diag", "island")
+        .agg(
+            F.min("cpos").alias("src_start"),
+            (F.max("cpos") + k - 1).alias("src_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            "src_start",
+            "src_end",
+            (F.col("src_start") - F.col("diag")).alias("dst_start"),
+            (F.col("src_end") - F.col("diag")).alias("dst_end"),
+            (F.col("src_end") - F.col("src_start") + 1).alias("span_chars"),
+            "n_anchors",
+        )
+    )
+
+
 def simhash_bit(token_hash: Column, bit: int) -> Column:
     """Bit ``bit`` of a token signature: hex char ``bit`` of md5,
     0-7 → -1 vote, 8-f → +1 vote."""

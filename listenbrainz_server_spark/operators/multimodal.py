@@ -6,13 +6,16 @@ column parsed into a typed struct) to image/audio/video payloads:
 opaque ``binary`` columns + typed metadata structs, processed by
 Arrow-batched ``mapInPandas`` operators.
 
-The decode step is STUBBED: the real image/audio libraries are not in
-this container, so ``decode_media`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic byte-level fake
-(documented below) stands in. Everything around the stub — schema,
-batch iteration, partitioning, output shape — is real and tested; a
-production deployment swaps the fake for PIL/ffmpeg inside the same
-``mapInPandas`` body.
+The decode step is gated on an OPTIONAL dependency probe
+(``pil_available``): when PIL is importable, ``decode_media`` /
+``resize_media`` with ``fake=False`` run the real pixel path inside
+the same ``mapInPandas`` body; when it is not (this container),
+``fake=False`` raises ``NotImplementedError`` and ``fake=True``
+substitutes a deterministic byte-level stand-in (documented below).
+Everything around the gate — schema, batch iteration, partitioning,
+output shape — is identical between the two paths and tested; the
+real-path tests auto-enable via ``pytest.mark.skipif`` the moment a
+future container ships PIL.
 
 Scale notes:
 - Binary payloads ride Arrow buffers end-to-end: no per-row pickling.
@@ -34,6 +37,18 @@ from pyspark.sql import functions as F
 
 DECODE_SCHEMA = "id bigint, width int, height int, channels int, byte_len bigint"
 FRAME_SCHEMA = "id bigint, frame_idx int, frame_md5 string"
+
+
+def pil_available() -> bool:
+    """Optional-dependency probe: True when a real image codec (PIL)
+    is importable. The probe runs on the DRIVER at plan-build time;
+    executors in this single-container deployment share the same
+    environment, so the plan never mixes real and stubbed batches."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
 
 
 def with_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -61,10 +76,11 @@ def fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads to (width, height, channels, byte_len).
 
-    ``fake=False`` is the production path — not available in this
-    container (no PIL/ffmpeg), raises ``NotImplementedError``.
+    ``fake=False`` is the production path: real PIL decode when the
+    probe finds the codec, ``NotImplementedError`` otherwise (this
+    container ships no PIL/ffmpeg).
     """
-    if not fake:
+    if not fake and not pil_available():
         raise NotImplementedError(
             "real media decoding requires PIL/ffmpeg; pass fake=True for "
             "the deterministic byte-level stand-in"
@@ -85,7 +101,31 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 }
             )
 
-    return df.select("id", "payload").mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+    def decode_batches_real(batches: Iterator) -> Iterator:
+        from io import BytesIO
+
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            ws, hs, cs = [], [], []
+            for payload in pdf["payload"]:
+                with Image.open(BytesIO(payload)) as im:
+                    ws.append(im.width)
+                    hs.append(im.height)
+                    cs.append(len(im.getbands()))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": ws,
+                    "height": hs,
+                    "channels": cs,
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    body = decode_batches if fake else decode_batches_real
+    return df.select("id", "payload").mapInPandas(body, schema=DECODE_SCHEMA)
 
 
 def sample_frames(
@@ -124,14 +164,14 @@ def resize_media(df: DataFrame, max_side: int = 32, fake: bool = False) -> DataF
     """Aspect-preserving resize to fit ``max_side`` — the image-resize
     stage of a multimodal ingest pipeline.
 
-    ``fake=False`` (real pixel resampling) needs PIL and raises here;
-    the stand-in computes the real resize GEOMETRY (scale = min(1,
-    max_side/longest side), floor to >=1 px) from the fake-decoded
-    dims and the exact output byte size w·h·3 — so the Spark-side
-    plumbing (batch shape, schema, Arrow round-trip) is fully
-    exercised and oracle-checkable.
+    ``fake=False`` (real pixel resampling) runs PIL when the probe
+    finds it and raises here otherwise; the stand-in computes the real
+    resize GEOMETRY (scale = min(1, max_side/longest side), floor to
+    >=1 px) from the fake-decoded dims and the exact output byte size
+    w·h·3 — so the Spark-side plumbing (batch shape, schema, Arrow
+    round-trip) is fully exercised and oracle-checkable.
     """
-    if not fake:
+    if not fake and not pil_available():
         raise NotImplementedError(
             "real image resampling requires PIL; pass fake=True for the "
             "deterministic geometry stand-in"
@@ -155,4 +195,31 @@ def resize_media(df: DataFrame, max_side: int = 32, fake: bool = False) -> DataF
                 ],
             )
 
-    return df.select("id", "payload").mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+    def resize_batches_real(batches: Iterator) -> Iterator:
+        from io import BytesIO
+
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                with Image.open(BytesIO(payload)) as im:
+                    w, h = im.width, im.height
+                    c = len(im.getbands())
+                    scale = min(1.0, max_side / max(w, h))
+                    ow = max(1, int(w * scale))
+                    oh = max(1, int(h * scale))
+                    resized = im.resize((ow, oh))
+                    rows.append(
+                        (rid, w, h, ow, oh, len(resized.tobytes()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "out_width", "out_height", "out_bytes",
+                ],
+            )
+
+    body = resize_batches if fake else resize_batches_real
+    return df.select("id", "payload").mapInPandas(body, schema=RESIZE_SCHEMA)

@@ -356,6 +356,75 @@ def d_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Verbatim-span EXTENTS (VERDICT r4 #8): once d_exact_substring_pairs
+# says two docs share text, this reports WHERE — maximal matched runs
+# with 1-based offsets into the normalized text of both docs. Anchors
+# from the positioned fine×coarse gram join sit on one diagonal
+# (cpos−fpos) per contiguous run at coarse-grid spacing; a keyed
+# gaps-and-islands pass merges them. Every window partitions by
+# (pair, diagonal) — anchor-count bounded, never corpus bounded.
+# --------------------------------------------------------------------------
+@register(
+    "d_substring_spans",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    cpossrc AS (
+        SELECT doc_id, t, UNNEST(range(1, len(t) - 24 + 2, 8)) AS p
+        FROM norm WHERE len(t) >= 24
+    ),
+    cg AS (
+        SELECT doc_id AS cid, p AS cpos, md5(substr(t, p, 24)) AS g FROM cpossrc
+    ),
+    fpossrc AS (
+        SELECT doc_id, t, UNNEST(range(1, len(t) - 24 + 2, 1)) AS p
+        FROM norm WHERE len(t) >= 24
+    ),
+    fg AS (
+        SELECT doc_id AS fid, p AS fpos, md5(substr(t, p, 24)) AS g FROM fpossrc
+    ),
+    anch AS (
+        SELECT cid AS src_id, fid AS dst_id, cpos, cpos - fpos AS diag
+        FROM cg JOIN fg USING (g)
+        WHERE cid <> fid
+    ),
+    flagged AS (
+        SELECT src_id, dst_id, cpos, diag,
+               CASE WHEN cpos - LAG(cpos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+        FROM anch
+        WINDOW w AS (PARTITION BY src_id, dst_id, diag ORDER BY cpos)
+    ),
+    isl AS (
+        SELECT src_id, dst_id, cpos, diag,
+               SUM(brk) OVER (PARTITION BY src_id, dst_id, diag ORDER BY cpos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT src_id, dst_id,
+           MIN(cpos) AS src_start,
+           MAX(cpos) + 24 - 1 AS src_end,
+           MIN(cpos) - diag AS dst_start,
+           MAX(cpos) - diag + 24 - 1 AS dst_end,
+           MAX(cpos) - MIN(cpos) + 24 AS span_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors
+    FROM isl
+    GROUP BY src_id, dst_id, diag, island
+    """,
+    doc="maximal verbatim-run extents per doc pair: positioned "
+    "char-24-gram anchors merged along diagonals (gaps-and-islands); "
+    "start/end offsets in both docs' normalized text",
+)
+def d_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.dedup import exact_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, "doc_id", "text", k=24, stride=8)
+
+
+# --------------------------------------------------------------------------
 # End-to-end corpus cleaning — the composed training-data pipeline:
 # quality gate (Gopher-style repetition thresholds) → exact dedup
 # (fingerprint, min-id representative) → near-dup collapse (Jaccard

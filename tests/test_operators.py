@@ -414,6 +414,49 @@ def test_exact_substring_pairs_adversarial(spark):
     assert miss == 0
 
 
+def test_exact_substring_spans_offsets_extract_equal_text(spark):
+    """Span report self-validation: for every reported run, slicing the
+    two docs' NORMALIZED texts at the reported (start, end) offsets
+    must yield byte-identical strings — the strongest possible check
+    that the diagonal/island arithmetic is right. Also pins: the known
+    shared run is recovered as ONE maximal island (not fragments), its
+    certified extent covers the full shared run up to grid slack, and
+    the unrelated doc appears in no span."""
+    import re
+
+    from listenbrainz_server_spark.operators.dedup import exact_substring_spans
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = {
+        5: f"AA leading bit. {shared} :: trailing junk follows here",
+        9: f"Totally different OPENING words!! {shared} and another tail",
+        7: "completely unrelated content about database join strategies",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    spans = exact_substring_spans(docs, "doc_id", "text", k=24, stride=8).collect()
+
+    def norm(s: str) -> str:
+        return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+    assert spans, "shared 64-char run must be detected"
+    for r in spans:
+        assert {r.src_id, r.dst_id} == {5, 9}
+        a = norm(texts[r.src_id])[r.src_start - 1 : r.src_end]
+        b = norm(texts[r.dst_id])[r.dst_start - 1 : r.dst_end]
+        assert a == b and len(a) == r.span_chars
+    # One maximal island per direction, covering >= the grid-certain
+    # extent of the 64-char run (64 - (stride-1) slack on each end is
+    # the worst case; a single fragment must still certify >= 40).
+    per_dir = {}
+    for r in spans:
+        per_dir.setdefault((r.src_id, r.dst_id), []).append(r)
+    for runs in per_dir.values():
+        assert len(runs) == 1
+        assert runs[0].span_chars >= 40
+
+
 def test_interleave_domains_deterministic_and_weighted(spark):
     """x_interleave_domains: copies are deterministic across runs; a
     weight-1.0 source emits exactly one copy per doc; a weight-2.5

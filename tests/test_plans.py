@@ -221,6 +221,17 @@ def test_quality_hist_no_per_source_doc_sort(spark, registry):
     assert "BatchEvalPython" not in tree
 
 
+def test_substring_spans_keyed_join_no_python(spark, registry):
+    """d_substring_spans: anchors come from the md5(gram) equi join —
+    never nested-loop — and islands merge in keyed windows; no Python
+    evaluation anywhere."""
+    tree = tree_of(plan_of(spark, registry, "d_substring_spans"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BatchEvalPython" not in tree
+    assert "Window" in tree
+
+
 def test_minhash_estimate_no_all_pairs(spark, registry):
     """d_minhash_estimate: exact Jaccard is computed only on the
     LSH-bounded candidate set — every join keyed, no cartesian, no
