@@ -166,3 +166,64 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     )
     got = {(r.r_regionkey, r.r_name) for r in out.collect()}
     assert got == {(0, "AFRICA"), (1, "AMERICA")}
+
+
+def test_dump_archive_import_full_then_incremental(spark, tmp_path):
+    """S6 dump-archive transport end to end (listens/dump.py:33-78 +
+    hdfs/upload.py:23-54): a tar.gz of parquet members imports as the
+    full dataset (atomic swap), a second incremental archive appends,
+    the metadata registry upserts one row per (dump_id, type), and
+    re-importing the same full dump is idempotent in the registry."""
+    import tarfile
+
+    from listenbrainz_server_spark.sources.dump import (
+        import_dump,
+        latest_import,
+    )
+
+    def make_archive(name: str, frames: dict[str, list[tuple]]) -> str:
+        src = tmp_path / f"src_{name}"
+        src.mkdir()
+        for member, rows in frames.items():
+            spark.createDataFrame(
+                rows, "user_id bigint, listened_at bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(str(src / member))
+        path = tmp_path / f"{name}.tar.gz"
+        with tarfile.open(path, "w:gz") as tar:
+            for member in frames:
+                for f in (src / member).glob("*.parquet"):
+                    tar.add(f, arcname=f"{member}/{f.name}")
+                # non-parquet members must be skipped by the filter
+            (src / "README").write_text("not data")
+            tar.add(src / "README", arcname="README")
+        return str(path)
+
+    full = make_archive(
+        "full", {"p1": [(1, 100), (2, 200)], "p2": [(3, 300)]}
+    )
+    inc = make_archive("inc", {"p1": [(4, 400)]})
+    listens_path = str(tmp_path / "listens")
+    meta_path = str(tmp_path / "meta")
+    work = str(tmp_path / "work")
+
+    rep = import_dump(
+        spark, full, work, listens_path, meta_path, dump_id=7, dump_type="full"
+    ).collect()[0]
+    assert (rep.n_members, rep.n_rows) == (2, 3)
+    assert spark.read.parquet(listens_path).count() == 3
+
+    rep2 = import_dump(
+        spark, inc, work, listens_path, meta_path, dump_id=8,
+        dump_type="incremental",
+    ).collect()[0]
+    assert rep2.n_rows == 1
+    assert spark.read.parquet(listens_path).count() == 4
+
+    # Registry: one row per (dump_id, type); re-import idempotent.
+    import_dump(
+        spark, full, work, listens_path, meta_path, dump_id=7, dump_type="full"
+    )
+    meta = spark.read.parquet(meta_path)
+    assert meta.count() == 2
+    latest = {r.dump_type: r.dump_id for r in latest_import(spark, meta_path).collect()}
+    assert latest == {"full": 7, "incremental": 8}
