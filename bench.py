@@ -79,6 +79,11 @@ HEADLINE_NEW = (
     "v_knn_classify",
     "v_mmr_rerank",
     "t_pmi_cooccurrence",
+    # r5 families: verbatim-span extents, embedding decontamination,
+    # Markov power iteration.
+    "d_substring_spans",
+    "v_semantic_contamination",
+    "w_markov_power",
 )
 
 

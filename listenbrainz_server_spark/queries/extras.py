@@ -1242,6 +1242,227 @@ def w_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Power iteration over the event-type Markov chain — w_transition_
+# matrix taken three steps further: starting from the uniform
+# distribution, pi <- pi·P three times. The iterative-linear-algebra
+# shape on Spark: ONE pass over the fact table builds the sparse
+# matrix (|types|² rows), then each iteration is a broadcast join of
+# the |types|-row vector against the matrix plus one tiny keyed
+# aggregate — the heavy scan never re-runs, and iteration cost is
+# independent of corpus size. Each iterate is ROUNDED to 6 dp so both
+# engines' float summation orders can't diverge the hash (the
+# v_centroid_outliers rule). Types with no outgoing transitions shed
+# mass (this is the observed-transition chain, not a patched ergodic
+# one) — documented, deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "w_markov_power",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS t FROM pairs GROUP BY 1),
+    p AS (
+        SELECT pr.from_type, pr.to_type, ROUND(pr.n * 1.0 / tot.t, 6) AS prob
+        FROM pairs pr JOIN tot USING (from_type)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pi0 AS (
+        SELECT event_type,
+               ROUND(1.0 / (SELECT COUNT(*) FROM types), 6) AS pi
+        FROM types
+    ),
+    pi1 AS (
+        SELECT p.to_type AS event_type, ROUND(SUM(pi0.pi * p.prob), 6) AS pi
+        FROM pi0 JOIN p ON p.from_type = pi0.event_type GROUP BY 1
+    ),
+    pi2 AS (
+        SELECT p.to_type AS event_type, ROUND(SUM(pi1.pi * p.prob), 6) AS pi
+        FROM pi1 JOIN p ON p.from_type = pi1.event_type GROUP BY 1
+    ),
+    pi3 AS (
+        SELECT p.to_type AS event_type, ROUND(SUM(pi2.pi * p.prob), 6) AS pi
+        FROM pi2 JOIN p ON p.from_type = pi2.event_type GROUP BY 1
+    )
+    SELECT event_type, pi AS pi3 FROM pi3
+    """,
+    doc="3-step power iteration over the event-type transition matrix "
+    "(uniform start; broadcast vector x sparse matrix per step)",
+)
+def w_markov_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("from_type")
+    p = pairs.withColumn(
+        "prob", F.round(F.col("n") * 1.0 / F.sum("n").over(w_tot), 6)
+    ).select("from_type", "to_type", "prob")
+    n_types = ev.select("event_type").distinct().count()
+    pi = ev.select("event_type").distinct().withColumn(
+        "pi", F.round(F.lit(1.0) / F.lit(n_types), 6)
+    )
+    for _ in range(3):
+        pi = (
+            F.broadcast(pi)
+            .join(p, pi["event_type"] == p["from_type"])
+            .groupBy(F.col("to_type").alias("next_event_type"))
+            .agg(F.round(F.sum(F.col("pi") * F.col("prob")), 6).alias("pi"))
+            .withColumnRenamed("next_event_type", "event_type")
+        )
+    return pi.select("event_type", F.col("pi").alias("pi3"))
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest — the baseline every real forecast
+# must beat: predict each day's event count with the count 7 days
+# earlier, score MAE / MAPE over all days that have a week-ago
+# observation. One fact-table reduction to daily counts, then a lag
+# window over the |days|-sized frame (agg-below-window — the window's
+# input is already thousands of rows at any corpus size).
+# --------------------------------------------------------------------------
+@register(
+    "a_seasonal_baseline",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, n, LAG(n, 7) OVER (ORDER BY day) AS pred
+        FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(ABS(n - pred)), 6) AS mae,
+           ROUND(AVG(ABS(n - pred) * 1.0 / n), 6) AS mape
+    FROM lagged WHERE pred IS NOT NULL
+    """,
+    doc="seasonal-naive (lag-7) daily-count forecast backtest: MAE and "
+    "MAPE over the daily reduction",
+)
+def a_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lagged = daily.withColumn("pred", F.lag("n", 7).over(Window.orderBy("day")))
+    return lagged.where(F.col("pred").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("pred"))), 6).alias("mae"),
+        F.round(
+            F.avg(F.abs(F.col("n") - F.col("pred")) * 1.0 / F.col("n")), 6
+        ).alias("mape"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-user novelty curve — how many event types each user touches for
+# the FIRST time per day, plus the running total: the discovery-rate
+# analog of h_yim_new_entities at daily grain. First occurrences via a
+# (user, type)-keyed row_number (never a distinct-in-window, which
+# Spark can't do incrementally); the daily rollup and the cumulative
+# sum are both user-keyed windows — bounded by one user's history,
+# never the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "w_novelty_curve",
+    """
+    WITH firsts AS (
+        SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT user_id, first_day AS day, COUNT(*) AS novel_types
+        FROM firsts GROUP BY 1, 2
+    )
+    SELECT user_id, day, CAST(novel_types AS BIGINT) AS novel_types,
+           CAST(SUM(novel_types) OVER (PARTITION BY user_id ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_novel
+    FROM daily
+    """,
+    doc="per-user daily novelty curve: first-time event types per day "
+    "+ running total (user-keyed windows only)",
+)
+def w_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    daily = firsts.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("novel_types")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("novel_types").cast("bigint"),
+        F.sum("novel_types").over(w).cast("bigint").alias("cum_novel"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus diversity index — the dataset-card headline numbers for
+# source balance: Shannon entropy (bits) of the source share
+# distribution, the effective source count 2^H (how many EQUAL-sized
+# sources the mix behaves like), and the largest single-source share.
+# One source-keyed reduction (|sources| rows), scalar math on rounded
+# shares so both engines sum identically.
+# --------------------------------------------------------------------------
+@register(
+    "x_source_entropy",
+    """
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    shares AS (
+        SELECT source, ROUND(n * 1.0 / SUM(n) OVER (), 6) AS share
+        FROM per_src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           ROUND(SUM(-share * log2(share)), 6) AS entropy_bits,
+           ROUND(POW(2.0, SUM(-share * log2(share))), 6) AS effective_sources,
+           ROUND(MAX(share), 6) AS top_share
+    FROM shares
+    """,
+    doc="source-balance diversity index: share entropy (bits), "
+    "effective source count 2^H, max single-source share",
+)
+def x_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    shares = per_src.select(
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy()), 6
+        ).alias("share")
+    )
+    h = F.sum(-F.col("share") * F.log2("share"))
+    return shares.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(F.pow(F.lit(2.0), h), 6).alias("effective_sources"),
+        F.round(F.max("share"), 6).alias("top_share"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic subsample confidence interval for a mean — the
 # resampling-statistics pattern at scale: 32 half-sample replicates,
 # each a hash-gated ~50% subsample (bit b of md5(replicate, event_id)

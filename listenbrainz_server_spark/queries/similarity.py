@@ -1143,3 +1143,99 @@ def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cur").cast("bigint"),
         "centroid_shift",
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination — the vector twin of
+# d_contamination_exact: verbatim detectors miss a paraphrased leak,
+# embedding cosine does not. Benchmark slice = deterministic md5
+# sixteenth of the corpus (first hex char < '3'); every bench vector
+# reports its nearest TRAIN vector among LSH-bucket collisions plus
+# the candidate volume — the operator user thresholds best_score to
+# quarantine. The join shuffles on the signature key alone (bucket
+# population bounds the pairwise term); at 100 TB the bench side is
+# tiny and broadcastable. Pairs with a bench vector colliding with no
+# train vector are honestly absent (nothing to report — same rule as
+# the oracle's inner join).
+# --------------------------------------------------------------------------
+@register(
+    "v_semantic_contamination",
+    f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {_sig_sql_expr()} AS sig,
+               sqrt(list_sum(list_transform(range(1, {_DIMS} + 1),
+                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE)))) AS nrm,
+               (substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '3') AS is_bench
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS bench_id, b.vec_id AS train_id,
+               ROUND({_DOT} / NULLIF(a.nrm * b.nrm, 0), 6) AS score
+        FROM sigs a JOIN sigs b ON a.sig = b.sig
+        WHERE a.is_bench AND NOT b.is_bench
+    ),
+    ranked AS (
+        SELECT bench_id, train_id, score,
+               ROW_NUMBER() OVER (PARTITION BY bench_id
+                                  ORDER BY score DESC, train_id) AS rn,
+               COUNT(*) OVER (PARTITION BY bench_id) AS n_candidates
+        FROM scored
+    )
+    SELECT bench_id, train_id, score AS best_score,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM ranked WHERE rn = 1
+    """,
+    doc="embedding-space decontamination: nearest in-LSH-bucket train "
+    "vector per benchmark vector (md5-sliced split) + candidate volume",
+)
+def v_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from listenbrainz_server_spark.operators.similarity import (
+        as_double,
+        dot,
+        lsh_signature,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    sigs = emb.select(
+        "vec_id",
+        v.alias("v"),
+        lsh_signature(v, _DIMS, _SIG_BITS).alias("sig"),
+        (F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "3").alias(
+            "is_bench"
+        ),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    bench = sigs.where(F.col("is_bench")).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"), "sig",
+    )
+    train = sigs.where(~F.col("is_bench")).select(
+        F.col("vec_id").alias("train_id"), F.col("v").alias("tv"),
+        F.col("nrm").alias("tn"), "sig",
+    )
+    scored = bench.join(train, "sig").select(
+        "bench_id",
+        "train_id",
+        F.round(
+            F.when(
+                (F.col("bn") != 0) & (F.col("tn") != 0),
+                dot(F.col("bv"), F.col("tv")) / (F.col("bn") * F.col("tn")),
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("bench_id").orderBy(F.col("score").desc(), "train_id")
+    wc = Window.partitionBy("bench_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "bench_id",
+            "train_id",
+            F.col("score").alias("best_score"),
+            F.col("n_candidates").cast("bigint"),
+        )
+    )

@@ -1823,3 +1823,57 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
         F.round(F.regr_r2(lf, lr), 4).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy gibberish signal — Shannon entropy of each doc's
+# character distribution, the cheap detector for base64 blobs /
+# minified code (entropy too high) and key-mashing repetition
+# (entropy too low) that text-quality gates run alongside the
+# word-level heuristics (t_quality_score). Shape: one char explode
+# (linear in corpus bytes, map-side), one (doc, char) reduction, one
+# doc-keyed entropy fold — no windows, no Python. Per-char
+# probabilities are ROUNDED before the entropy sum so both engines'
+# summation order can't move the hash.
+# --------------------------------------------------------------------------
+@register(
+    "t_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+    ),
+    probs AS (
+        SELECT doc_id, ROUND(c * 1.0 / SUM(c) OVER (PARTITION BY doc_id), 6)
+                   AS p
+        FROM counts
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(SUM(-p * log2(p)), 6) AS char_entropy_bits
+    FROM probs GROUP BY doc_id
+    """,
+    doc="per-doc character-distribution Shannon entropy (bits) + "
+    "distinct-char count — the gibberish/minified-blob gate signal",
+)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probs = counts.select(
+        "doc_id",
+        F.round(
+            F.col("c") * 1.0 / F.sum("c").over(Window.partitionBy("doc_id")), 6
+        ).alias("p"),
+    )
+    return probs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.round(F.sum(-F.col("p") * F.log2("p")), 6).alias("char_entropy_bits"),
+    )
