@@ -1309,9 +1309,16 @@ def w_markov_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w_tot = Window.partitionBy("from_type")
-    p = pairs.withColumn(
-        "prob", F.round(F.col("n") * 1.0 / F.sum("n").over(w_tot), 6)
-    ).select("from_type", "to_type", "prob")
+    # Pin the |types|² matrix once: without this every iteration (and
+    # the final collect) replays the fact-table scan + lead window —
+    # 4 scans of the corpus at 100 TB for a matrix of a few dozen rows.
+    p = (
+        pairs.withColumn(
+            "prob", F.round(F.col("n") * 1.0 / F.sum("n").over(w_tot), 6)
+        )
+        .select("from_type", "to_type", "prob")
+        .localCheckpoint(eager=True)
+    )
     n_types = ev.select("event_type").distinct().count()
     pi = ev.select("event_type").distinct().withColumn(
         "pi", F.round(F.lit(1.0) / F.lit(n_types), 6)
