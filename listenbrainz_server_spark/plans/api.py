@@ -286,7 +286,26 @@ def _cf_create_dataframes(spark: SparkSession, sf_dir: str, **params) -> DataFra
 
 def _import_full(spark: SparkSession, sf_dir: str, **params) -> DataFrame:
     """import.dump.full compute: full-dump swap-in (listens/dump.py:
-    204-208) — rewrite the events dataset atomically, return it."""
+    204-208) — rewrite the events dataset atomically, return it.
+
+    With an ``archive`` param the request routes through the S6
+    dump-archive transport (import_full_dump_to_hdfs parity,
+    listens/dump.py:33-55): streaming tar extraction, atomic-swap
+    land, import-registry upsert — returning the 1-row import report
+    the reference handler returns as JSON."""
+    if params.get("archive"):
+        from listenbrainz_server_spark.sources.dump import import_dump
+
+        work = tempfile.mkdtemp(prefix="lbs_import_")
+        return import_dump(
+            spark,
+            params["archive"],
+            work,
+            params.get("out_path") or os.path.join(work, "listens"),
+            params.get("metadata_path") or os.path.join(work, "meta"),
+            dump_id=int(params.get("dump_id", 0)),
+            dump_type="full",
+        )
     from listenbrainz_server_spark.sources.sinks import atomic_swap_write
 
     ev = load_table(spark, sf_dir, "events")
@@ -299,7 +318,24 @@ def _import_full(spark: SparkSession, sf_dir: str, **params) -> DataFrame:
 
 def _import_incremental(spark: SparkSession, sf_dir: str, **params) -> DataFrame:
     """import.dump.incremental compute: base ∪ incremental union
-    (listens/data.py:25-55) — cutoff split plays the two dumps."""
+    (listens/data.py:25-55) — cutoff split plays the two dumps.
+
+    With an ``archive`` param the request routes through the S6
+    transport in append mode (import_incremental_dump_to_hdfs parity,
+    listens/dump.py:57-80)."""
+    if params.get("archive"):
+        from listenbrainz_server_spark.sources.dump import import_dump
+
+        work = tempfile.mkdtemp(prefix="lbs_import_")
+        return import_dump(
+            spark,
+            params["archive"],
+            work,
+            params.get("out_path") or os.path.join(work, "listens"),
+            params.get("metadata_path") or os.path.join(work, "meta"),
+            dump_id=int(params.get("dump_id", 0)),
+            dump_type="incremental",
+        )
     from listenbrainz_server_spark.sources.readers import union_base_incremental
 
     ev = load_table(spark, sf_dir, "events")

@@ -92,3 +92,36 @@ def test_dispatch_param_plumbing(spark):
     assert month.columns == all_time.columns
     k1 = dispatch("stats.entity.listeners", spark, SF, k=1)
     assert k1.where("rank > 1").count() == 0
+
+
+def test_import_dump_archive_param_routes_s6_transport(spark, tmp_path):
+    """import.dump.full/incremental with an ``archive`` param route
+    through the S6 tar transport (import_*_dump_to_hdfs parity) and
+    return the reference handler's import report shape."""
+    import tarfile
+
+    from listenbrainz_server_spark.plans.api import dispatch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "user_id bigint, listened_at bigint"
+    ).coalesce(1).write.parquet(str(src / "p1"))
+    archive = tmp_path / "dump.tar.gz"
+    with tarfile.open(archive, "w:gz") as tar:
+        for f in (src / "p1").glob("*.parquet"):
+            tar.add(f, arcname=f"p1/{f.name}")
+
+    out = str(tmp_path / "listens")
+    meta = str(tmp_path / "meta")
+    rep = dispatch(
+        "import.dump.full", spark, "/root/testdata/sf0.001",
+        archive=str(archive), out_path=out, metadata_path=meta, dump_id=3,
+    ).collect()[0]
+    assert (rep.dump_type, rep.n_rows) == ("full", 2)
+    rep2 = dispatch(
+        "import.dump.incremental", spark, "/root/testdata/sf0.001",
+        archive=str(archive), out_path=out, metadata_path=meta, dump_id=4,
+    ).collect()[0]
+    assert (rep2.dump_type, rep2.n_rows) == ("incremental", 2)
+    assert spark.read.parquet(out).count() == 4
