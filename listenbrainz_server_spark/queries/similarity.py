@@ -1239,3 +1239,105 @@ def v_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_candidates").cast("bigint"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Signature-width tuning sweep — the evidence behind sized_sig_bits'
+# sizing rule, measured: for b in {4, 6, 8} bucket on the b-bit
+# PREFIX of the 8-bit sign-LSH signature (a b-bit signature IS the
+# prefix — hyperplane h is independent of width) and report (a) the
+# candidate-pair volume the buckets imply and (b) candidate-stage
+# recall: the fraction of exact top-5 pairs that share a b-bit
+# bucket. This is the curve an operator reads before pinning bits at
+# a new corpus size: pairs shrink exponentially with b while recall
+# decays slowly. Exact side computed once (one blocked matmul);
+# per-setting work is one signature-keyed aggregate + one broadcast
+# membership join — no per-setting rescan of anything quadratic.
+# --------------------------------------------------------------------------
+def _sig_sweep_sql() -> str:
+    blocks = []
+    for b in (4, 6, 8):
+        blocks.append(f"""
+    SELECT {b} AS sig_bits,
+           (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) FROM (
+               SELECT COUNT(*) AS n FROM sigs
+               GROUP BY substr(sig, 1, {b})) bk) AS candidate_pairs,
+           (SELECT ROUND(AVG(CASE WHEN substr(sa.sig, 1, {b})
+                                     = substr(sb.sig, 1, {b})
+                             THEN 1.0 ELSE 0.0 END), 6)
+            FROM top5 t
+            JOIN sigs sa ON sa.vec_id = t.qid
+            JOIN sigs sb ON sb.vec_id = t.nid) AS recall""")
+    union = "\n    UNION ALL\n".join(blocks)
+    return f"""
+    WITH {_NORM_CTE},
+    scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+        FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+    ),
+    top5 AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, nid) AS rk
+            FROM scored) r
+        WHERE rk <= 5
+    ),
+    sigs AS (SELECT vec_id, {_sig_sql_expr()} AS sig FROM embeddings)
+    {union}
+    """
+
+
+@register(
+    "v_sig_bits_sweep",
+    _sig_sweep_sql(),
+    doc="LSH signature-width tuning curve: candidate-pair volume and "
+    "exact-top-5 candidate recall at 4/6/8-bit bucket prefixes",
+)
+def v_sig_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from listenbrainz_server_spark.operators.similarity import (
+        as_double,
+        lsh_signature,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id",
+        lsh_signature(as_double(F.col("embedding")), _DIMS, _SIG_BITS).alias("sig"),
+    ).localCheckpoint(eager=True)  # one signature pass feeds all settings
+    top5 = (
+        brute_force_topk(emb, "vec_id", "embedding", k=5)
+        .select("qid", "nid")
+        .localCheckpoint(eager=True)  # exact side computed once
+    )
+    qa = sigs.select(F.col("vec_id").alias("qid"), F.col("sig").alias("qsig"))
+    nb = sigs.select(F.col("vec_id").alias("nid"), F.col("sig").alias("nsig"))
+    joined = top5.join(F.broadcast(qa), "qid").join(F.broadcast(nb), "nid")
+
+    rows = []
+    for b in (4, 6, 8):
+        pairs = (
+            sigs.groupBy(F.substring("sig", 1, b))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint").alias("cp"))
+            .select(
+                F.lit(b).alias("sig_bits"),
+                F.col("cp").alias("candidate_pairs"),
+            )
+        )
+        rec = joined.agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        F.substring("qsig", 1, b) == F.substring("nsig", 1, b),
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("recall")
+        )
+        rows.append(pairs.crossJoin(F.broadcast(rec)))
+    return reduce(lambda a, c: a.unionByName(c), rows)
