@@ -1400,3 +1400,126 @@ def d_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.where(F.levenshtein("lname", "pname") <= 1).select(
         "lid", "pid", F.levenshtein("lname", "pname").cast("int").alias("distance")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicated-text coverage per document — the roll-up a corpus owner
+# actually acts on after d_substring_spans: what FRACTION of each
+# doc's normalized text is covered by verbatim runs shared with any
+# other doc (the "mostly boilerplate" kill signal). Requires a true
+# INTERVAL UNION per doc (spans from different partners overlap):
+# spans sort per doc, a span starting past the running max end opens a
+# new island (gaps-and-islands again, doc-keyed), and covered chars =
+# Σ island extents. Every window partitions by doc — bounded by one
+# doc's span count, never the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "d_dup_span_coverage",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    cpossrc AS (
+        SELECT doc_id, t, UNNEST(range(1, len(t) - 24 + 2, 8)) AS p
+        FROM norm WHERE len(t) >= 24
+    ),
+    cg AS (
+        SELECT doc_id AS cid, p AS cpos, md5(substr(t, p, 24)) AS g FROM cpossrc
+    ),
+    fpossrc AS (
+        SELECT doc_id, t, UNNEST(range(1, len(t) - 24 + 2, 1)) AS p
+        FROM norm WHERE len(t) >= 24
+    ),
+    fg AS (
+        SELECT doc_id AS fid, p AS fpos, md5(substr(t, p, 24)) AS g FROM fpossrc
+    ),
+    anch AS (
+        SELECT cid AS src_id, fid AS dst_id, cpos, cpos - fpos AS diag
+        FROM cg JOIN fg USING (g)
+        WHERE cid <> fid
+    ),
+    flagged AS (
+        SELECT src_id, dst_id, cpos, diag,
+               CASE WHEN cpos - LAG(cpos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+        FROM anch
+        WINDOW w AS (PARTITION BY src_id, dst_id, diag ORDER BY cpos)
+    ),
+    isl AS (
+        SELECT src_id, dst_id, cpos, diag,
+               SUM(brk) OVER (PARTITION BY src_id, dst_id, diag ORDER BY cpos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ),
+    spans AS (
+        SELECT src_id, MIN(cpos) AS s, MAX(cpos) + 24 - 1 AS e
+        FROM isl GROUP BY src_id, dst_id, diag, island
+    ),
+    sflag AS (
+        SELECT src_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY src_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM spans
+    ),
+    sisl AS (
+        SELECT src_id, s, e,
+               SUM(brk) OVER (PARTITION BY src_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM sflag
+    ),
+    cov AS (
+        SELECT src_id, SUM(me - ms + 1) AS covered FROM (
+            SELECT src_id, island, MIN(s) AS ms, MAX(e) AS me
+            FROM sisl GROUP BY src_id, island) i
+        GROUP BY src_id
+    )
+    SELECT c.src_id AS doc_id,
+           CAST(c.covered AS BIGINT) AS covered_chars,
+           CAST(len(n.t) AS BIGINT) AS total_chars,
+           ROUND(c.covered * 1.0 / len(n.t), 6) AS dup_fraction
+    FROM cov c JOIN norm n ON n.doc_id = c.src_id
+    """,
+    doc="per-doc duplicated-text coverage: interval UNION of all "
+    "verbatim spans shared with any other doc / normalized length",
+)
+def d_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from listenbrainz_server_spark.operators.dedup import exact_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = exact_substring_spans(docs, "doc_id", "text", k=24, stride=8).select(
+        "src_id", F.col("src_start").alias("s"), F.col("src_end").alias("e")
+    )
+    w = Window.partitionBy("src_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.withColumn(
+        "brk",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)) + 1, 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    cov = (
+        isl.groupBy("src_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("ext"))
+        .groupBy("src_id")
+        .agg(F.sum("ext").alias("covered"))
+    )
+    norm_len = docs.select(
+        "doc_id",
+        F.length(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("tlen"),
+    )
+    return cov.join(norm_len, cov["src_id"] == norm_len["doc_id"]).select(
+        F.col("src_id").alias("doc_id"),
+        F.col("covered").cast("bigint").alias("covered_chars"),
+        F.col("tlen").cast("bigint").alias("total_chars"),
+        F.round(F.col("covered") * 1.0 / F.col("tlen"), 6).alias("dup_fraction"),
+    )

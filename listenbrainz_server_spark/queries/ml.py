@@ -480,3 +480,66 @@ def m_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prob, 6).alias("prob"),
         (prob >= 0.5).cast("int").alias("prediction"),
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item cosine CF — the transpose of m_user_cosine_capped and the
+# production-common serving variant (item neighborhoods are stabler
+# than user neighborhoods and cacheable per catalog item; the
+# reference's similarity.recording handler is this axis —
+# similarity/recording/common.py). Pure reuse of the capped-cosine
+# core with roles swapped: the shared-USER self-join generates
+# |items(user)|² pairs per user, so the degree cap moves to the user
+# axis. Same 100 TB bound, same deterministic tie-breaks.
+# --------------------------------------------------------------------------
+@register(
+    "m_item_cosine_capped",
+    f"""
+    WITH pc AS (
+        SELECT l_partkey AS item_id, o_custkey AS user_id, COUNT(*) AS playcount
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT item_id, user_id, playcount FROM (
+            SELECT item_id, user_id, playcount,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY playcount DESC, item_id
+                   ) AS udr
+            FROM pc
+        ) WHERE udr <= {_ITEM_DEGREE_CAP}
+    ),
+    norms AS (
+        SELECT item_id, sqrt(SUM(playcount * playcount * 1.0)) AS nrm
+        FROM pc GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.item_id AS item_a, b.item_id AS item_b,
+               SUM(a.playcount * b.playcount * 1.0) AS dot
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS similarity
+    FROM dots
+    JOIN norms na ON na.item_id = item_a
+    JOIN norms nb ON nb.item_id = item_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.1
+    """,
+    doc="item-item cosine CF with per-user degree cap (transpose of "
+    "m_user_cosine_capped; the similarity.recording axis)",
+)
+def m_item_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pc = _playcounts(spark, sf_dir).select(
+        F.col("item_id").alias("user_id"),  # roles swapped: items are
+        F.col("user_id").alias("item_id"),  # the "users" of the core
+        "playcount",
+    )
+    return cosine_pairs_from_playcounts(
+        pc, threshold=0.1, item_degree_cap=_ITEM_DEGREE_CAP
+    ).select(
+        F.col("user_a").alias("item_a"),
+        F.col("user_b").alias("item_b"),
+        F.round("similarity_raw", 6).alias("similarity"),
+    )

@@ -1877,3 +1877,70 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
         F.round(F.sum(-F.col("p") * F.log2("p")), 6).alias("char_entropy_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise source vocabulary overlap — the data-card matrix that says
+# which sources are lexically redundant (candidates for dedup across
+# sources) and which add genuinely new vocabulary. Per-source DISTINCT
+# vocab (corpus reduced to |sources|×|vocab| rows), word-keyed
+# self-join for intersections (each word contributes at most
+# |sources|² pairs — bounded by the source count, never the corpus),
+# inclusion-exclusion for the union. Jaccard rounded 6 dp.
+# --------------------------------------------------------------------------
+@register(
+    "t_vocab_overlap_sources",
+    """
+    WITH vocab AS (
+        SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS both
+        FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.both AS BIGINT) AS shared_words,
+           CAST(sa.n + sb.n - i.both AS BIGINT) AS union_words,
+           ROUND(i.both * 1.0 / (sa.n + sb.n - i.both), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    doc="pairwise source vocabulary Jaccard (lexical-redundancy "
+    "matrix for the dataset card)",
+)
+def t_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "w")
+    b = vocab.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("both").cast("bigint").alias("shared_words"),
+            (F.col("na") + F.col("nb") - F.col("both"))
+            .cast("bigint")
+            .alias("union_words"),
+            F.round(
+                F.col("both") * 1.0 / (F.col("na") + F.col("nb") - F.col("both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
