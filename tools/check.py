@@ -6,12 +6,16 @@ order-insensitive value hash (rows canonicalized to strings, sorted).
 Strict: floats must match after each side's own ROUNDing — queries are
 responsible for rounding (see queries/__init__.py determinism rules).
 
-Usage: python tools/check.py [sf_dir] [query_name ...]
+Usage: python tools/check.py [sf_dir] [query_name ...] [--json PATH]
+
+``--json PATH`` additionally writes the per-query verdicts as a JSON
+artifact (the committed at-head oracle-gate record, VERDICT r4 #1).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 
@@ -45,8 +49,14 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     registry = load_all()
     spark = get_session("check")
@@ -62,6 +72,7 @@ def main() -> int:
 
     n_pass = n_fail = n_noracle = 0
     failures: list[str] = []
+    verdicts: dict[str, dict] = {}
     for name, q in sorted(registry.items()):
         if only and name not in only:
             continue
@@ -73,10 +84,16 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            verdicts[name] = {"status": "fail", "err": str(e).splitlines()[0][:200]}
             n_fail += 1
             continue
         if q.oracle is None:
             print(f"ROWS  {name}: {len(s_rows)} rows (no oracle)")
+            verdicts[name] = {
+                "status": "rows_only",
+                "rows": len(s_rows),
+                "secs": round(time.time() - t0, 2),
+            }
             n_noracle += 1
             continue
         try:
@@ -86,6 +103,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            verdicts[name] = {"status": "fail", "err": str(e).splitlines()[0][:200]}
             n_fail += 1
             continue
 
@@ -118,14 +136,36 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name} ({dt:.1f}s): " + " | ".join(problems))
             failures.append(name)
+            verdicts[name] = {"status": "fail", "err": " | ".join(problems)[:200]}
             n_fail += 1
         else:
             print(f"PASS  {name} ({dt:.1f}s, {len(s_rows)} rows)")
+            verdicts[name] = {
+                "status": "pass",
+                "rows": len(s_rows),
+                "secs": round(dt, 2),
+            }
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     if failures:
         print("failures:", " ".join(failures))
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_noracle,
+                    "n_registry": len(registry),
+                    "queries": verdicts,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_path}")
     return 1 if n_fail else 0
 
 
