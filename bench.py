@@ -104,6 +104,16 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure
     # query execution, not session cold-start.
     registry["a1_pricing_summary"].fn(spark, sf_dir).count()
+    # Warm MLlib's ALS codepath too: the first fit in a fresh JVM pays
+    # ~2-10 s of JIT that would otherwise be billed to whichever ALS
+    # query runs first (measured: m_als_cv 11.0 s cold vs 8.5 s warm).
+    from pyspark.ml.recommendation import ALS
+
+    tiny = spark.createDataFrame(
+        [(i % 7, i % 5, 1.0) for i in range(50)], "user int, item int, rating float"
+    )
+    ALS(maxIter=1, rank=2, seed=1, userCol="user", itemCol="item",
+        ratingCol="rating").fit(tiny)
 
     runs = 1 if run_all else 3
     timings: dict[str, float] = {}
