@@ -35,14 +35,23 @@ def asof_join(
     right_ts: str,
     right_vals: Sequence[str],
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the right row with the greatest
-    ``right_ts`` <= ``left_ts`` within the same key (NULLs when no
-    prior right row exists, or when it is older than ``tolerance``).
+    """For every left row, attach the matching right row within the
+    same key: ``direction="backward"`` (default) takes the greatest
+    ``right_ts`` <= ``left_ts``; ``"forward"`` the smallest
+    ``right_ts`` >= ``left_ts`` (NULLs when no such row exists, or
+    when it is further away than ``tolerance_seconds``).
 
-    Right-side timestamps sort BEFORE a left row at the same instant
-    (tag 0 < tag 1), matching the "at or before" contract.
+    Both directions are the SAME union-tag sweep — forward just scans
+    the merged stream in descending time, so the carried
+    last-non-null right row is the nearest at-or-after one. Right-side
+    timestamps sort adjacent to a left row at the same instant on the
+    matching side (tag 0 first in scan order), honoring the
+    at-or-before / at-or-after contracts.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     lt = left.withColumn("_tag", F.lit(1)).withColumn("_t", F.col(left_ts))
     rt = (
         right.select(
@@ -61,9 +70,10 @@ def asof_join(
             lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
     merged = lt.select(rt.columns).unionByName(rt.select(rt.columns))
 
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_t", "_tag")
+        .orderBy(t_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
@@ -77,10 +87,12 @@ def asof_join(
     out_vals: list[Column] = []
     matched = F.col("_asof__rts").isNotNull()
     if tolerance_seconds is not None:
-        matched = matched & (
+        gap = (
             F.col("_t").cast("double") - F.col("_asof__rts").cast("double")
-            <= F.lit(float(tolerance_seconds))
+            if direction == "backward"
+            else F.col("_asof__rts").cast("double") - F.col("_t").cast("double")
         )
+        matched = matched & (gap <= F.lit(float(tolerance_seconds)))
     for c in right_vals:
         out_vals.append(F.when(matched, F.col(f"_asof_{c}")).alias(c))
     out_vals.append(F.when(matched, F.col("_asof__rts")).alias("asof_ts"))

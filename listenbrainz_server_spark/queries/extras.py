@@ -1901,3 +1901,95 @@ def a_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau").cast("bigint"),
         F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-event arrival gaps per type — the ops-latency panel: p50/p90
+# seconds between consecutive events of each type within a user's
+# stream, plus event volume. One user+type-keyed lag window (bounded
+# by a user's history), then a |types|-sized percentile reduction.
+# Gap seconds are floored to integers on both engines before the
+# percentile so interpolation runs on identical inputs.
+# --------------------------------------------------------------------------
+@register(
+    "a_inter_event_time",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               FLOOR(EPOCH(ts) - EPOCH(LAG(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)))
+                   AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+           ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="inter-arrival gap percentiles per event type (user+type-keyed "
+    "lag window, |types|-sized percentile reduction)",
+)
+def a_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # Fractional-epoch subtraction BEFORE the floor: unix_timestamp
+    # truncates each side to whole seconds first, which disagrees with
+    # the oracle's FLOOR(EPOCH(a) - EPOCH(b)) on sub-second timestamps.
+    gaps = ev.select(
+        "event_type",
+        F.floor(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hour-of-day regularity per user — Shannon entropy of each user's
+# activity distribution over the 24 hours: near-0 bits is a
+# single-hour metronome (cron job / bot), near log2(24)≈4.58 is
+# diffuse human-like activity. The behavioral twin of t_char_entropy,
+# same shape: one (user, hour) reduction, rounded shares, user-keyed
+# entropy fold.
+# --------------------------------------------------------------------------
+@register(
+    "w_hour_entropy",
+    """
+    WITH byhour AS (
+        SELECT user_id, EXTRACT(hour FROM ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    probs AS (
+        SELECT user_id,
+               ROUND(c * 1.0 / SUM(c) OVER (PARTITION BY user_id), 6) AS p
+        FROM byhour
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS active_hours,
+           ROUND(SUM(-p * log2(p)), 6) AS hour_entropy_bits
+    FROM probs GROUP BY user_id
+    """,
+    doc="per-user hour-of-day activity entropy (bot/metronome "
+    "detector; user-keyed reductions only)",
+)
+def w_hour_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    byhour = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    probs = byhour.select(
+        "user_id",
+        F.round(
+            F.col("c") * 1.0 / F.sum("c").over(Window.partitionBy("user_id")), 6
+        ).alias("p"),
+    )
+    return probs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_hours"),
+        F.round(F.sum(-F.col("p") * F.log2("p")), 6).alias("hour_entropy_bits"),
+    )

@@ -192,3 +192,59 @@ def j_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_seconds=86400,
     )
     return joined.select("event_id", "user_id", "ts", "tier", "valid_from")
+
+
+# --------------------------------------------------------------------------
+# Forward as-of with staleness tolerance — the attribution direction:
+# each click matched to the user's NEXT purchase within 24 h (NULL
+# when none follows in time). Same union-tag sweep as j_asof_join,
+# scanned in descending time; the tolerance bound is what keeps the
+# report honest (an unbounded forward match attributes a purchase
+# weeks later to this click). DuckDB oracle uses native ASOF with the
+# flipped inequality + a tolerance filter.
+# --------------------------------------------------------------------------
+@register(
+    "j_asof_forward",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts, ROUND(MAX(value), 2) AS purch_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    matched AS (
+        SELECT c.event_id, c.user_id, p.purch_value, p.ts AS asof_ts, c.ts
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN asof_ts <= ts + INTERVAL 24 HOUR
+                THEN purch_value END AS purch_value,
+           CASE WHEN asof_ts <= ts + INTERVAL 24 HOUR
+                THEN asof_ts END AS asof_ts
+    FROM matched
+    """,
+    doc="forward as-of join: next purchase within 24h after each "
+    "click (descending union-tag sweep + staleness tolerance)",
+)
+def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purch_value"))
+    )
+    return asof_join(
+        clicks,
+        purch,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["purch_value"],
+        tolerance_seconds=24 * 3600,
+        direction="forward",
+    ).select("event_id", "user_id", "purch_value", "asof_ts")

@@ -61,6 +61,46 @@ def test_asof_join_tolerance(spark):
     assert beyond.val is None and beyond.asof_ts is None
 
 
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: smallest right_ts >= left ts per key, same-instant
+    rows included, no-following-match NULLs, tolerance cuts matches
+    that are too far in the future."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # next is r1 -> 100.0
+            (2, 10, _ts("2024-01-01 12:00:00")),  # exactly at r2 -> 200.0
+            (3, 10, _ts("2024-01-01 13:00:00")),  # nothing follows -> NULL
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:30:00"), 100.0),
+            (10, _ts("2024-01-01 12:00:00"), 200.0),
+        ],
+        "user_id bigint, rts timestamp, val double",
+    )
+    got = {
+        r.event_id: (r.val, r.asof_ts)
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "rts", ["val"], direction="forward"
+        ).collect()
+    }
+    assert got[1] == (100.0, _ts("2024-01-01 10:30:00"))
+    assert got[2] == (200.0, _ts("2024-01-01 12:00:00"))
+    assert got[3] == (None, None)
+
+    tight = {
+        r.event_id: r.val
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "rts", ["val"],
+            direction="forward", tolerance_seconds=600,
+        ).collect()
+    }
+    assert tight[1] is None  # 30 min away > 10 min tolerance
+    assert tight[2] == 200.0
+
+
 def test_range_join_bucket_spanning(spark):
     """An interval spanning several buckets still matches rows in each
     of them; half-open [start, end) excludes the endpoint."""
