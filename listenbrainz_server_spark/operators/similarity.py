@@ -728,17 +728,31 @@ def lsh_multiprobe_topk(
             m = np.vstack(member_pdf["nv"].to_numpy()).astype("float64")
             qn = probe_pdf["q_nrm"].to_numpy(dtype="float64")
             mn = member_pdf["n_nrm"].to_numpy(dtype="float64")
-            qn[qn == 0] = 1.0
-            mn[mn == 0] = 1.0
-            # Raw scores; rounding happens Spark-side (F.round HALF_UP
-            # matches the expression path and the DuckDB oracle).
-            scores = (q / qn[:, None]) @ (m / mn[:, None]).T
-            scores[qids[:, None] == nids[None, :]] = -np.inf
+            # Zero-norm pairs score NULL (NaN here), same rule as the
+            # expression path below and bucket_scored_pairs: never
+            # substitute a fake norm, never divide by zero.
+            qz = qn == 0
+            mz = mn == 0
+            qn_safe = np.where(qz, 1.0, qn)
+            mn_safe = np.where(mz, 1.0, mn)
+            # Round BEFORE the local top-k so the per-bucket selection
+            # and the global merge window implement the same
+            # (rounded score desc, nid) total order — otherwise a raw
+            # near-tie straddling a rounding boundary could pick a
+            # different local top-k than the expression path.
+            scores = np.round(
+                (q / qn_safe[:, None]) @ (m / mn_safe[:, None]).T, round_dp
+            )
+            scores[qz, :] = np.nan
+            scores[:, mz] = np.nan
+            self_mask = qids[:, None] == nids[None, :]
             out_q, out_n, out_s = [], [], []
             for i in range(len(qids)):
-                row = scores[i]
+                row = np.where(self_mask[i], -np.inf, scores[i])
+                # lexsort ascending puts NaN last, matching Spark's
+                # desc-NULLS-LAST window order for the NULL scores.
                 order = np.lexsort((nids, -row))[: min(k, len(nids))]
-                order = order[row[order] > -np.inf]
+                order = order[~np.isneginf(row[order])]
                 out_q.extend([qids[i]] * len(order))
                 out_n.extend(nids[order])
                 out_s.extend(row[order])
@@ -760,8 +774,15 @@ def lsh_multiprobe_topk(
             .select("qid", "nid", "score", "rank")
         )
 
+    # NULL-guard the zero-norm case (same rule as bucket_scored_pairs
+    # and the vectorized path above): a zero vector sharing a bucket
+    # must not trip ANSI DIVIDE_BY_ZERO, and scores NULL, ranking last.
     score = F.round(
-        dot(F.col("qv"), F.col("nv")) / (F.col("q_nrm") * F.col("n_nrm")), round_dp
+        F.when(
+            (F.col("q_nrm") != 0) & (F.col("n_nrm") != 0),
+            dot(F.col("qv"), F.col("nv")) / (F.col("q_nrm") * F.col("n_nrm")),
+        ),
+        round_dp,
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
     return (

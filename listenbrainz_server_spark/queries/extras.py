@@ -1765,12 +1765,18 @@ def a_listen_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Ranks of the c tied users at value n are b+1 .. b+c, so their
     # Σ i·x contribution is n·(c·b + c(c+1)/2) — c(c+1) is even, so
     # DIV keeps it integral; decimal(38,0) keeps the sum exact.
-    contrib = (
-        F.col("n").cast("decimal(38,0)")
-        * (F.col("c") * F.col("b") + F.expr("c * (c + 1) DIV 2")).cast(
-            "decimal(38,0)"
-        )
+    # Cast BEFORE the products: c·b and c(c+1) must not be evaluated in
+    # bigint first or the cast to decimal arrives after the overflow.
+    # c(c+1)/2 halves the even factor while still a bigint (halving
+    # can't overflow) and widens to decimal before the multiply.
+    cd = F.col("c").cast("decimal(38,0)")
+    bd = F.col("b").cast("decimal(38,0)")
+    tri = F.expr(
+        "CASE WHEN c % 2 = 0"
+        "  THEN CAST(c DIV 2 AS DECIMAL(38,0)) * (c + 1)"
+        "  ELSE CAST(c AS DECIMAL(38,0)) * ((c + 1) DIV 2) END"
     )
+    contrib = F.col("n").cast("decimal(38,0)") * (cd * bd + tri)
     stats = pref.agg(
         F.sum("c").cast("bigint").alias("n_users"),
         F.sum(F.col("n") * F.col("c")).cast("bigint").alias("n_events"),
@@ -1779,8 +1785,10 @@ def a_listen_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "n_users",
         "n_events",
+        # Divide by the two counts SEPARATELY in double — the bigint
+        # product n_users * n_events overflows first at 100 TB scale.
         F.round(
-            2.0 * F.col("si") / (F.col("n_users") * F.col("n_events"))
+            2.0 * F.col("si") / F.col("n_users") / F.col("n_events")
             - (F.col("n_users") + 1.0) / F.col("n_users"),
             6,
         ).alias("gini"),

@@ -97,22 +97,31 @@ def import_dump(
         raise ValueError(f"no parquet members in {archive}")
 
     listens = spark.read.parquet(*members)
+    n_imported = listens.count()
     if dump_type == "full":
         atomic_swap_write(listens, listens_path)
     else:
         append_coalesced(listens, listens_path)
+    # Report BOTH counts: the rows this archive contributed and the
+    # landed dataset's total after the import (for a full import they
+    # coincide; for an incremental they deliberately differ).
+    n_total = spark.read.parquet(listens_path).count()
 
-    n_rows = spark.read.parquet(listens_path).count() if dump_type == "full" else (
-        listens.count()
-    )
     meta = spark.createDataFrame(
         [(dump_id, dump_type)], "dump_id bigint, dump_type string"
     ).withColumn("imported_at", F.current_timestamp())
     registry_upsert(spark, metadata_path, meta, key_cols=("dump_id", "dump_type"))
 
+    # The extracted members were only transport staging — the landed
+    # parquet is the dataset now, so the work dir must not accumulate.
+    import shutil
+
+    shutil.rmtree(extract_dir, ignore_errors=True)
+
     return spark.createDataFrame(
-        [(dump_id, dump_type, len(members), n_rows)],
-        "dump_id bigint, dump_type string, n_members int, n_rows bigint",
+        [(dump_id, dump_type, len(members), n_imported, n_total)],
+        "dump_id bigint, dump_type string, n_members int, "
+        "n_rows bigint, n_rows_total bigint",
     )
 
 
