@@ -43,14 +43,20 @@ def asof_join(
     ``right_ts`` >= ``left_ts`` (NULLs when no such row exists, or
     when it is further away than ``tolerance_seconds``).
 
-    Both directions are the SAME union-tag sweep — forward just scans
+    ``direction="nearest"`` (pandas ``merge_asof``/kdb parity) takes
+    whichever side is closer in absolute distance, backward winning
+    exact-distance ties — pandas' tie rule.
+
+    All directions are the SAME union-tag sweep — forward just scans
     the merged stream in descending time, so the carried
     last-non-null right row is the nearest at-or-after one. Right-side
     timestamps sort adjacent to a left row at the same instant on the
     matching side (tag 0 first in scan order), honoring the
-    at-or-before / at-or-after contracts.
+    at-or-before / at-or-after contracts. Nearest runs BOTH sweeps
+    over one merged stream: same partition key, so Catalyst plans one
+    Exchange with two sorts — still zero row multiplication.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     lt = left.withColumn("_tag", F.lit(1)).withColumn("_t", F.col(left_ts))
     rt = (
@@ -70,21 +76,53 @@ def asof_join(
             lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
     merged = lt.select(rt.columns).unionByName(rt.select(rt.columns))
 
-    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(t_order, F.col("_tag").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+    def carried_cols(descending: bool, prefix: str) -> list[Column]:
+        t_order = F.col("_t").desc() if descending else F.col("_t").asc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(t_order, F.col("_tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return [
+            F.last(c, ignorenulls=True).over(w).alias(f"{prefix}{c}")
             for c in ["_rts", *right_vals]
-        ],
+        ]
+
+    keep = [c for c in left.columns]
+    out_vals: list[Column] = []
+
+    if direction == "nearest":
+        carried = merged.select(
+            "*", *carried_cols(False, "_b_"), *carried_cols(True, "_f_")
+        ).where(F.col("_tag") == 1)
+        gap_b = F.col("_t").cast("double") - F.col("_b__rts").cast("double")
+        gap_f = F.col("_f__rts").cast("double") - F.col("_t").cast("double")
+        ok_b = F.col("_b__rts").isNotNull()
+        ok_f = F.col("_f__rts").isNotNull()
+        if tolerance_seconds is not None:
+            tol = F.lit(float(tolerance_seconds))
+            ok_b = ok_b & (gap_b <= tol)
+            ok_f = ok_f & (gap_f <= tol)
+        # Backward wins exact-distance ties (pandas merge_asof rule).
+        use_b = ok_b & (~ok_f | (gap_b <= gap_f))
+        use_f = ok_f & ~use_b
+        for c in right_vals:
+            out_vals.append(
+                F.when(use_b, F.col(f"_b_{c}"))
+                .when(use_f, F.col(f"_f_{c}"))
+                .alias(c)
+            )
+        out_vals.append(
+            F.when(use_b, F.col("_b__rts"))
+            .when(use_f, F.col("_f__rts"))
+            .alias("asof_ts")
+        )
+        return carried.select(*keep, *out_vals)
+
+    carried = merged.select(
+        "*", *carried_cols(direction == "forward", "_asof_")
     ).where(F.col("_tag") == 1)
 
-    out_vals: list[Column] = []
     matched = F.col("_asof__rts").isNotNull()
     if tolerance_seconds is not None:
         gap = (
@@ -96,7 +134,6 @@ def asof_join(
     for c in right_vals:
         out_vals.append(F.when(matched, F.col(f"_asof_{c}")).alias(c))
     out_vals.append(F.when(matched, F.col("_asof__rts")).alias("asof_ts"))
-    keep = [c for c in left.columns]
     return carried.select(*keep, *out_vals)
 
 

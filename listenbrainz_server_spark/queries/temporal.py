@@ -248,3 +248,79 @@ def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_seconds=24 * 3600,
         direction="forward",
     ).select("event_id", "user_id", "purch_value", "asof_ts")
+
+
+# --------------------------------------------------------------------------
+# Nearest as-of — the sensor-alignment direction (pandas merge_asof
+# direction="nearest", kdb aj closest): each click matched to the
+# purchase CLOSEST in time either side, within 12 h, backward winning
+# exact-distance ties. One union-tag stream, both sweeps (same
+# partition key -> one Exchange, two sorts). DuckDB's ASOF has no
+# nearest mode, so the oracle derives it from the two native
+# directions + a row_number over (within-tolerance DESC, distance,
+# side) — an independent construction of the same total order, which
+# doubles as a cross-check of the choose-nearest logic itself.
+# --------------------------------------------------------------------------
+@register(
+    "j_asof_nearest",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts, ROUND(MAX(value), 2) AS purch_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    bwd AS (
+        SELECT c.event_id, c.user_id, c.ts, p.purch_value, p.ts AS asof_ts,
+               0 AS side
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    fwd AS (
+        SELECT c.event_id, c.user_id, c.ts, p.purch_value, p.ts AS asof_ts,
+               1 AS side
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    ),
+    ranked AS (
+        SELECT event_id, user_id, purch_value, asof_ts,
+               (asof_ts IS NOT NULL
+                AND ABS(EPOCH(ts) - EPOCH(asof_ts)) <= 43200) AS ok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_id
+                   ORDER BY (asof_ts IS NOT NULL
+                             AND ABS(EPOCH(ts) - EPOCH(asof_ts)) <= 43200) DESC,
+                            ABS(EPOCH(ts) - EPOCH(asof_ts)),
+                            side) AS rn
+        FROM (SELECT * FROM bwd UNION ALL SELECT * FROM fwd)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN ok THEN purch_value END AS purch_value,
+           CASE WHEN ok THEN asof_ts END AS asof_ts
+    FROM ranked WHERE rn = 1
+    """,
+    doc="nearest as-of join: closest purchase either side of each "
+    "click within 12h, backward wins ties (dual union-tag sweep vs a "
+    "DuckDB two-direction + row_number reconstruction)",
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purch_value"))
+    )
+    return asof_join(
+        clicks,
+        purch,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["purch_value"],
+        tolerance_seconds=12 * 3600,
+        direction="nearest",
+    ).select("event_id", "user_id", "purch_value", "asof_ts")

@@ -101,6 +101,98 @@ def test_asof_join_forward_direction(spark):
     assert tight[2] == 200.0
 
 
+def test_asof_join_nearest_direction(spark):
+    """Nearest as-of: closest right row either side; backward wins
+    exact-distance ties (pandas merge_asof rule); tolerance applies
+    per-side BEFORE the choice (a closer-but-out-of-tolerance forward
+    row must not shadow an in-tolerance backward one)."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # 30m back vs 2h fwd -> back
+            (2, 10, _ts("2024-01-01 11:45:00")),  # 2h15 back vs 15m fwd -> fwd
+            (3, 10, _ts("2024-01-01 10:45:00")),  # 75m back = 75m fwd -> back
+            (4, 20, _ts("2024-01-01 10:00:00")),  # no right rows -> NULL
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:30:00"), 100.0),
+            (10, _ts("2024-01-01 12:00:00"), 200.0),
+        ],
+        "user_id bigint, rts timestamp, val double",
+    )
+    got = {
+        r.event_id: (r.val, r.asof_ts)
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "rts", ["val"], direction="nearest"
+        ).collect()
+    }
+    assert got[1] == (100.0, _ts("2024-01-01 09:30:00"))
+    assert got[2] == (200.0, _ts("2024-01-01 12:00:00"))
+    assert got[3] == (100.0, _ts("2024-01-01 09:30:00"))  # tie -> backward
+    assert got[4] == (None, None)
+
+    # Tolerance 60m: row 1's backward match (30m) survives; row 2's
+    # forward match (15m) survives while its backward (135m) is cut;
+    # row 3 has both sides at 75m -> NULL, not the nearer-side value.
+    tight = {
+        r.event_id: r.val
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "rts", ["val"],
+            direction="nearest", tolerance_seconds=3600,
+        ).collect()
+    }
+    assert tight[1] == 100.0
+    assert tight[2] == 200.0
+    assert tight[3] is None
+
+    # One-side-in-tolerance: backward 50m, forward 30m from the left
+    # row. tol 55m -> both in, forward closer wins; tol 40m -> only
+    # forward survives; tol 20m -> both cut -> NULL.
+    left2 = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:20:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right2 = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:30:00"), 1.0),
+            (10, _ts("2024-01-01 10:50:00"), 2.0),
+        ],
+        "user_id bigint, rts timestamp, val double",
+    )
+    for tol_minutes, want in ((55, 2.0), (40, 2.0), (20, None)):
+        row = asof_join(
+            left2, right2, ["user_id"], "ts", "rts", ["val"],
+            direction="nearest", tolerance_seconds=tol_minutes * 60,
+        ).collect()[0]
+        assert row.val == want, (tol_minutes, row.val)
+
+
+def test_asof_join_nearest_single_shuffle_plan(spark):
+    """Both sweeps share the key partitioning: nearest still costs ONE
+    hash exchange (two sorts), no join node."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 09:30:00"), 1.0)],
+        "user_id bigint, rts timestamp, val double",
+    )
+    plan = (
+        asof_join(
+            left, right, ["user_id"], "ts", "rts", ["val"], direction="nearest"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
 def test_range_join_bucket_spanning(spark):
     """An interval spanning several buckets still matches rows in each
     of them; half-open [start, end) excludes the endpoint."""
