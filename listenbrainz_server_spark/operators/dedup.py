@@ -397,6 +397,7 @@ def exact_substring_pairs(
     stride: int = 8,
     min_matched: int = 1,
     max_gram_df: int | None = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Within-corpus exact-substring duplicate pairs — the train-train
     counterpart of ``exact_substring_contamination``: unordered doc
@@ -417,11 +418,39 @@ def exact_substring_pairs(
     docs (boilerplate runs — the hot-key skew at 100 TB), same
     broadcast-anti-join shape as the contamination tier.
 
+    ``prefilter=True`` gates both indexes behind the winnowed
+    candidate-doc set (see exact_substring_spans — recall 1 for all
+    guaranteed-detectable runs >= k + stride - 1).
+
     Reference grounding: generalizes the group-by-identity dedup of
     listens/delete.py:53-60 from whole-row equality to shared verbatim
     spans.
     """
+    if prefilter:
+        cand = winnow_candidate_docs(
+            docs, id_col, text_col, k=k, w=stride, max_fp_df=max_gram_df
+        )
+        docs = docs.join(cand, id_col, "left_semi")
+
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    # Repartition BETWEEN the normalize projection and the gram
+    # explode: parallelizes the chars-proportional gram work by
+    # document AND acts as the collapse barrier keeping the regex
+    # normalize out of the per-gram lambda (see winnow_fingerprints).
+    # Both indexes derive from this one subtree, so the scan +
+    # normalize + shuffle run once (ReusedExchange).
+    base = (
+        docs.select(F.col(id_col), norm.alias("_t"))
+        .where(F.length("_t") >= k)
+        # Explicit partition count: AQE would coalesce a small-bytes
+        # shuffle to one partition, serializing the chars-proportional
+        # HOF/explode work ABOVE the exchange (shuffle bytes here are
+        # 1/24th of the work they fan out into). A user-specified
+        # count is exempt from AQE coalescing.
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    )
 
     def gram_index(out_id: str, s: int) -> DataFrame:
         grams_expr = (
@@ -429,8 +458,7 @@ def exact_substring_pairs(
             f"p -> substr(_t, p, {k}))"
         )
         return (
-            docs.select(F.col(id_col).alias(out_id), norm.alias("_t"))
-            .where(F.length("_t") >= k)
+            base.select(F.col(id_col).alias(out_id), "_t")
             .select(out_id, F.explode(F.expr(grams_expr)).alias("_g"))
             .select(out_id, F.md5("_g").alias("g"))
             .distinct()
@@ -460,6 +488,117 @@ def exact_substring_pairs(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 24, w: int = 8
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS sampler): per doc, the lexicographic-min
+    md5 of every ``w`` consecutive normalized char-``k``-grams.
+
+    The selection runs INSIDE the document row with array HOFs — the
+    stride-1 gram hashes exist only transiently in whole-stage codegen;
+    what materializes (and shuffles) is the ~2/(w+1)-density distinct
+    fingerprint set. Guarantee (the winnowing theorem): any shared
+    normalized run of length >= k + w - 1 contains a full w-gram window
+    in BOTH documents, whose min hash both select — so a fingerprint
+    equi-join has recall 1 for such runs. Hash collisions only ADD
+    candidates, never lose them.
+
+    The min is selected by md5 order — md5-of-string is byte-identical
+    in any engine (ASCII-hex lexicographic compare; same determinism
+    rule as SimHash, module docstring) AND it is what makes the
+    sampling uniform: a raw-gram lexicographic min would bias
+    selection toward lexicographically small grams, which cluster on
+    boilerplate and inflate the candidate set (measured: +40% rows,
+    3× slower tier).
+
+    Execution shape — explode + native sliding-window min, NOT an
+    array HOF: gram md5s are computed ONCE each in a whole-stage-
+    codegen projection above the position explode, and the per-window
+    min is Spark's window aggregate over a (doc, pos) frame. The
+    tempting one-row HOF form (transform over windows of a
+    precomputed hash array) is a trap twice over: the shared array
+    reference gets inlined by projection collapse and re-evaluated
+    per window (measured ~30× slower), and materializing it behind a
+    barrier ships 32× the text bytes through an exchange. Here the
+    only exchange is the doc-keyed repartition of the normalized text
+    (1× text bytes), which the window pass then reuses — partitioned
+    by ``id_col`` already, so the window adds a sort, not a shuffle.
+
+    Returns per-doc-distinct (``id_col``, fp string).
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    base = (
+        docs.select(F.col(id_col), norm.alias("_t"))
+        .where(F.length("_t") >= k)
+        # Doc-keyed repartition: parallelizes the chars-proportional
+        # gram work by document (not input file split) and is the
+        # collapse barrier keeping the regex normalize out of the
+        # per-gram path. Explicit partition count — AQE would coalesce
+        # a small-bytes shuffle to one partition and serialize the
+        # fan-out work above it; a user-specified count is exempt.
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    )
+    grams = base.select(
+        F.col(id_col),
+        (F.length("_t") - k + 1).alias("_n"),
+        F.explode(F.expr(f"sequence(1, length(_t) - {k} + 1)")).alias("_p"),
+        "_t",
+    ).select(
+        id_col,
+        "_n",
+        "_p",
+        F.md5(F.expr(f"substr(_t, _p, {k})")).alias("_h"),
+    )
+    # Window starts i in 1..n-w+1 are the full windows; a doc with
+    # fewer than w grams keeps its single (truncated) window at i=1.
+    win = Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("_m", F.min("_h").over(win))
+        .where(F.col("_p") <= F.greatest(F.lit(1), F.col("_n") - w + 1))
+        .select(id_col, F.col("_m").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_candidate_docs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    w: int = 8,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Documents that share at least one winnowed fingerprint with
+    ANOTHER document — the candidate gate for the verbatim-span tier:
+    a doc with no shared fingerprint provably shares no normalized run
+    of length >= k + w - 1, so the stride-1 fine-gram pass can skip it
+    entirely. Everything is keyed by fingerprint then id; the
+    multi-doc-fingerprint set is a data-reduced aggregate, never
+    all-pairs. ``max_fp_df`` drops boilerplate fingerprints present in
+    more than that many docs (the hot-key guard, same contract as the
+    gram-tier ``max_gram_df``).
+    """
+    # winnow_fingerprints is already per-doc distinct (array_distinct
+    # inside the row) — no global distinct exchange needed.
+    fps = winnow_fingerprints(docs, id_col, text_col, k=k, w=w)
+    multi = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") >= 2
+        if max_fp_df is None
+        else (F.col("_df") >= 2) & (F.col("_df") <= max_fp_df)
+    )
+    return (
+        fps.join(multi.select("fp"), "fp", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def exact_substring_spans(
     docs: DataFrame,
     id_col: str,
@@ -467,6 +606,7 @@ def exact_substring_spans(
     k: int = 24,
     stride: int = 8,
     max_gram_df: int | None = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Maximal verbatim-run EXTENTS for exact-substring matches — the
     span report a dedup operator asks for right after
@@ -497,10 +637,44 @@ def exact_substring_spans(
 
     Reference grounding: extends listens/delete.py:53-60's
     identity-group dedup to located verbatim spans.
+
+    ``prefilter=True`` (default) gates BOTH gram indexes behind
+    ``winnow_candidate_docs``: only documents sharing a winnowed
+    fingerprint with another document generate char-level rows at all.
+    The gate has recall 1 for every run the operator GUARANTEES to
+    detect (>= k + stride - 1 chars; winnowing window w = stride) — it
+    can only drop never-guaranteed luck-of-alignment matches in the
+    k..k+stride-2 range, and the candidate pass itself materializes
+    only ~2/(stride+1)-density fingerprints, so the O(total chars)
+    stride-1 explode runs on the dup-involved subset of the corpus,
+    never the whole 100 TB. ``prefilter=False`` keeps the exhaustive
+    form as the fixture-scale recall cross-check.
     """
     from pyspark.sql import Window
 
+    if prefilter:
+        cand = winnow_candidate_docs(
+            docs, id_col, text_col, k=k, w=stride, max_fp_df=max_gram_df
+        )
+        docs = docs.join(cand, id_col, "left_semi")
+
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    # Repartition between normalize and explode: per-document
+    # parallelism for the chars-proportional gram work + the collapse
+    # barrier keeping the regex out of the per-gram lambda (see
+    # winnow_fingerprints); one shared subtree -> ReusedExchange.
+    base = (
+        docs.select(F.col(id_col), norm.alias("_t"))
+        .where(F.length("_t") >= k)
+        # Explicit partition count: AQE would coalesce a small-bytes
+        # shuffle to one partition, serializing the chars-proportional
+        # HOF/explode work ABOVE the exchange (shuffle bytes here are
+        # 1/24th of the work they fan out into). A user-specified
+        # count is exempt from AQE coalescing.
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    )
 
     def gram_pos_index(out_id: str, pos_name: str, s: int) -> DataFrame:
         grams_expr = (
@@ -508,8 +682,7 @@ def exact_substring_spans(
             f"p -> struct(p AS pos, substr(_t, p, {k}) AS gram))"
         )
         return (
-            docs.select(F.col(id_col).alias(out_id), norm.alias("_t"))
-            .where(F.length("_t") >= k)
+            base.select(F.col(id_col).alias(out_id), "_t")
             .select(out_id, F.explode(F.expr(grams_expr)).alias("_pg"))
             .select(
                 out_id,

@@ -321,17 +321,31 @@ def d_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS t
         FROM documents
     ),
+    wfp AS (
+        SELECT doc_id, UNNEST(list_distinct(list_transform(
+                   range(1, greatest(1, len(t) - 24 + 1 - 8 + 1) + 1),
+                   i -> list_min(list_transform(
+                       range(i, least(i + 8 - 1, len(t) - 24 + 1) + 1),
+                       j -> md5(substr(t, j, 24))))))) AS fp
+        FROM norm WHERE len(t) >= 24
+    ),
+    cand AS (
+        SELECT DISTINCT doc_id FROM wfp
+        WHERE fp IN (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) >= 2)
+    ),
     cg AS (
         SELECT DISTINCT doc_id AS cid,
                md5(UNNEST(list_transform(range(1, len(t) - 24 + 2, 8),
                           p -> substr(t, p, 24)))) AS g
         FROM norm WHERE len(t) >= 24
+          AND doc_id IN (SELECT doc_id FROM cand)
     ),
     fg AS (
         SELECT DISTINCT doc_id AS fid,
                md5(UNNEST(list_transform(range(1, len(t) - 24 + 2, 1),
                           p -> substr(t, p, 24)))) AS g
         FROM norm WHERE len(t) >= 24
+          AND doc_id IN (SELECT doc_id FROM cand)
     )
     SELECT LEAST(cid, fid) AS id_a, GREATEST(cid, fid) AS id_b,
            COUNT(DISTINCT g) AS matched_grams
@@ -342,7 +356,9 @@ def d_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="within-corpus exact-substring duplicate pairs: normalized "
     "char-24-gram rolling hash, fine (stride 1) vs coarse (stride 8) "
-    "index self-join — catches tokenization-shifted near-copies",
+    "index self-join, gated by the winnowed candidate-doc prefilter "
+    "(recall 1 for every guaranteed-detectable >=31-char run; the "
+    "oracle replicates the winnow gate verbatim)",
 )
 def d_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.dedup import exact_substring_pairs
@@ -372,9 +388,22 @@ def d_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS t
         FROM documents
     ),
+    wfp AS (
+        SELECT doc_id, UNNEST(list_distinct(list_transform(
+                   range(1, greatest(1, len(t) - 24 + 1 - 8 + 1) + 1),
+                   i -> list_min(list_transform(
+                       range(i, least(i + 8 - 1, len(t) - 24 + 1) + 1),
+                       j -> md5(substr(t, j, 24))))))) AS fp
+        FROM norm WHERE len(t) >= 24
+    ),
+    cand AS (
+        SELECT DISTINCT doc_id FROM wfp
+        WHERE fp IN (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) >= 2)
+    ),
     cpossrc AS (
         SELECT doc_id, t, UNNEST(range(1, len(t) - 24 + 2, 8)) AS p
         FROM norm WHERE len(t) >= 24
+          AND doc_id IN (SELECT doc_id FROM cand)
     ),
     cg AS (
         SELECT doc_id AS cid, p AS cpos, md5(substr(t, p, 24)) AS g FROM cpossrc
@@ -382,6 +411,7 @@ def d_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpossrc AS (
         SELECT doc_id, t, UNNEST(range(1, len(t) - 24 + 2, 1)) AS p
         FROM norm WHERE len(t) >= 24
+          AND doc_id IN (SELECT doc_id FROM cand)
     ),
     fg AS (
         SELECT doc_id AS fid, p AS fpos, md5(substr(t, p, 24)) AS g FROM fpossrc
@@ -1421,9 +1451,22 @@ def d_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS t
         FROM documents
     ),
+    wfp AS (
+        SELECT doc_id, UNNEST(list_distinct(list_transform(
+                   range(1, greatest(1, len(t) - 24 + 1 - 8 + 1) + 1),
+                   i -> list_min(list_transform(
+                       range(i, least(i + 8 - 1, len(t) - 24 + 1) + 1),
+                       j -> md5(substr(t, j, 24))))))) AS fp
+        FROM norm WHERE len(t) >= 24
+    ),
+    cand AS (
+        SELECT DISTINCT doc_id FROM wfp
+        WHERE fp IN (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) >= 2)
+    ),
     cpossrc AS (
         SELECT doc_id, t, UNNEST(range(1, len(t) - 24 + 2, 8)) AS p
         FROM norm WHERE len(t) >= 24
+          AND doc_id IN (SELECT doc_id FROM cand)
     ),
     cg AS (
         SELECT doc_id AS cid, p AS cpos, md5(substr(t, p, 24)) AS g FROM cpossrc
@@ -1431,6 +1474,7 @@ def d_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpossrc AS (
         SELECT doc_id, t, UNNEST(range(1, len(t) - 24 + 2, 1)) AS p
         FROM norm WHERE len(t) >= 24
+          AND doc_id IN (SELECT doc_id FROM cand)
     ),
     fg AS (
         SELECT doc_id AS fid, p AS fpos, md5(substr(t, p, 24)) AS g FROM fpossrc
@@ -1456,6 +1500,14 @@ def d_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src_id, MIN(cpos) AS s, MAX(cpos) + 24 - 1 AS e
         FROM isl GROUP BY src_id, dst_id, diag, island
     ),
+    sdis AS (
+        -- DISTINCT is load-bearing: the same (s, e) span recurs once
+        -- per (dst, diag) it matched, and the brk/prefix-sum island
+        -- pattern needs a TOTAL order — with tied rows, the brk
+        -- computed under one physical order can land elsewhere in the
+        -- next window's order and double-count an island.
+        SELECT DISTINCT src_id, s, e FROM spans
+    ),
     sflag AS (
         SELECT src_id, s, e,
                CASE WHEN s > COALESCE(MAX(e) OVER (
@@ -1463,7 +1515,7 @@ def d_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                         -1) + 1
                     THEN 1 ELSE 0 END AS brk
-        FROM spans
+        FROM sdis
     ),
     sisl AS (
         SELECT src_id, s, e,
@@ -1492,8 +1544,14 @@ def d_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.dedup import exact_substring_spans
 
     docs = load_table(spark, sf_dir, "documents")
-    spans = exact_substring_spans(docs, "doc_id", "text", k=24, stride=8).select(
-        "src_id", F.col("src_start").alias("s"), F.col("src_end").alias("e")
+    # DISTINCT is load-bearing (see the oracle's sdis comment): the
+    # same span recurs per (dst, diag) match, and the two-stage
+    # brk/prefix-sum island pattern is only deterministic under a
+    # total order — (s, e) must be unique within each src_id.
+    spans = (
+        exact_substring_spans(docs, "doc_id", "text", k=24, stride=8)
+        .select("src_id", F.col("src_start").alias("s"), F.col("src_end").alias("e"))
+        .distinct()
     )
     w = Window.partitionBy("src_id").orderBy("s", "e")
     prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))

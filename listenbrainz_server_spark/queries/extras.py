@@ -1809,15 +1809,15 @@ def a_listen_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_session_stats",
     """
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts >= LAG(ts) OVER w + INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS brk
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
         SELECT user_id, ts,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS sid
         FROM flagged

@@ -414,6 +414,78 @@ def test_exact_substring_pairs_adversarial(spark):
     assert miss == 0
 
 
+def test_winnow_prefilter_recall_and_containment(spark):
+    """The winnowed candidate gate (Schleimer et al. 2003): (a) recall
+    1 for every guaranteed-detectable run — on a corpus whose shared
+    runs are all >= k + w - 1, gated output == exhaustive output
+    exactly; (b) in general the gated result is a SUBSET of the
+    exhaustive one (the gate can only drop, never invent)."""
+    from listenbrainz_server_spark.operators.dedup import (
+        exact_substring_pairs,
+        exact_substring_spans,
+        winnow_candidate_docs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (5, f"AA leading bit. {shared} :: trailing junk follows here"),
+            (9, f"Totally different OPENING words!! {shared} and a tail"),
+            (7, "completely unrelated content about database join paths"),
+            (3, "another disjoint doc mentioning optimizer cost models"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = {r.doc_id for r in winnow_candidate_docs(docs, "doc_id", "text").collect()}
+    assert cand == {5, 9}
+
+    def key_rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    for fn in (exact_substring_pairs, exact_substring_spans):
+        gated = key_rows(fn(docs, "doc_id", "text", k=24, stride=8))
+        exhaustive = key_rows(
+            fn(docs, "doc_id", "text", k=24, stride=8, prefilter=False)
+        )
+        assert gated == exhaustive, fn.__name__
+
+    # Containment on a corpus WITH a sub-guarantee luck match: 24-char
+    # run aligned to doc 1's coarse grid (position 1) — found by the
+    # exhaustive form, legitimately droppable by the gate.
+    run24 = "zebra xylophone quartz jet"  # 26 chars, > k after norm
+    lucky = spark.createDataFrame(
+        [(1, run24 + " tail one here"), (2, "lead-in words " + run24)],
+        "doc_id long, text string",
+    )
+    gated = key_rows(exact_substring_pairs(lucky, "doc_id", "text"))
+    exhaustive = key_rows(
+        exact_substring_pairs(lucky, "doc_id", "text", prefilter=False)
+    )
+    assert gated <= exhaustive
+    assert exhaustive, "luck-aligned 24-gram must pair in exhaustive mode"
+
+
+def test_winnow_prefilter_plan_gates_fine_explode(spark):
+    """Plan shape: the candidate semi-join must sit BELOW the stride-1
+    gram generate — the explode runs over the gated doc set, so
+    non-candidate documents never produce char-level rows."""
+    from listenbrainz_server_spark.operators.dedup import exact_substring_spans
+
+    docs = spark.createDataFrame(
+        [(1, "some text for the plan only, long enough for a gram")],
+        "doc_id long, text string",
+    )
+    plan = (
+        exact_substring_spans(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    gen = plan.index("Generate explode")  # first (fine or coarse) explode
+    semi = plan.index("LeftSemi")
+    assert semi > gen, "semi-join gate must be under the explode:\n" + plan
+
+
 def test_exact_substring_spans_offsets_extract_equal_text(spark):
     """Span report self-validation: for every reported run, slicing the
     two docs' NORMALIZED texts at the reported (start, end) offsets
