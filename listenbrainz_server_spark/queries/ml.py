@@ -295,23 +295,25 @@ def als_cv_lifecycle(
         weights=(5 / 6, 1 / 6),
         labels=("train", "test"),
     )
-    # Materialize both splits ONCE: CrossValidator triggers the input
+    # Materialize the split ONCE: CrossValidator triggers the input
     # lineage (scan → playcount agg → hash split) on every candidate ×
     # fold fit plus the refit and the test transform — a localCheckpoint
     # here pins the ~|interactions| rating rows on executors and turns
     # 5+ recomputations of the aggregation into one (the reference gets
     # the same effect by persisting playcounts_df to HDFS between the
-    # create_dataframes and train_model requests).
-    train = (
-        split.where(F.col("split") == "train")
-        .drop("split", "split_key")
+    # create_dataframes and train_model requests). ONE checkpoint of
+    # the labeled frame, not one per side: two eager checkpoints would
+    # execute the aggregation lineage twice (measured 3.5 s → 2.5 s).
+    # The repartition right-sizes ALS's input: its many small per-
+    # iteration stages inherit this partitioning, and 32 near-empty
+    # tasks per stage is pure scheduler overhead at this volume.
+    mat = (
+        split.drop("split_key")
+        .repartition(max(8, spark.sparkContext.defaultParallelism // 4))
         .localCheckpoint(eager=True)
     )
-    test = (
-        split.where(F.col("split") == "test")
-        .drop("split", "split_key")
-        .localCheckpoint(eager=True)
-    )
+    train = mat.where(F.col("split") == "train").drop("split")
+    test = mat.where(F.col("split") == "test").drop("split")
 
     # Size ALS's block count from the interaction volume instead of the
     # fixed default 10: each block is an independent least-squares task
