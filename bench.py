@@ -16,10 +16,11 @@ Headline timings are the MEDIAN OF 3 runs per query (VERDICT r4 #4):
 single-shot numbers mix first-touch costs (JIT, Arrow worker spin-up,
 parquet footer caches) into whichever queries run early, which round 4
 showed can fabricate 15%+ "regressions" that a second run disproves.
-The --all sweep stays single-pass (218 queries amortize warm-up
-naturally, and its round-over-round numbers have tracked plan changes
-faithfully); the headline artifact is the regression tripwire, so it
-pays for statistical hygiene.
+The --all sweep is single-pass for sub-2 s queries (the bulk of the
+registry, where warm-up amortizes naturally) but promotes any query
+whose first run exceeds 2 s to median-of-3 and records every sample
+in BENCH_full_latest.json (VERDICT r5 #4) — the heavies are exactly
+where 1-run numbers can't separate regression from noise.
 """
 
 from __future__ import annotations
@@ -115,19 +116,33 @@ def main() -> None:
     ALS(maxIter=1, rank=2, seed=1, userCol="user", itemCol="item",
         ratingCol="rating").fit(tiny)
 
+    # --all: one pass, but any query over HEAVY_SECS gets two more runs
+    # and reports the median (VERDICT r5 #4: a 1-run full bench cannot
+    # distinguish regression from noise exactly where it matters — the
+    # heavies). Per-run samples land in the artifact either way.
     runs = 1 if run_all else 3
+    HEAVY_SECS = 2.0
     timings: dict[str, float] = {}
+    samples_by_query: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in names:
         samples: list[float] = []
+
+        def one_run() -> None:
+            t0 = time.time()
+            df = registry[name].fn(spark, sf_dir)
+            # Force full execution of every operator in the plan.
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+
         try:
             for _ in range(runs):
-                t0 = time.time()
-                df = registry[name].fn(spark, sf_dir)
-                # Force full execution of every operator in the plan.
-                df.write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
+                one_run()
+            if run_all and samples[0] > HEAVY_SECS:
+                one_run()
+                one_run()
             timings[name] = round(sorted(samples)[len(samples) // 2], 2)
+            samples_by_query[name] = [round(s, 2) for s in samples]
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
             errors[name] = str(e).splitlines()[0][:120]
 
@@ -149,10 +164,11 @@ def main() -> None:
     if run_all:
         # Side artifact for round-over-round regression tracking of the
         # full registry (VERDICT r2 #5) — the stdout line stays the
-        # driver's parse target.
+        # driver's parse target. Per-run samples let a reader separate
+        # noise from regression without re-running.
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_full_latest.json"), "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump({**out, "samples": samples_by_query}, f, indent=1)
     print(json.dumps(out, separators=(",", ":")))
 
 
