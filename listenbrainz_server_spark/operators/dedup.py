@@ -650,49 +650,14 @@ def exact_substring_spans(
     never the whole 100 TB. ``prefilter=False`` keeps the exhaustive
     form as the fixture-scale recall cross-check.
     """
-    from pyspark.sql import Window
-
     if prefilter:
         cand = winnow_candidate_docs(
             docs, id_col, text_col, k=k, w=stride, max_fp_df=max_gram_df
         )
         docs = docs.join(cand, id_col, "left_semi")
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
-    # Repartition between normalize and explode: per-document
-    # parallelism for the chars-proportional gram work + the collapse
-    # barrier keeping the regex out of the per-gram lambda (see
-    # winnow_fingerprints); one shared subtree -> ReusedExchange.
-    base = (
-        docs.select(F.col(id_col), norm.alias("_t"))
-        .where(F.length("_t") >= k)
-        # Explicit partition count: AQE would coalesce a small-bytes
-        # shuffle to one partition, serializing the chars-proportional
-        # HOF/explode work ABOVE the exchange (shuffle bytes here are
-        # 1/24th of the work they fan out into). A user-specified
-        # count is exempt from AQE coalescing.
-        .repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-        )
-    )
-
-    def gram_pos_index(out_id: str, pos_name: str, s: int) -> DataFrame:
-        grams_expr = (
-            f"transform(sequence(1, length(_t) - {k} + 1, {s}), "
-            f"p -> struct(p AS pos, substr(_t, p, {k}) AS gram))"
-        )
-        return (
-            base.select(F.col(id_col).alias(out_id), "_t")
-            .select(out_id, F.explode(F.expr(grams_expr)).alias("_pg"))
-            .select(
-                out_id,
-                F.col("_pg.pos").alias(pos_name),
-                F.md5("_pg.gram").alias("g"),
-            )
-        )
-
-    cg = gram_pos_index("cid", "cpos", stride)
-    fg = gram_pos_index("fid", "fpos", 1)
+    cg = _positioned_gram_index(docs, id_col, text_col, "cid", "cpos", k, stride)
+    fg = _positioned_gram_index(docs, id_col, text_col, "fid", "fpos", k, 1)
     if max_gram_df is not None:
         hot = (
             cg.groupBy("g")
@@ -712,6 +677,55 @@ def exact_substring_spans(
             (F.col("cpos") - F.col("fpos")).alias("diag"),
         )
     )
+    return _anchor_islands(anchors, k, stride)
+
+
+def _positioned_gram_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_id: str,
+    pos_name: str,
+    k: int,
+    s: int,
+) -> DataFrame:
+    """Positioned normalized char-k-gram index at stride ``s``:
+    (``out_id``, ``pos_name``, g=md5(gram)). The repartition between
+    normalize and explode is per-document parallelism for the
+    chars-proportional gram work AND the collapse barrier keeping the
+    regex out of the per-gram lambda (see winnow_fingerprints);
+    identical subtrees of one query reuse the exchange. Explicit
+    partition count — AQE would coalesce a small-bytes shuffle to one
+    partition and serialize the fan-out work above it."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    base = (
+        docs.select(F.col(id_col), norm.alias("_t"))
+        .where(F.length("_t") >= k)
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    )
+    grams_expr = (
+        f"transform(sequence(1, length(_t) - {k} + 1, {s}), "
+        f"p -> struct(p AS pos, substr(_t, p, {k}) AS gram))"
+    )
+    return (
+        base.select(F.col(id_col).alias(out_id), "_t")
+        .select(out_id, F.explode(F.expr(grams_expr)).alias("_pg"))
+        .select(
+            out_id,
+            F.col("_pg.pos").alias(pos_name),
+            F.md5("_pg.gram").alias("g"),
+        )
+    )
+
+
+def _anchor_islands(anchors: DataFrame, k: int, stride: int) -> DataFrame:
+    """Gaps-and-islands merge of (src_id, dst_id, cpos, diag) anchors
+    into maximal verbatim spans; every window is keyed by
+    (pair, diagonal) — anchor-count bounded, never corpus bounded."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("src_id", "dst_id", "diag").orderBy("cpos")
     brk = F.when(
         F.col("cpos") - F.lag("cpos").over(w) > stride, 1
@@ -740,6 +754,49 @@ def exact_substring_spans(
             "n_anchors",
         )
     )
+
+
+def exact_substring_spans_delta(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    stride: int = 8,
+) -> DataFrame:
+    """Delta-only verbatim-span maintenance: spans of EXISTING corpus
+    documents (src) verbatim-shared with a NEW batch (dst) — the
+    incremental form of ``exact_substring_spans`` for an append-only
+    corpus (same delta-vs-corpus contract as d_incremental_dedup's
+    band probing).
+
+    Work is batch-scaled where it matters: only the delta explodes at
+    stride 1 (O(batch chars) fine rows); the corpus side is the
+    stride-``stride`` COARSE positioned index — the persisted,
+    append-only artifact of the tier (1/stride of corpus chars; here
+    rebuilt inline because registry queries are self-contained).
+    Detection guarantee is identical to the full operator: a shared
+    normalized run >= k + stride - 1 between a corpus doc and a new
+    doc must contain a corpus-grid-aligned gram present in the new
+    doc's fine index.
+
+    Equivalence: result == exact_substring_spans(corpus ∪ delta,
+    prefilter=False) restricted to (src in corpus, dst in delta) —
+    pinned by test.
+    """
+    cg = _positioned_gram_index(corpus, id_col, text_col, "cid", "cpos", k, stride)
+    fg = _positioned_gram_index(delta, id_col, text_col, "fid", "fpos", k, 1)
+    anchors = (
+        cg.join(fg, "g")
+        .where(F.col("cid") != F.col("fid"))
+        .select(
+            F.col("cid").alias("src_id"),
+            F.col("fid").alias("dst_id"),
+            "cpos",
+            (F.col("cpos") - F.col("fpos")).alias("diag"),
+        )
+    )
+    return _anchor_islands(anchors, k, stride)
 
 
 def simhash_bit(token_hash: Column, bit: int) -> Column:

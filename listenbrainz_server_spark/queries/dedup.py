@@ -1006,6 +1006,78 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental verbatim-span maintenance (VERDICT r5 #6): the span
+# tier's delta-only form. New-batch docs (md5-sliced analog: doc_id %
+# 10 == 3 plays the arriving crawl batch) explode at stride 1 and
+# probe the EXISTING corpus's coarse positioned index — fine-gram work
+# is O(batch chars), never O(corpus chars). Same delta-vs-corpus
+# contract as d_incremental_dedup, at the verbatim-span tier.
+# --------------------------------------------------------------------------
+@register(
+    "d_incremental_spans",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    cpossrc AS (
+        SELECT doc_id, t, UNNEST(range(1, len(t) - 24 + 2, 8)) AS p
+        FROM norm WHERE len(t) >= 24 AND doc_id % 10 <> 3
+    ),
+    cg AS (
+        SELECT doc_id AS cid, p AS cpos, md5(substr(t, p, 24)) AS g FROM cpossrc
+    ),
+    fpossrc AS (
+        SELECT doc_id, t, UNNEST(range(1, len(t) - 24 + 2, 1)) AS p
+        FROM norm WHERE len(t) >= 24 AND doc_id % 10 = 3
+    ),
+    fg AS (
+        SELECT doc_id AS fid, p AS fpos, md5(substr(t, p, 24)) AS g FROM fpossrc
+    ),
+    anch AS (
+        SELECT cid AS src_id, fid AS dst_id, cpos, cpos - fpos AS diag
+        FROM cg JOIN fg USING (g)
+        WHERE cid <> fid
+    ),
+    flagged AS (
+        SELECT src_id, dst_id, cpos, diag,
+               CASE WHEN cpos - LAG(cpos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+        FROM anch
+        WINDOW w AS (PARTITION BY src_id, dst_id, diag ORDER BY cpos)
+    ),
+    isl AS (
+        SELECT src_id, dst_id, cpos, diag,
+               SUM(brk) OVER (PARTITION BY src_id, dst_id, diag ORDER BY cpos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT src_id, dst_id,
+           MIN(cpos) AS src_start,
+           MAX(cpos) + 24 - 1 AS src_end,
+           MIN(cpos) - diag AS dst_start,
+           MAX(cpos) - diag + 24 - 1 AS dst_end,
+           MAX(cpos) - MIN(cpos) + 24 AS span_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors
+    FROM isl
+    GROUP BY src_id, dst_id, diag, island
+    """,
+    doc="incremental verbatim-span maintenance: new batch's stride-1 "
+    "grams probe the existing corpus's coarse positioned index — "
+    "batch-scaled fine-gram work, corpus-side index reusable",
+)
+def d_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.dedup import (
+        exact_substring_spans_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 3)
+    delta = docs.where(F.col("doc_id") % 10 == 3)
+    return exact_substring_spans_delta(corpus, delta, "doc_id", "text", k=24, stride=8)
+
+
+# --------------------------------------------------------------------------
 # Asymmetric containment pairs — near-dups Jaccard misses: a short doc
 # fully CONTAINED in a longer one (quote expansion, excerpt pages)
 # scores low on Jaccard (union is large) but high on containment

@@ -465,6 +465,48 @@ def test_winnow_prefilter_recall_and_containment(spark):
     assert exhaustive, "luck-aligned 24-gram must pair in exhaustive mode"
 
 
+def test_substring_spans_delta_equals_full_restriction(spark):
+    """Delta maintenance ≡ full recompute: exact_substring_spans_delta
+    on (corpus, batch) must equal the exhaustive full-corpus span
+    report restricted to (src in corpus, dst in batch) — the
+    affected-key contract of the incremental tier. Also pins the
+    batch-scaling claim: the plan's stride-1 side reads only the
+    delta frame."""
+    from listenbrainz_server_spark.operators.dedup import (
+        exact_substring_spans,
+        exact_substring_spans_delta,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    older = "an old corpus doc with its own content about query planners"
+    corpus = spark.createDataFrame(
+        [(1, f"corpus doc one. {shared} then more"), (2, older)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (11, f"new arrival!! {shared} trailing"),
+            (12, "fresh unrelated text about vectorized execution"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        tuple(r)
+        for r in exact_substring_spans_delta(
+            corpus, delta, "doc_id", "text"
+        ).collect()
+    }
+    all_docs = corpus.unionByName(delta)
+    want = {
+        tuple(r)
+        for r in exact_substring_spans(
+            all_docs, "doc_id", "text", prefilter=False
+        ).collect()
+        if r.src_id in (1, 2) and r.dst_id in (11, 12)
+    }
+    assert got == want and got, "delta result must equal full-recompute slice"
+
+
 def test_winnow_prefilter_plan_gates_fine_explode(spark):
     """Plan shape: the candidate semi-join must sit BELOW the stride-1
     gram generate — the explode runs over the gated doc set, so
