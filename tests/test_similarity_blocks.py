@@ -224,3 +224,48 @@ def test_sized_sig_bits_rule_and_bucket_population_bound(spark):
     )
     # Expected 5000/128 ≈ 39 per bucket; 4× headroom for hyperplane skew.
     assert pops <= 4 * 64, f"max bucket population {pops} exceeds bound"
+
+
+def test_sized_sig_bits_choice_sits_on_measured_sweep_knee(spark):
+    """VERDICT r5 #7 — the auto-sizer must agree with the measured
+    curve: run the v_sig_bits_sweep calibration on the sf0.01
+    embeddings fixture and assert sized_sig_bits' choice for that
+    corpus (a) falls inside the swept range, (b) honors its own
+    candidate-volume promise against the MEASURED candidate pairs
+    (n × target/2 with skew headroom), and (c) sits ON the knee, not
+    either side of it: every coarser swept width must cost >=2x the
+    candidates (the added bits earned their keep), every finer width
+    must measure no better recall (the choice left none on the
+    table), and the choice must not overshoot into near-empty buckets
+    (expected population >= target/8). Pins the sizing rule to the
+    measurement so one can't silently drift from the other."""
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import sized_sig_bits
+    from listenbrainz_server_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.01"
+    n = load_table(spark, sf, "embeddings").count()
+    bits = sized_sig_bits(n, target_bucket_rows=64)
+
+    sweep = {
+        r.sig_bits: (r.candidate_pairs, r.recall)
+        for r in load_all()["v_sig_bits_sweep"].fn(spark, sf).collect()
+    }
+    swept = sorted(sweep)
+    assert swept[0] <= bits <= swept[-1], (bits, swept)
+
+    pairs_at_choice, recall_at_choice = sweep[bits]
+    # (b) the sizing rule's own bound, checked against measurement:
+    # expected candidate volume ~ n × target_bucket_rows / 2; allow 4×
+    # for hyperplane skew (same headroom as the population test).
+    assert pairs_at_choice <= 4 * n * 64 / 2, (pairs_at_choice, n)
+    # (c) on the knee, neither side of it.
+    for b, (pairs_b, recall_b) in sweep.items():
+        if b < bits:  # coarser: the choice's extra bits must pay
+            assert pairs_at_choice * 2 <= pairs_b, (bits, b, sweep)
+        if b > bits:  # finer: must not measure better recall
+            assert recall_at_choice >= recall_b, (bits, b, sweep)
+    # No overshoot into near-empty buckets: expected population stays
+    # within 8x of target (catches a sizer that returns max-ish bits
+    # for a tiny corpus — the curve's right-of-knee region).
+    assert n / 2**bits >= 64 / 8, (n, bits)
