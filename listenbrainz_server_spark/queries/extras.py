@@ -569,6 +569,122 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Quality-calibrated training mix (VERDICT r5 #8) — closes the
+# mix-governance loop: instead of externally-supplied domain weights
+# (x_interleave_domains), each source's sampling weight is DERIVED
+# from its measured quality — weight = 0.5 + 1.5 × (fraction of the
+# source's docs passing the d_clean_corpus admission gate), so clean
+# sources are upsampled toward 2× and junk sources decay toward 0.5×.
+# The expansion is the same deterministic integer-copies +
+# md5-gated-fractional-copy machinery, except the fractional
+# threshold is COMPUTED from the weight (lowercase fixed-width hex of
+# floor(frac × 2^32) — string compare == numeric compare, identical
+# in both engines; FLOOR before CAST because DuckDB CAST rounds).
+# Plan: one word-keyed agg for the gate, a tiny broadcast of
+# |sources| weights, then map-only expansion — no global sort.
+# --------------------------------------------------------------------------
+@register(
+    "x_quality_weighted_mix",
+    """
+    WITH uni AS (
+        SELECT doc_id, source, w, COUNT(*) AS n
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2, 3
+    ),
+    flags AS (
+        SELECT doc_id, source,
+               CASE WHEN SUM(n) >= 20 AND MAX(n) * 1.0 / SUM(n) <= 0.25
+                    THEN 1 ELSE 0 END AS ok
+        FROM uni GROUP BY doc_id, source
+    ),
+    rates AS (
+        SELECT source,
+               ROUND(0.5 + 1.5 * ROUND(AVG(ok), 4), 4) AS weight
+        FROM flags GROUP BY source
+    ),
+    plan AS (
+        SELECT f.doc_id, f.source, r.weight,
+               CAST(FLOOR(r.weight) AS INT) AS n_full,
+               LPAD(LOWER(to_hex(CAST(FLOOR(
+                   (r.weight - FLOOR(r.weight)) * 4294967296) AS BIGINT))),
+                   8, '0') AS thr
+        FROM flags f JOIN rates r USING (source)
+    ),
+    cop AS (
+        SELECT doc_id, source, weight,
+               n_full + CASE WHEN substr(
+                   md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) < thr
+                   THEN 1 ELSE 0 END AS copies
+        FROM plan
+    )
+    SELECT doc_id, source, weight, CAST(copy AS BIGINT) AS copy,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR))
+               AS interleave_key
+    FROM (SELECT doc_id, source, weight, UNNEST(range(1, copies + 1)) AS copy
+          FROM cop)
+    """,
+    doc="quality-calibrated training mix: per-source weight derived "
+    "from the measured quality-gate pass rate (0.5x..2x), expanded "
+    "via deterministic integer + md5-gated fractional copies with "
+    "computed hex thresholds",
+)
+def x_quality_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.functions.text import quality_flag
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "doc_id", "source", quality_flag(F.col("text")).cast("int").alias("ok")
+    )
+    rates = flags.groupBy("source").agg(
+        F.round(0.5 + 1.5 * F.round(F.avg("ok"), 4), 4).alias("weight")
+    )
+    frac = F.col("weight") - F.floor(F.col("weight"))
+    sized = rates.select(
+        "source",
+        "weight",
+        F.floor(F.col("weight")).cast("int").alias("n_full"),
+        F.lpad(
+            F.lower(F.hex(F.floor(frac * F.lit(4294967296)).cast("bigint"))),
+            8,
+            "0",
+        ).alias("thr"),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8
+    )
+    pland = flags.join(F.broadcast(sized), "source").select(
+        "doc_id",
+        "source",
+        "weight",
+        (F.col("n_full") + (h < F.col("thr")).cast("int")).alias("copies"),
+    )
+    expanded = pland.select(
+        "doc_id",
+        "source",
+        "weight",
+        F.explode(
+            F.when(
+                F.col("copies") >= 1, F.sequence(F.lit(1), F.col("copies"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("copy"),
+    )
+    return expanded.select(
+        "doc_id",
+        "source",
+        "weight",
+        F.col("copy").cast("bigint").alias("copy"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("copy").cast("string"),
+            )
+        ).alias("interleave_key"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic domain-weighted interleaving — epoch construction for a
 # training mix: each source gets a sampling weight (upsample > 1 means
 # integer repeat copies plus a hash-gated fractional copy; downsample

@@ -1384,14 +1384,19 @@ def t_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keyed agg + a LIMIT-1 driver decision + a pure-expression merge
 # fold; the corpus is touched exactly once by the word-frequency agg.
 # t_bpe_merge_candidates (oracle-checked) pins the per-iteration pair
-# counting; the greedy sequence itself is pinned by
-# tests/test_operators.py::test_bpe_train_greedy_sequence.
+# counting; the greedy sequence is pinned twice: hand-computed fixture
+# (tests/test_operators.py::test_bpe_train_greedy_sequence) and an
+# independent pure-Python oracle reproducing the FULL 8-merge sequence
+# on the sf0.001 corpus (test_t_bpe_train_matches_pure_python_oracle —
+# the MMR-numpy-oracle pattern, VERDICT r5 #8).
 # --------------------------------------------------------------------------
 @register(
     "t_bpe_train",
     None,
     doc="iterative BPE training: 8 greedy merges over the corpus "
-    "word-frequency table (rows-only: driver-looped argmax)",
+    "word-frequency table (rows-only: driver-looped argmax; exact "
+    "merge sequence pinned by a pure-Python corpus oracle, "
+    "test_t_bpe_train_matches_pure_python_oracle)",
 )
 def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.bpe import bpe_train

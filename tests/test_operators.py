@@ -706,6 +706,60 @@ def test_bpe_train_greedy_sequence(spark):
     assert row.m == ["aa", "a"]
 
 
+def test_t_bpe_train_matches_pure_python_oracle(spark):
+    """VERDICT r5 #8: exact-merge-sequence oracle for the iterative
+    trainer (the MMR-numpy-oracle pattern for the other rows-only
+    query). An independent pure-Python greedy BPE over the sf0.001
+    corpus word-frequency table must reproduce t_bpe_train's output
+    EXACTLY — ranks, pairs, merged symbols, weighted pair counts, and
+    the (count desc, left, right) tie-breaks — across all 8 rounds of
+    re-counting on post-merge symbol sequences."""
+    import collections
+
+    from listenbrainz_server_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in load_all()["t_bpe_train"].fn(spark, sf).collect()
+    )
+
+    wf: collections.Counter = collections.Counter()
+    for r in spark.read.parquet(f"{sf}/documents.parquet").select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                wf[w] += 1
+    syms = {w: tuple(w) for w in wf}
+    expect = []
+    for rank in range(1, 9):
+        counts: collections.Counter = collections.Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < 2:
+            break
+        expect.append((rank, left, right, left + right, c))
+        for w in syms:  # left-to-right non-overlapping merge
+            s = syms[w]
+            out: list = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    assert got == sorted(expect) and len(got) == 8, (got, expect)
+
+
 def test_bpe_encode_roundtrip(spark):
     """bpe_encode applies trained merges in rank order: with merges
     [(a,a)->aa, (a,b)->ab], 'aaab aab c' tokenizes to
