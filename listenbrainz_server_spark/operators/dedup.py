@@ -51,7 +51,18 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, max_shingle_df: int | None = None
 ) -> DataFrame:
-    """Distinct (id, shingle) inverted index."""
+    """Distinct (id, shingle) inverted index.
+
+    The doc-keyed repartition parallelizes the chars-proportional
+    tokenize+shingle explode by DOCUMENT rather than input file split
+    (a few dense parquet files would otherwise run the whole explode
+    on as many cores as there are files — measured 5.5x at sf0.1);
+    explicit partition count so AQE can't coalesce the small-bytes
+    doc shuffle below the fan-out stage.
+    """
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     idx = (
         df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
         .distinct()
@@ -366,6 +377,12 @@ def exact_substring_contamination(
         return (
             df.select(F.col(id_col).alias(out_id), norm.alias("_t"))
             .where(F.length("_t") >= k)
+            # Doc-keyed parallelism + collapse barrier for the
+            # chars-proportional gram explode (see shingle_index).
+            .repartition(
+                df.sparkSession.sparkContext.defaultParallelism,
+                F.col(out_id),
+            )
             .select(out_id, F.explode(F.expr(grams_expr)).alias("_g"))
             .select(out_id, F.md5("_g").alias("g"))
             .distinct()
@@ -813,6 +830,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     Zero votes (empty docs) resolve to '1' ('>=0' rule) — documented,
     deterministic.
     """
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )  # doc-keyed parallelism for the token explode (see shingle_index)
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     tok = tok.withColumn("th", F.md5("tok"))
     votes = tok.groupBy(id_col).agg(
