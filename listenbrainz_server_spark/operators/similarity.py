@@ -430,6 +430,84 @@ def bucket_scored_pairs(
     )
 
 
+def banded_range_search(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    threshold: float,
+    bands: int = 8,
+    band_bits: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Radius query (FAISS range_search, pgvector WHERE-distance): all
+    unordered pairs with rounded cosine >= ``threshold``, candidates
+    from a banded OR-construction over sign-LSH — the cosine analog of
+    MinHash banding. A pair is a candidate if ANY of ``bands`` R-bit
+    signature slices matches: P(candidate) = 1 - (1 - p^R)^B with
+    p = 1 - theta/pi, so moderate-angle pairs that a single wide
+    signature almost never co-buckets (p^24 ~ 0) survive with high
+    probability (B=8, R=3 at cos 0.4 ~ 0.9; measured 0.93 on the
+    fixture, pinned by test). Tune R up with log2(n/target_bucket)
+    exactly like sized_sig_bits; B buys recall linearly in cost.
+
+    Shape: band explode (B small structs/vector), (band_id, key)
+    equi self-join, pair DISTINCT, then one exact rounded-score filter
+    after a join back to the (id, vec, norm) table — candidate volume
+    is bounded by per-band bucket occupancy, never |n|^2.
+    """
+    v = as_double(F.col(vec_col))
+    sig_bits = bands * band_bits
+    sigs = vectors.select(
+        F.col(id_col).alias("vid"),
+        v.alias("v"),
+        lsh_signature(v, dims, sig_bits).alias("sig"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.substring("sig", b * band_bits + 1, band_bits).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bd = sigs.select("vid", F.explode(band_structs).alias("band")).select(
+        "vid", "band.band_id", "band.bk"
+    )
+    cand = (
+        bd.select(F.col("vid").alias("id_a"), "band_id", "bk")
+        .join(bd.select(F.col("vid").alias("id_b"), "band_id", "bk"),
+              ["band_id", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    na = sigs.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    nb = sigs.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    score = F.round(
+        F.when(
+            (F.col("na") != 0) & (F.col("nb") != 0),
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        ),
+        round_dp,
+    )
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("score", score)
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     id_col: str,

@@ -153,6 +153,73 @@ def v_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Banded RANGE SEARCH — the radius-query API next to top-k (FAISS
+# range_search, pgvector '<=>' + WHERE): all pairs with cosine >=
+# threshold. A single wide signature bucket is the WRONG construction
+# for radius queries (p^24 ~ 0 at cos 0.4 — measured 4/59 pairs);
+# the banded OR-construction (B=8 bands x R=3 bits, the MinHash-LSH
+# banding shape transplanted to sign-LSH) recovers 0.93 recall on the
+# fixture (pinned by test) with bucket-bounded candidate volume. The
+# oracle mirrors the banding exactly, so agreement is bit-for-bit;
+# recall vs the exact v_embedding_neardup is a separate test.
+# --------------------------------------------------------------------------
+_RS_BANDS, _RS_BITS = 8, 3
+
+
+def _range_search_sql() -> str:
+    bit_exprs = []
+    for h in range(_RS_BANDS * _RS_BITS):
+        comps = ", ".join(
+            str(float(hyperplane_component(h, d))) for d in range(_DIMS)
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, {_DIMS} + 1), "
+            f"i -> (embedding[i]::DOUBLE) * ([{comps}][i])))"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(bit_exprs)
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig} AS sig,
+               sqrt(list_sum(list_transform(range(1, {_DIMS} + 1),
+                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, b AS band_id,
+               substr(sig, b * {_RS_BITS} + 1, {_RS_BITS}) AS bk
+        FROM sigs, UNNEST(range(0, {_RS_BANDS})) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bk = b.bk AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+    FROM cand JOIN sigs a ON a.vec_id = id_a JOIN sigs b ON b.vec_id = id_b
+    WHERE a.nrm <> 0 AND b.nrm <> 0
+      AND ROUND({_DOT} / (a.nrm * b.nrm), 6) >= 0.4
+    """
+
+
+@register(
+    "v_range_search",
+    _range_search_sql(),
+    doc=f"banded radius search: cosine >= 0.4 pairs via "
+    f"{_RS_BANDS}x{_RS_BITS}-bit sign-LSH OR-construction + exact "
+    "filter (the scale path for v_embedding_neardup)",
+)
+def v_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.similarity import banded_range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return banded_range_search(
+        emb, "vec_id", "embedding", dims=_DIMS, threshold=0.4,
+        bands=_RS_BANDS, band_bits=_RS_BITS,
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF ANN top-k — learned coarse quantizer (seeded KMeans) + probed
 # bucket search. Iterative training step → rows-only driver check;
 # recall vs the exact brute-force baseline is asserted in

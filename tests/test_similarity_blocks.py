@@ -226,6 +226,33 @@ def test_sized_sig_bits_rule_and_bucket_population_bound(spark):
     assert pops <= 4 * 64, f"max bucket population {pops} exceeds bound"
 
 
+def test_banded_range_search_recall_vs_exact(spark):
+    """Radius query: the banded OR-construction must recover >=85% of
+    the exact threshold pairs (measured 0.93 at B=8, R=3 on the
+    fixture), return ONLY true pairs (precision 1 — the exact filter
+    runs on every candidate), and strictly beat the single-wide-bucket
+    construction it replaced (which measured 4/59)."""
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import (
+        banded_range_search,
+        neardup_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in banded_range_search(
+            emb, "vec_id", "embedding", dims=64, threshold=0.4
+        ).collect()
+    }
+    assert banded <= exact, "precision must be 1 (exact filter on candidates)"
+    assert len(banded) >= 0.85 * len(exact), (len(banded), len(exact))
+
+
 def test_sized_sig_bits_choice_sits_on_measured_sweep_knee(spark):
     """VERDICT r5 #7 — the auto-sizer must agree with the measured
     curve: run the v_sig_bits_sweep calibration on the sf0.01
