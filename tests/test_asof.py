@@ -219,6 +219,39 @@ def test_range_join_bucket_spanning(spark):
     ]
 
 
+def test_user_lifecycle_states_fixture(spark):
+    """Growth accounting on a crafted month (weeks W1..W4, Mondays
+    2024-01-01/08/15/22): user A active W1,W2,W4 -> new@W1,
+    retained@W2, churned@W3, resurrected@W4; user B active W1 only ->
+    new@W1, churned@W2, and NOT churned again later (one churn event
+    per dormancy spell); user C active W4 only -> new@W4 and no churn
+    row (W5 is past the data horizon)."""
+    from listenbrainz_server_spark.queries.extras import user_lifecycle_states
+
+    rows = [
+        ("A", "2024-01-02"), ("A", "2024-01-03"),  # W1 twice (distinct)
+        ("A", "2024-01-09"), ("A", "2024-01-24"),
+        ("B", "2024-01-04"),
+        ("C", "2024-01-25"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, _ts(d + " 10:00:00")) for u, d in rows],
+        "user_id string, ts timestamp",
+    )
+    got = {
+        (str(r.week_start), r.state): r.n_users
+        for r in user_lifecycle_states(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", "new"): 2,          # A, B
+        ("2024-01-08", "retained"): 1,     # A
+        ("2024-01-08", "churned"): 1,      # B
+        ("2024-01-15", "churned"): 1,      # A
+        ("2024-01-22", "resurrected"): 1,  # A
+        ("2024-01-22", "new"): 1,          # C
+    }, got
+
+
 def test_asof_join_single_shuffle_plan(spark):
     """The union-tag sweep must cost ONE hash exchange (the key
     window) — no join node, no nested loop, no range explosion."""
