@@ -1109,6 +1109,181 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_sub: int = 16,
+    oversample: int = 3,
+    round_dp: int = 6,
+    seed: int = 45,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the full FAISS IVFPQ composition (Jégou et
+    al. 2011): a learned coarse quantizer prunes the search to
+    ``n_probe`` inverted lists, and candidates inside a probed list
+    are scored by asymmetric-distance (ADC) over ``m`` byte codes of
+    the RESIDUAL v − centroid (residual encoding is what separates
+    IVFPQ from flat PQ — residual magnitudes are a fraction of vector
+    magnitudes, so the same codebook budget quantizes far finer).
+
+    Execution shape, per stage:
+    1. COARSE: seeded MLlib KMeans on unit vectors → bucket per
+       vector; centers become closure literals (tiny).
+    2. ENCODE: one Arrow mapInPandas pass codes each vector's
+       residual with per-subspace seeded-Lloyd's codebooks trained on
+       a bounded residual sample. The persisted index row is
+       (bucket, m codes) — bytes, not floats.
+    3. PROBE + ADC: probes cogroup with bucket members on the bucket
+       id (the only shuffle key); inside each group one numpy pass
+       builds the query-vs-codebook LUT for THIS bucket's residual
+       space and gathers ADC distances for all members — per-bucket
+       work, never corpus-wide.
+    4. RE-RANK: the ``oversample``·k best ADC survivors per query
+       re-fetch raw vectors for exact rounded cosine; window top-k.
+
+    Deterministic end-to-end (seeded trainers, nid tie-breaks);
+    recall vs brute force pinned in tests. Rows-only (two iterative
+    trainers), same contract as ivf_topk/pq_topk.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    sub = dims // m
+    if sub * m != dims:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+
+    unit = vectors.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("raw"),
+    ).select(
+        "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
+    )
+    feats = unit.withColumn("features", array_to_vector("vec"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        "vid", "vec", F.col(model.getPredictionCol()).alias("bucket")
+    )
+    centers = np.array(
+        [[float(x) for x in c] for c in model.clusterCenters()], dtype="float64"
+    )
+
+    # Residual codebooks: bounded deterministic sample of residuals
+    # (same practice + caps as pq_train_codebooks, trained on v - c).
+    center_df = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "bucket int, center array<double>",
+    )
+    resid = (
+        assigned.join(F.broadcast(center_df), "bucket")
+        .select(
+            "vid",
+            F.zip_with("vec", "center", lambda x, y: x - y).alias("vec"),
+        )
+    )
+    books = pq_train_codebooks(resid, "vec", dims, m=m, k_sub=k_sub, seed=seed)
+    cb = np.array(books, dtype="float64")  # (m, k_sub, sub)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+            r = v - centers[pdf["bucket"].to_numpy()]
+            codes = np.empty((len(v), m), dtype="int32")
+            for j in range(m):
+                x = r[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf["vid"].to_numpy(),
+                    "bucket": pdf["bucket"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    members = assigned.mapInPandas(
+        encode, schema="nid bigint, bucket int, codes array<int>"
+    )
+
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("center"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("bucket"))
+    probes = (
+        unit.select(F.col("vid").alias("qid"), "vec")
+        .join(F.broadcast(center_df))
+        .withColumn("dist", sq_dist)
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= n_probe)
+        .select("qid", F.col("vec").alias("qv"), "bucket")
+    )
+
+    def adc_bucket(probe_pdf: "pd.DataFrame", member_pdf: "pd.DataFrame"):
+        empty = pd.DataFrame({"qid": [], "nid": [], "approx": []}).astype(
+            {"qid": "int64", "nid": "int64", "approx": "float64"}
+        )
+        if len(probe_pdf) == 0 or len(member_pdf) == 0:
+            return empty
+        b = int(member_pdf["bucket"].iloc[0])
+        q = np.vstack(probe_pdf["qv"].to_numpy()).astype("float64")
+        qr = q - centers[b]  # query residual in THIS bucket's space
+        # LUT: (n_queries, m, k_sub) squared distances per subspace.
+        lut = np.empty((len(q), m, k_sub), dtype="float64")
+        for j in range(m):
+            x = qr[:, j * sub : (j + 1) * sub]
+            lut[:, j, :] = ((x[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+        codes = np.vstack(member_pdf["codes"].to_numpy())  # (n_members, m)
+        # ADC gather: approx[i, t] = sum_j lut[i, j, codes[t, j]]
+        approx = np.zeros((len(q), len(codes)), dtype="float64")
+        for j in range(m):
+            approx += lut[:, j, codes[:, j]]
+        qids = probe_pdf["qid"].to_numpy()
+        nids = member_pdf["nid"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "qid": np.repeat(qids, len(nids)),
+                "nid": np.tile(nids, len(qids)),
+                "approx": approx.ravel(),
+            }
+        )
+        return out[out["qid"] != out["nid"]]
+
+    scored = (
+        probes.groupby("bucket")
+        .cogroup(members.groupby("bucket"))
+        .applyInPandas(adc_bucket, schema="qid bigint, nid bigint, approx double")
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.col("approx").asc(), F.col("nid"))
+    survivors = (
+        scored.withColumn("_ar", F.row_number().over(w_adc))
+        .where(F.col("_ar") <= oversample * k)
+        .select("qid", "nid")
+    )
+    qv = unit.select(F.col("vid").alias("qid"), F.col("vec").alias("qv"))
+    nv = unit.select(F.col("vid").alias("nid"), F.col("vec").alias("nv"))
+    score = F.round(dot(F.col("qv"), F.col("nv")), round_dp)
+    w_rank = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    return (
+        survivors.join(qv, "qid")
+        .join(nv, "nid")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "score", "rank")
+    )
+
+
 def mmr_rerank(
     vectors: DataFrame,
     candidates: DataFrame,

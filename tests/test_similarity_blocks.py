@@ -226,6 +226,45 @@ def test_sized_sig_bits_rule_and_bucket_population_bound(spark):
     assert pops <= 4 * 64, f"max bucket population {pops} exceeds bound"
 
 
+def test_ivfpq_topk_recall_and_ceiling(spark):
+    """IVF-PQ: (a) absolute top-5 recall floor vs brute force, and
+    (b) the residual-ADC stage must retain >=85% of the IVF-exact
+    recall at the SAME probe budget — if PQ compression were mangling
+    ranks, (b) catches it even when (a)'s floor is generous. Also
+    determinism: two runs produce identical rows (seeded trainers,
+    nid tie-breaks)."""
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {(r.qid, r.nid) for r in brute_force_topk(emb, "vec_id", "embedding", k=5).collect()}
+    ivf = {
+        (r.qid, r.nid)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2
+        ).collect()
+    }
+
+    def run():
+        return ivfpq_topk(
+            emb, "vec_id", "embedding", dims=64, k=5,
+            n_centroids=8, n_probe=2, m=8, k_sub=16, oversample=8,
+        )
+
+    rows1 = {tuple(r) for r in run().collect()}
+    pq_pairs = {(q, n) for q, n, _, _ in rows1}
+    recall = len(pq_pairs & exact) / len(exact)
+    ceiling = len(ivf & exact) / len(exact)
+    assert recall >= 0.45, recall
+    assert recall >= 0.85 * ceiling, (recall, ceiling)
+    rows2 = {tuple(r) for r in run().collect()}
+    assert rows1 == rows2
+
+
 def test_banded_range_search_recall_vs_exact(spark):
     """Radius query: the banded OR-construction must recover >=85% of
     the exact threshold pairs (measured 0.93 at B=8, R=3 on the
