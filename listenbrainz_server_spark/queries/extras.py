@@ -569,6 +569,113 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Differentially-private release counts — the governance tier's
+# noisy-aggregate release: per-source document counts with Laplace(
+# 1/eps) noise from a SEEDED hash-derived uniform (reproducible-DP
+# practice: the noise draw is a pure function of a release key, so
+# re-running the release pipeline can't leak via fresh draws — the
+# privacy accounting treats the whole release as ONE mechanism).
+# u = (first-8-hex of md5 + 0.5) / 2^32 in (0,1); noise via the
+# inverse-CDF transform −(1/eps)·sign(u−½)·ln(1−2|u−½|). Everything
+# is exact-deterministic except one ln() — both engines call libm on
+# identical doubles, and the 4-dp rounding absorbs ulp skew. The true
+# count never appears in the released frame.
+# --------------------------------------------------------------------------
+@register(
+    "x_dp_counts",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    seeded AS (
+        SELECT source, n,
+               (('0x' || substr(md5('dp:' || source), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 AS u
+        FROM counts
+    )
+    SELECT source, 1.0 AS epsilon,
+           ROUND(n - (1.0 / 1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)),
+                 4) AS n_noisy
+    FROM seeded
+    """,
+    doc="differentially-private per-source counts: Laplace(1/eps) "
+    "noise from a seeded md5-derived uniform (reproducible-release "
+    "DP; inverse-CDF transform, eps=1)",
+)
+def x_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps = 1.0
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    noise = (
+        -(1.0 / eps)
+        * F.signum(u - 0.5)
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return counts.select(
+        "source",
+        F.lit(eps).alias("epsilon"),
+        F.round(F.col("n") + noise, 4).alias("n_noisy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified exact-quota sampling — the split builder x_hash_sample's
+# Bernoulli gate can't give you: EXACTLY ceil(10%) of each source
+# (per-stratum quotas for eval sets, annotation batches, per-domain
+# audits). Deterministic: rows rank by md5(doc_id:strat) within their
+# stratum and the first ceil(n×rate) survive — stable across runs,
+# partitionings, and engines; adding documents to one source never
+# changes another source's sample.
+# --------------------------------------------------------------------------
+@register(
+    "x_stratified_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source FROM ranked
+    WHERE rk <= CAST(CEIL(n * 0.1) AS BIGINT)
+    """,
+    doc="stratified exact-quota sample: deterministic md5-ranked "
+    "top-ceil(10%) per source (per-stratum quotas, run- and "
+    "partitioning-stable)",
+)
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))),
+        "doc_id",
+    )
+    wc = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .where(F.col("rk") <= F.ceil(F.col("n") * 0.1).cast("bigint"))
+        .select("doc_id", "source")
+    )
+
+
+# --------------------------------------------------------------------------
 # Growth accounting — the weekly user-lifecycle state machine every
 # product dashboard runs (the "growth accounting" decomposition:
 # DAU/WAU change = new + resurrected − churned): each user-week is

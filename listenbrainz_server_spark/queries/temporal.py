@@ -104,6 +104,73 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Numeric BAND JOIN — the |a.x − b.x| <= eps theta-join family
+# (Snowflake band joins, DuckDB IEJoin territory), done scalably via
+# value bucketization: each left row probes buckets {b−1, b, b+1}
+# (explode of three keys), the right side sits at floor(x/eps), and
+# the inequality survives only as a residual filter — candidate
+# volume is band occupancy, never |L|×|R|. A pair meets exactly once
+# (the right row's bucket is a function of its value), so no dedup
+# pass. The ORACLE is the naive theta-join — an independent
+# construction of the same semantics, so agreement checks the
+# bucketization itself. Here: pairs of users with near-equal total
+# purchase spend (the matched-cohort build for A/B analyses).
+# --------------------------------------------------------------------------
+@register(
+    "j_band_join",
+    """
+    WITH spend AS (
+        SELECT user_id, ROUND(SUM(value), 2) AS sp
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           a.sp AS spend_a, b.sp AS spend_b,
+           ROUND(ABS(a.sp - b.sp), 2) AS diff
+    FROM spend a JOIN spend b
+      ON a.user_id < b.user_id AND ABS(a.sp - b.sp) <= 1.0
+    """,
+    doc="numeric band join: user pairs with total purchase spend "
+    "within 1.0 (bucketized band self-join vs the oracle's naive "
+    "theta join)",
+)
+def j_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps = 1.0
+    ev = load_table(spark, sf_dir, "events")
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("sp"))
+    )
+    bucket = F.floor(F.col("sp") / F.lit(eps))
+    left = spend.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sp").alias("spend_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("_bk"),
+    )
+    right = spend.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sp").alias("spend_b"),
+        bucket.alias("_bk"),
+    )
+    return (
+        left.join(right, "_bk")
+        .where(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.abs(F.col("spend_a") - F.col("spend_b")) <= eps)
+        )
+        .select(
+            "user_a",
+            "user_b",
+            "spend_a",
+            "spend_b",
+            F.round(F.abs(F.col("spend_a") - F.col("spend_b")), 2).alias("diff"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # SCD2 point-in-time dimension join — the warehouse temporal pattern:
 # the dimension's history is materialized as validity intervals
 # (type-2 rows: valid_from = change ts, valid_to = next change via
