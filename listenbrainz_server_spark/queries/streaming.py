@@ -12,7 +12,51 @@ from pyspark.sql import functions as F
 
 from listenbrainz_server_spark.catalog import load_table
 from listenbrainz_server_spark.queries import register
-from listenbrainz_server_spark.streaming.jobs import session_aggregate, windowed_counts
+from listenbrainz_server_spark.streaming.jobs import (
+    session_aggregate,
+    sliding_trending,
+    windowed_counts,
+)
+
+
+# --------------------------------------------------------------------------
+# Sliding-window trending top-k — the overlapping-window rank report
+# (trending hashtags/entities): each event lands in window/slide
+# overlapping windows; the rank orders the count-REDUCED frame per
+# window, never raw events. Oracle replicates the overlap explode
+# with a 2-element UNNEST (2h window, 1h slide -> every event is in
+# exactly two windows).
+# --------------------------------------------------------------------------
+@register(
+    "st_sliding_trending",
+    """
+    WITH ex AS (
+        SELECT event_type,
+               UNNEST([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS w_start
+        FROM events
+    ),
+    counts AS (
+        SELECT w_start, event_type, COUNT(*) AS n
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT w_start, event_type, n, rank FROM (
+        SELECT w_start, event_type, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY w_start
+                   ORDER BY n DESC, event_type) AS BIGINT) AS rank
+        FROM counts)
+    WHERE rank <= 3
+    """,
+    doc="sliding-window trending top-3 event types (2h window / 1h "
+    "slide overlap explode, rank over the count-reduced frame; "
+    "Structured Streaming shape, batch-checked)",
+)
+def st_sliding_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_trending(
+        ev, "ts", "event_type", window="2 hours", slide="1 hour", top_k=3
+    )
 
 
 # --------------------------------------------------------------------------

@@ -78,6 +78,44 @@ def session_aggregate(
     ).agg(*aggs)
 
 
+def sliding_trending(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    top_k: int = 3,
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding-window trending top-k: per overlapping event-time
+    window, the ``top_k`` keys by count (deterministic (n desc, key)
+    total order). Each event lands in window/slide windows (Spark's
+    F.window overlap explode); the rank runs per-window over the
+    COUNT-reduced frame, so the window only ever orders
+    |keys-per-window| rows. In stream mode the windowed count is the
+    stateful stage (watermark-bounded); the rank is applied per
+    complete window downstream (the batch check here ranks directly).
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    counts = df.groupBy(
+        F.window(ts_col, window, slide).alias("w"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy("w").orderBy(F.col("n").desc(), F.col(key_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col(key_col),
+            "n",
+            "rank",
+        )
+    )
+
+
 def quality_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Streaming corpus quality filter (NEXT round-5 candidate): the
     d_clean_corpus admission gate applied to a document stream. The

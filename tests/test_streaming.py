@@ -65,6 +65,37 @@ def test_session_window_stream_equals_batch(spark, event_dir):
     assert sorted(r.n_events for r in u1) == [1, 2]
 
 
+def test_sliding_trending_stream_equals_batch(spark, event_dir):
+    """The stateful stage of sliding_trending (overlapping-window
+    counts) must agree stream-vs-batch; the per-window rank applied on
+    the drained sink then reproduces the batch trending report
+    exactly. (The rank itself is a non-time window, so in stream mode
+    it runs downstream of the stateful count — same split as here.)"""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.streaming.jobs import sliding_trending
+
+    batch = _mk_events(spark, event_dir)
+    stream = read_parquet_stream(spark, event_dir, batch.schema)
+    counts = stream.withWatermark("ts", "2 hours").groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    run_to_memory_sink(counts, "tr_test")
+    rk = W.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+    got = (
+        spark.table("tr_test")
+        .withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "rank")
+    )
+    expect = sliding_trending(
+        batch, "ts", "event_type", window="2 hours", slide="1 hour", top_k=3
+    )
+    cols = ["w_start", "event_type", "n", "rank"]
+    assert _rows(got, cols) == _rows(expect, cols)
+
+
 def test_stream_dedup_stream_equals_batch(spark, event_dir):
     """Streaming dedup ≡ batch dedup when all duplicates arrive within
     the watermark (exactly the append-log duplicate-delivery case)."""
