@@ -389,3 +389,35 @@ def test_dau_wau_day_dim_broadcasts(spark, registry):
     tree = tree_of(plan_of(spark, registry, "a_dau_wau"))
     assert "BroadcastNestedLoopJoin" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_band_join_is_bucketized_not_cartesian(spark, registry):
+    """j_band_join: the |spend_a - spend_b| <= eps predicate must ride
+    a bucket equi join (explode of 3 probe keys), never a nested-loop
+    theta join — at 100 TB the naive form is |users|^2."""
+    tree = tree_of(plan_of(spark, registry, "j_band_join"))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in tree, bad
+    assert "Generate" in tree  # the 3-bucket probe fan-out
+    assert "HashJoin" in tree  # bucket EQUI join carries the band
+
+
+def test_range_search_band_keyed_no_cartesian(spark, registry):
+    """v_range_search: candidates come from the (band_id, band key)
+    equi self-join; no nested loop, and the exact score is computed
+    only above the DISTINCT pair reduction (two id-keyed joins)."""
+    tree = tree_of(plan_of(spark, registry, "v_range_search"))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in tree, bad
+    assert "HashAggregate" in tree  # the pair DISTINCT reduction
+
+
+def test_nearest_asof_single_exchange(spark, registry):
+    """j_asof_nearest: both directional sweeps share the key
+    partitioning — one hash exchange for the union-tag stream, no join
+    node (the dual-window form must not plan as two separate
+    shuffles of the merged stream)."""
+    tree = tree_of(plan_of(spark, registry, "j_asof_nearest"))
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in tree, bad
+    assert tree.count("Exchange") <= 3  # tag-union inputs + key window
