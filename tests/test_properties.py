@@ -170,6 +170,102 @@ def test_asof_join_matches_bruteforce(spark, left, right):
             assert got[i] == (None, None), (i, k, t)
 
 
+@given(left=ASOF_LEFT, right=ASOF_RIGHT, tol=st.one_of(st.none(), st.integers(min_value=1, max_value=50)))
+@SLOW
+def test_asof_nearest_matches_pandas_merge_asof(spark, left, right, tol):
+    """direction='nearest' against pandas.merge_asof — an independent
+    production implementation of the same contract (closest either
+    side, backward wins exact-distance ties, symmetric tolerance) —
+    for ANY input and tolerance."""
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from listenbrainz_server_spark.operators.asof import asof_join
+
+    def ts(s):
+        return datetime.fromtimestamp(1700000000 + s, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rbest = {}
+    for k, t, v in right:
+        rbest[(k, t)] = max(rbest.get((k, t), -1), v)
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(left)],
+        "row_id long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(t), float(v)) for (k, t), v in rbest.items()] or [],
+        "k long, rts timestamp, val double",
+    )
+    got = {
+        r.row_id: (r.val, r.asof_ts)
+        for r in asof_join(
+            ldf, rdf, ["k"], "ts", "rts", ["val"],
+            direction="nearest", tolerance_seconds=tol,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(
+        {"row_id": range(len(left)),
+         "k": [k for k, _ in left],
+         "ts": [ts(t) for _, t in left]}
+    ).sort_values(["ts", "row_id"]).reset_index(drop=True)
+    rpd = pd.DataFrame(
+        {"k": pd.array([k for k, _ in rbest], dtype="int64"),
+         "rts": pd.to_datetime([ts(t) for _, t in rbest]),
+         "val": pd.array([float(v) for v in rbest.values()], dtype="float64")}
+    ).sort_values(["rts", "k"]).reset_index(drop=True)
+    merged = pd.merge_asof(
+        lpd, rpd, left_on="ts", right_on="rts", by="k",
+        direction="nearest",
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    for _, row in merged.iterrows():
+        want_val = None if pd.isna(row["val"]) else float(row["val"])
+        want_ts = None if pd.isna(row["rts"]) else row["rts"].to_pydatetime()
+        assert got[row["row_id"]] == (want_val, want_ts), (
+            row["row_id"], got[row["row_id"]], (want_val, want_ts),
+        )
+
+
+WINNOW_WORDS = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6), min_size=4, max_size=12
+)
+
+
+@given(
+    shared=st.text(alphabet="abcdefgh ", min_size=40, max_size=80),
+    pre_a=WINNOW_WORDS,
+    post_b=WINNOW_WORDS,
+)
+@SLOW
+def test_winnow_gate_never_drops_guaranteed_runs(spark, shared, pre_a, post_b):
+    """The winnowing theorem as a hypothesis property: two documents
+    sharing ANY normalized run of length >= k + w - 1 = 31 chars must
+    BOTH survive winnow_candidate_docs, whatever surrounds the run —
+    i.e. the span-tier prefilter can never drop a guaranteed-
+    detectable pair."""
+    import re
+
+    from hypothesis import assume
+
+    from listenbrainz_server_spark.operators.dedup import winnow_candidate_docs
+
+    norm_shared = re.sub(r"[^a-z0-9]+", " ", shared.lower()).strip()
+    assume(len(norm_shared) >= 31)
+    doc_a = " ".join(pre_a) + " " + shared
+    doc_b = shared + " " + " ".join(post_b)
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, "unrelated filler words entirely")],
+        "doc_id long, text string",
+    )
+    cand = {r.doc_id for r in winnow_candidate_docs(docs, "doc_id", "text").collect()}
+    assert {1, 2} <= cand, (cand, norm_shared)
+
+
 # ---------------------------------------------------------------------------
 # Deletion-neighborhood completeness — the guarantee d_fuzzy_match's
 # bucketed join rests on: any two strings within Levenshtein distance
