@@ -324,6 +324,31 @@ def connected_components(
     )
 
 
+def _doc_keyed_norm_base(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """The shared base of every char-gram tier: the canonical
+    normalization (lowercase, non-alphanumeric runs -> one space,
+    trimmed — must stay bit-identical across tiers AND their SQL
+    oracles), the length >= k admissibility filter, and the doc-keyed
+    repartition that is BOTH the parallelism fix (gram work is
+    chars-proportional — parallelize by document, not input file
+    split) and the projection-collapse barrier keeping the regex out
+    of per-gram lambdas. Explicit partition count: AQE would coalesce
+    a small-bytes shuffle to one partition and serialize the fan-out
+    work above it; user-specified counts are exempt. Returns
+    (``id_col``, ``_t``). Identical subtrees within one query reuse
+    the exchange (ReusedExchange)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    return (
+        docs.select(F.col(id_col), norm.alias("_t"))
+        .where(F.length("_t") >= k)
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    )
+
+
 def exact_substring_contamination(
     train: DataFrame,
     bench: DataFrame,
@@ -365,24 +390,14 @@ def exact_substring_contamination(
     are undetectable by construction — pick k below the shortest
     benchmark unit you care about.
     """
-    norm = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
-    )
-
     def gram_index(df: DataFrame, out_id: str, s: int) -> DataFrame:
         grams_expr = (
             f"transform(sequence(1, length(_t) - {k} + 1, {s}), "
             f"p -> substr(_t, p, {k}))"
         )
         return (
-            df.select(F.col(id_col).alias(out_id), norm.alias("_t"))
-            .where(F.length("_t") >= k)
-            # Doc-keyed parallelism + collapse barrier for the
-            # chars-proportional gram explode (see shingle_index).
-            .repartition(
-                df.sparkSession.sparkContext.defaultParallelism,
-                F.col(out_id),
-            )
+            _doc_keyed_norm_base(df, id_col, text_col, k)
+            .select(F.col(id_col).alias(out_id), "_t")
             .select(out_id, F.explode(F.expr(grams_expr)).alias("_g"))
             .select(out_id, F.md5("_g").alias("g"))
             .distinct()
@@ -444,30 +459,18 @@ def exact_substring_pairs(
     spans.
     """
     if prefilter:
-        cand = winnow_candidate_docs(
-            docs, id_col, text_col, k=k, w=stride, max_fp_df=max_gram_df
-        )
+        # The gram-tier hot-key cap (max_gram_df) is deliberately NOT
+        # forwarded as the winnow gate's max_fp_df: the gram guard
+        # drops individual hot grams while a run's other grams still
+        # pair the docs, but a fingerprint cap drops whole DOCUMENTS —
+        # that would silently void the recall-1 guarantee for pairs
+        # whose shared window-min happens to be boilerplate-hot.
+        # Callers wanting a gated hot-fp cap use winnow_candidate_docs
+        # directly and own the recall trade.
+        cand = winnow_candidate_docs(docs, id_col, text_col, k=k, w=stride)
         docs = docs.join(cand, id_col, "left_semi")
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
-    # Repartition BETWEEN the normalize projection and the gram
-    # explode: parallelizes the chars-proportional gram work by
-    # document AND acts as the collapse barrier keeping the regex
-    # normalize out of the per-gram lambda (see winnow_fingerprints).
-    # Both indexes derive from this one subtree, so the scan +
-    # normalize + shuffle run once (ReusedExchange).
-    base = (
-        docs.select(F.col(id_col), norm.alias("_t"))
-        .where(F.length("_t") >= k)
-        # Explicit partition count: AQE would coalesce a small-bytes
-        # shuffle to one partition, serializing the chars-proportional
-        # HOF/explode work ABOVE the exchange (shuffle bytes here are
-        # 1/24th of the work they fan out into). A user-specified
-        # count is exempt from AQE coalescing.
-        .repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-        )
-    )
+    base = _doc_keyed_norm_base(docs, id_col, text_col, k)
 
     def gram_index(out_id: str, s: int) -> DataFrame:
         grams_expr = (
@@ -547,20 +550,7 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
-    base = (
-        docs.select(F.col(id_col), norm.alias("_t"))
-        .where(F.length("_t") >= k)
-        # Doc-keyed repartition: parallelizes the chars-proportional
-        # gram work by document (not input file split) and is the
-        # collapse barrier keeping the regex normalize out of the
-        # per-gram path. Explicit partition count — AQE would coalesce
-        # a small-bytes shuffle to one partition and serialize the
-        # fan-out work above it; a user-specified count is exempt.
-        .repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-        )
-    )
+    base = _doc_keyed_norm_base(docs, id_col, text_col, k)
     grams = base.select(
         F.col(id_col),
         (F.length("_t") - k + 1).alias("_n"),
@@ -601,8 +591,10 @@ def winnow_candidate_docs(
     more than that many docs (the hot-key guard, same contract as the
     gram-tier ``max_gram_df``).
     """
-    # winnow_fingerprints is already per-doc distinct (array_distinct
-    # inside the row) — no global distinct exchange needed.
+    # winnow_fingerprints ends in a per-(id, fp) distinct (the
+    # explode + window-min pass emits one row per WINDOW, and adjacent
+    # windows usually share their min), so fps is already unique and
+    # the per-fp count below is a true document frequency.
     fps = winnow_fingerprints(docs, id_col, text_col, k=k, w=w)
     multi = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
         F.col("_df") >= 2
@@ -668,9 +660,15 @@ def exact_substring_spans(
     form as the fixture-scale recall cross-check.
     """
     if prefilter:
-        cand = winnow_candidate_docs(
-            docs, id_col, text_col, k=k, w=stride, max_fp_df=max_gram_df
-        )
+        # The gram-tier hot-key cap (max_gram_df) is deliberately NOT
+        # forwarded as the winnow gate's max_fp_df: the gram guard
+        # drops individual hot grams while a run's other grams still
+        # pair the docs, but a fingerprint cap drops whole DOCUMENTS —
+        # that would silently void the recall-1 guarantee for pairs
+        # whose shared window-min happens to be boilerplate-hot.
+        # Callers wanting a gated hot-fp cap use winnow_candidate_docs
+        # directly and own the recall trade.
+        cand = winnow_candidate_docs(docs, id_col, text_col, k=k, w=stride)
         docs = docs.join(cand, id_col, "left_semi")
 
     cg = _positioned_gram_index(docs, id_col, text_col, "cid", "cpos", k, stride)
@@ -714,14 +712,7 @@ def _positioned_gram_index(
     identical subtrees of one query reuse the exchange. Explicit
     partition count — AQE would coalesce a small-bytes shuffle to one
     partition and serialize the fan-out work above it."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
-    base = (
-        docs.select(F.col(id_col), norm.alias("_t"))
-        .where(F.length("_t") >= k)
-        .repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-        )
-    )
+    base = _doc_keyed_norm_base(docs, id_col, text_col, k)
     grams_expr = (
         f"transform(sequence(1, length(_t) - {k} + 1, {s}), "
         f"p -> struct(p AS pos, substr(_t, p, {k}) AS gram))"

@@ -1034,12 +1034,19 @@ def pq_topk(
     # Unit-normalize first: ||a-b||² = 2 - 2·cos(a,b) on the unit
     # sphere, so ADC's L2 ordering IS the cosine ordering — without
     # this, norm variance across the corpus scrambles ADC ranks.
-    unit = vectors.select(
-        F.col(id_col).alias("vid"),
-        as_double(F.col(vec_col)).alias("raw"),
-    ).select(
-        "vid",
-        F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec"),
+    # Zero vectors are DROPPED before normalizing (no cosine exists
+    # for them; the zero-norm NULL rule elsewhere would otherwise
+    # poison codebooks/ADC with NaN rows).
+    unit = (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            as_double(F.col(vec_col)).alias("raw"),
+        )
+        .where(norm(F.col("raw")) != 0)
+        .select(
+            "vid",
+            F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec"),
+        )
     )
     # Codebooks train on a deterministic hash sample — the standard PQ
     # practice (codebook quality saturates long before full-corpus
@@ -1160,11 +1167,18 @@ def ivfpq_topk(
     if sub * m != dims:
         raise ValueError(f"dims={dims} not divisible by m={m}")
 
-    unit = vectors.select(
-        F.col(id_col).alias("vid"),
-        as_double(F.col(vec_col)).alias("raw"),
-    ).select(
-        "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
+    # Zero vectors dropped before normalizing (same rule as pq_topk:
+    # no cosine exists; NaN rows would poison KMeans and the residual
+    # codebooks).
+    unit = (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            as_double(F.col(vec_col)).alias("raw"),
+        )
+        .where(norm(F.col("raw")) != 0)
+        .select(
+            "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
+        )
     )
     feats = unit.withColumn("features", array_to_vector("vec"))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)

@@ -72,7 +72,10 @@ def main() -> int:
         failures.append(f"BENCH_full errors: {sorted(bench['errors'])}")
 
     audit = open(os.path.join(REPO, "PLAN_AUDIT.md")).read()
-    n_audit = len(re.findall(r"^\| \w", audit, re.M))
+    # Data rows only: the markdown header row ("| query | ...") also
+    # starts with "| <word>" — counting it made a complete audit fail
+    # 246/245 and would let an audit missing exactly one query pass.
+    n_audit = len(re.findall(r"^\| (?!query \|)\w", audit, re.M))
     if n_audit != n_reg:
         failures.append(f"PLAN_AUDIT covers {n_audit}/{n_reg}")
     if "## RED FLAGS" in audit:
