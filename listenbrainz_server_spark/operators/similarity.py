@@ -1180,8 +1180,21 @@ def ivfpq_topk(
             "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
         )
     )
-    feats = unit.withColumn("features", array_to_vector("vec"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    # Pin the featurized frame ONCE: the KMeans fit iterates over it,
+    # the assignment transform reads it, and the probe side reuses the
+    # unit vectors — without a cut the scan+normalize lineage
+    # re-executes per consumer (and per fit iteration).
+    feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
+        eager=True
+    )
+    unit = feats.select("vid", "vec")
+    # maxIter=8: the coarse quantizer only needs stable-enough lists,
+    # not a converged clustering (FAISS trains its coarse quantizer
+    # the same way — few iterations on a sample); MLlib's default 20
+    # iterations double the fit cost for no measurable recall change.
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=8
+    ).fit(feats)
     assigned = model.transform(feats).select(
         "vid", "vec", F.col(model.getPredictionCol()).alias("bucket")
     )
