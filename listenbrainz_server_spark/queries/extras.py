@@ -569,6 +569,176 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# RFM segmentation — the classic recency/frequency/monetary customer
+# cut: per purchasing user, days since last purchase (vs the corpus
+# horizon), purchase count, and total spend, each quintiled by NTILE
+# over a deterministic total order (metric + user_id tiebreak, so both
+# engines split identical row sequences). Segment = "R F M" digit
+# string. One user-keyed reduction, three window passes over the
+# |users|-sized frame, horizon broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "a_rfm_segments",
+    """
+    WITH p AS (
+        SELECT user_id,
+               MAX(ts) AS last_ts,
+               COUNT(*) AS freq,
+               ROUND(SUM(value), 2) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    h AS (SELECT MAX(ts) AS horizon FROM events),
+    base AS (
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(h.horizon - last_ts) / 86400) AS BIGINT)
+                   AS recency_days,
+               freq, monetary
+        FROM p, h
+    )
+    SELECT user_id, recency_days, freq, monetary,
+           CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+               AS segment
+    FROM (
+        SELECT user_id, recency_days, freq, monetary,
+               NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r,
+               NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f,
+               NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m
+        FROM base)
+    """,
+    doc="RFM segmentation: per-user recency/frequency/monetary "
+    "quintiles (deterministic NTILE order) + composite segment code",
+)
+def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    horizon = ev.agg(F.max("ts").alias("horizon"))
+    base = p.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.floor(
+            (F.col("horizon").cast("double") - F.col("last_ts").cast("double"))
+            / 86400
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        "freq",
+        "monetary",
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), "user_id"))
+    f = F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "user_id"))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+    return base.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "monetary",
+        r.cast("bigint").alias("r"),
+        f.cast("bigint").alias("f"),
+        m.cast("bigint").alias("m"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget Pareto curve — the mix-governance decision chart: rank
+# documents by the quality heuristic (best first, doc_id tiebreak),
+# bucket into 5% tranches, and report each tranche's token mass and
+# the cumulative token share — i.e. "spending X% of the token budget
+# on the best docs buys this much of the corpus' quality mass". The
+# global order runs over the doc-level reduction (id, quality,
+# tokens), never raw text.
+# --------------------------------------------------------------------------
+from listenbrainz_server_spark.queries.text import _QUALITY_EXPR
+
+
+@register(
+    "x_token_budget_pareto",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    d AS (
+        SELECT doc_id,
+               len(t) AS tokens,
+               {_QUALITY_EXPR} AS q
+        FROM toks
+    ),
+    ranked AS (
+        SELECT doc_id, tokens, q,
+               NTILE(20) OVER (ORDER BY q DESC, doc_id) AS tranche
+        FROM d
+    ),
+    per AS (
+        SELECT tranche, COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS tranche_tokens,
+               ROUND(AVG(q), 6) AS avg_quality
+        FROM ranked GROUP BY tranche
+    ),
+    tot AS (SELECT SUM(tranche_tokens) AS all_tokens FROM per)
+    SELECT CAST(tranche AS BIGINT) AS tranche, n_docs, tranche_tokens,
+           avg_quality,
+           ROUND(SUM(tranche_tokens) OVER (ORDER BY tranche
+                     ROWS UNBOUNDED PRECEDING) * 1.0 / all_tokens, 6)
+               AS cum_token_share
+    FROM per, tot
+    """,
+    doc="token-budget Pareto curve: 5% quality tranches with token "
+    "mass and cumulative token share (global order over the doc-level "
+    "reduction)",
+)
+def x_token_budget_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from listenbrainz_server_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tokens"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    ranked = d.withColumn(
+        "tranche", F.ntile(20).over(Window.orderBy(F.col("q").desc(), "doc_id"))
+    )
+    per = ranked.groupBy("tranche").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("tranche_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+    tot = per.agg(F.sum("tranche_tokens").alias("all_tokens"))
+    cum = Window.orderBy("tranche").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("tranche").cast("bigint").alias("tranche"),
+            "n_docs",
+            "tranche_tokens",
+            "avg_quality",
+            F.round(
+                F.sum("tranche_tokens").over(cum) * 1.0 / F.col("all_tokens"), 6
+            ).alias("cum_token_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Differentially-private release counts — the governance tier's
 # noisy-aggregate release: per-source document counts with Laplace(
 # 1/eps) noise from a SEEDED hash-derived uniform (reproducible-DP

@@ -1725,6 +1725,108 @@ def t_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # out at any scale.
 # --------------------------------------------------------------------------
 @register(
+    "t_tfidf_cosine_pairs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w,
+               ROUND(tf.tf * (LN((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+    ),
+    top10 AS (
+        SELECT doc_id, w,
+               CAST(ROUND(tfidf * 1000000) AS BIGINT) AS ti
+        FROM (SELECT doc_id, w, tfidf,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, w ASC) AS rn
+              FROM scored)
+        WHERE rn <= 10
+    ),
+    ssq AS (SELECT doc_id, SUM(ti * ti) AS s FROM top10 GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.ti * b.ti) AS dp
+        FROM top10 a JOIN top10 b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(dp / (sqrt(sa.s) * sqrt(sb.s)), 6) AS sim
+    FROM dots
+    JOIN ssq sa ON sa.doc_id = id_a
+    JOIN ssq sb ON sb.doc_id = id_b
+    WHERE dp / (sqrt(sa.s) * sqrt(sb.s)) >= 0.5
+    """,
+    doc="sparse TF-IDF cosine pairs: each doc's top-10 tfidf terms, "
+    "integer-quantized weights (order-free exact dot), term-keyed "
+    "join, cosine >= 0.5 — the IR-side near-dup tier needing no "
+    "embeddings",
+)
+def t_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the candidate join is keyed by TERM over each
+    doc's top-10 tfidf terms (a 10-row-per-doc reduction — the
+    pruning is what bounds pair fan-out; hot terms are naturally rare
+    among per-doc TOP terms because high df crushes idf). Weights are
+    quantized to integers BEFORE any cross-row sum so every aggregate
+    is order-free bigint arithmetic; the only floats are one sqrt and
+    one division over exact integers — deterministic in any engine.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
+    )
+    top10 = (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") <= 10)
+        .select(
+            "doc_id",
+            "w",
+            F.round(F.col("tfidf") * 1000000).cast("bigint").alias("ti"),
+        )
+    )
+    ssq = top10.groupBy("doc_id").agg(F.sum(F.col("ti") * F.col("ti")).alias("s"))
+    a = top10.select(F.col("doc_id").alias("id_a"), "w", F.col("ti").alias("ta"))
+    b = top10.select(F.col("doc_id").alias("id_b"), "w", F.col("ti").alias("tb"))
+    dots = (
+        a.join(b, "w")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ta") * F.col("tb")).alias("dp"))
+    )
+    sa = ssq.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = ssq.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    sim = F.col("dp") / (F.sqrt("s_a") * F.sqrt("s_b"))
+    return (
+        dots.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(sim >= 0.5)
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+@register(
     "t_tfidf_topterms",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
