@@ -575,7 +575,12 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over a deterministic total order (metric + user_id tiebreak, so both
 # engines split identical row sequences). Segment = "R F M" digit
 # string. One user-keyed reduction, three window passes over the
-# |users|-sized frame, horizon broadcast.
+# |users|-sized frame, horizon broadcast. Scale note: global NTILE
+# needs a total order of the USER-LEVEL reduction (3-4 orders smaller
+# than events); past the point that outgrows one task's sort budget,
+# swap for the histogram-CDF boundary bucketing t_quality_calibrated_
+# hist demonstrates — value-quantile semantics instead of exact
+# equal-count NTILE, same report contract.
 # --------------------------------------------------------------------------
 @register(
     "a_rfm_segments",
