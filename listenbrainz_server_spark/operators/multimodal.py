@@ -223,3 +223,52 @@ def resize_media(df: DataFrame, max_side: int = 32, fake: bool = False) -> DataF
 
     body = resize_batches if fake else resize_batches_real
     return df.select("id", "payload").mapInPandas(body, schema=RESIZE_SCHEMA)
+
+
+def average_hash(df: DataFrame, bits: int = 16) -> DataFrame:
+    """Perceptual average-hash over the raw payload bytes — the aHash
+    family every image-dedup pipeline starts from, applied to the
+    opaque binary column: the payload is cut into ``bits`` equal
+    byte ranges (floor boundaries), bit b is 1 iff
+    bits × sum(range_b) >= sum(all bytes) — an integer comparison, so
+    the signature is exact in any implementation. One Arrow
+    mapInPandas pass (numpy cumsum per batch); output
+    (id, phash string, byte_len).
+
+    On real decoded images the same code runs over the resized
+    luminance plane instead of raw bytes — the Spark-side shape
+    (binary in, fixed-width signature out, bucket downstream) is
+    identical, which is what this tier exists to pin.
+    """
+    from typing import Iterator
+
+    def hash_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                cuts = [(c * n) // bits for c in range(bits + 1)]
+                sums = np.array(
+                    [b[cuts[c]: cuts[c + 1]].sum() for c in range(bits)]
+                )
+                total = int(b.sum())
+                out.append(
+                    "".join(
+                        "1" if bits * int(s) >= total else "0" for s in sums
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "phash": out,
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        hash_batches, schema="id bigint, phash string, byte_len bigint"
+    )

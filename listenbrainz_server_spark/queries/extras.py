@@ -569,6 +569,95 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Retention-policy sweep — the data-governance what-if: for each
+# candidate retention window (7/14/30/60/90 days back from the data
+# horizon), how many events, active users, and how much event value
+# would survive deletion of everything older. One scan, the cutoff
+# dim exploded against per-day partial aggregates (a |days|-sized
+# reduction), so the sweep never rescans raw events per cutoff —
+# the d_threshold_sweep pattern applied to retention.
+# --------------------------------------------------------------------------
+@register(
+    "x_retention_sweep",
+    """
+    WITH h AS (SELECT MAX(ts) AS horizon FROM events),
+    daily AS (
+        SELECT CAST(FLOOR(EPOCH(h.horizon - ts) / 86400) AS BIGINT) AS age_d,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS v
+        FROM events, h GROUP BY 1
+    ),
+    users AS (
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(h.horizon - last_ts) / 86400) AS BIGINT)
+                   AS min_age_d
+        FROM (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id),
+             h
+    ),
+    cut AS (SELECT UNNEST([7, 14, 30, 60, 90]) AS keep_days)
+    SELECT keep_days,
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM daily
+            WHERE age_d < keep_days) AS n_events,
+           (SELECT COUNT(*) FROM users
+            WHERE min_age_d < keep_days) AS n_users,
+           (SELECT ROUND(COALESCE(SUM(v), 0), 2) FROM daily
+            WHERE age_d < keep_days) AS total_value
+    FROM cut
+    """,
+    doc="retention-policy what-if sweep: events/users/value surviving "
+    "each candidate keep-window, from day-level partials (one scan, "
+    "never per-cutoff rescans)",
+)
+def x_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("horizon"))
+    age_d = F.floor(
+        (F.col("horizon").cast("double") - F.col("ts").cast("double")) / 86400
+    ).cast("bigint")
+    daily = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy(age_d.alias("age_d"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.floor(
+                (F.col("horizon").cast("double") - F.col("last_ts").cast("double"))
+                / 86400
+            )
+            .cast("bigint")
+            .alias("min_age_d"),
+        )
+    )
+    cuts = ev.sparkSession.createDataFrame(
+        [(c,) for c in (7, 14, 30, 60, 90)], "keep_days int"
+    )
+    ev_counts = (
+        cuts.join(F.broadcast(daily), daily["age_d"] < cuts["keep_days"], "left")
+        .groupBy("keep_days")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.round(F.coalesce(F.sum("v"), F.lit(0)), 2).alias("total_value"),
+        )
+    )
+    user_counts = (
+        cuts.join(
+            F.broadcast(users), users["min_age_d"] < cuts["keep_days"], "left"
+        )
+        .groupBy("keep_days")
+        .agg(F.count("user_id").alias("n_users"))
+    )
+    return (
+        ev_counts.join(user_counts, "keep_days")
+        .select("keep_days", "n_events", "n_users", "total_value")
+    )
+
+
+# --------------------------------------------------------------------------
 # RFM segmentation — the classic recency/frequency/monetary customer
 # cut: per purchasing user, days since last purchase (vs the corpus
 # horizon), purchase count, and total spend, each quintiled by NTILE

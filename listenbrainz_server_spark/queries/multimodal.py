@@ -177,3 +177,60 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("start_byte"),
         "n_bytes",
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash dedup — the media-dedup tier over the opaque binary
+# column: average-hash (16 equal byte ranges, bit = range sum >= mean
+# as an exact integer comparison) computed in one Arrow pass, then
+# hash-bucket groups with a min-id representative — the multimodal
+# analog of d_exact_dedup (and the bucket shape simhash/banded tiers
+# refine). The oracle replicates the byte math from the ASCII text
+# (VARCHAR offsets == byte offsets on this corpus).
+# --------------------------------------------------------------------------
+@register(
+    "mm_phash_dedup",
+    """
+    WITH sums AS (
+        SELECT doc_id,
+               strlen(text) AS n,
+               list_transform(range(0, 16), c ->
+                   list_sum(list_transform(
+                       range((c * strlen(text)) // 16 + 1,
+                             ((c + 1) * strlen(text)) // 16 + 1),
+                       i -> ascii(substr(text, CAST(i AS BIGINT), 1))))) AS cs
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(cs, s ->
+                   CASE WHEN 16 * COALESCE(s, 0) >=
+                             list_sum(list_transform(cs, x -> COALESCE(x, 0)))
+                        THEN '1' ELSE '0' END), 'string_agg', '') AS phash
+        FROM sums
+    )
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           MIN(doc_id) AS representative
+    FROM hashed
+    GROUP BY phash
+    HAVING COUNT(*) >= 2
+    """,
+    doc="perceptual-hash (aHash) dedup groups over the binary payload "
+    "column: 16-bit byte-range average hash, bucket groups with "
+    "min-id representative (multimodal analog of d_exact_dedup)",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.multimodal import average_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs, "text", "doc_id")
+    hashed = average_hash(media, bits=16)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.min("id").alias("representative"),
+        )
+        .where(F.col("n_items") >= 2)
+    )
