@@ -1728,7 +1728,12 @@ def t_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_tfidf_cosine_pairs",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    words AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                      i -> array_to_string(t[i:i+1], ' '))) AS w
+        FROM toks
+    ),
     tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
     df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -1760,24 +1765,33 @@ def t_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN ssq sb ON sb.doc_id = id_b
     WHERE dp / (sqrt(sa.s) * sqrt(sb.s)) >= 0.5
     """,
-    doc="sparse TF-IDF cosine pairs: each doc's top-10 tfidf terms, "
-    "integer-quantized weights (order-free exact dot), term-keyed "
-    "join, cosine >= 0.5 — the IR-side near-dup tier needing no "
-    "embeddings",
+    doc="sparse TF-IDF cosine pairs over word BIGRAMS: each doc's "
+    "top-10 tfidf bigrams, integer-quantized weights (order-free "
+    "exact dot), term-keyed join, cosine >= 0.5 — the IR-side "
+    "near-dup tier needing no embeddings",
 )
 def t_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the candidate join is keyed by TERM over each
-    doc's top-10 tfidf terms (a 10-row-per-doc reduction — the
-    pruning is what bounds pair fan-out; hot terms are naturally rare
-    among per-doc TOP terms because high df crushes idf). Weights are
-    quantized to integers BEFORE any cross-row sum so every aggregate
-    is order-free bigint arithmetic; the only floats are one sqrt and
-    one division over exact integers — deterministic in any engine.
+    doc's top-10 tfidf terms — the pruning that bounds pair fan-out.
+    Terms are word BIGRAMS, not unigrams: the join's cost is
+    sum_t(n_t^2) over per-term posting lengths, and a small-vocab
+    corpus (this fixture: ~50 distinct words) makes every doc's top
+    UNIGRAMS collide into the same posting lists (measured: 31 s at
+    sf0.1, ~5e7 candidate pairs); the squared vocab pushes posting
+    lengths down two orders for the same lexical-similarity contract.
+    Weights are quantized to integers BEFORE any cross-row sum so
+    every aggregate is order-free bigint arithmetic; the only floats
+    are one sqrt and one division over exact integers — deterministic
+    in any engine.
     """
     from pyspark.sql import Window
 
+    from listenbrainz_server_spark.functions.text import shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    words = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("w")
+    )
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df_t = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
