@@ -85,6 +85,14 @@ HEADLINE_NEW = (
     "d_substring_spans",
     "v_semantic_contamination",
     "w_markov_power",
+    # r6 families: nearest as-of, banded radius search, IVF-PQ,
+    # growth accounting, perceptual-hash dedup, sparse lexical cosine.
+    "j_asof_nearest",
+    "v_range_search",
+    "v_ivfpq_topk",
+    "w_user_lifecycle",
+    "mm_phash_dedup",
+    "t_tfidf_cosine_pairs",
 )
 
 
