@@ -295,3 +295,51 @@ def _variants(s: str) -> set[str]:
 def test_deletion_neighborhood_covers_distance_one(a, b):
     if _lev(a, b) <= 1:
         assert _variants(a) & _variants(b), (a, b)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),           # user id
+            st.integers(min_value=0, max_value=2000),         # spend in cents
+        ),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    eps_cents=st.integers(min_value=1, max_value=500),
+)
+@SLOW
+def test_band_join_bucketization_complete(spark, vals, eps_cents):
+    """The {b-1, b, b+1} bucket probe is COMPLETE for |a-b| <= eps:
+    the bucketized band self-join must equal the naive theta join for
+    any values and any eps (the operator's whole claim is that the
+    equi-join rewrite changes cost, never results)."""
+    from pyspark.sql import functions as F
+
+    eps = eps_cents / 100.0
+    df = spark.createDataFrame(
+        [(u, c / 100.0) for u, c in vals], "user_id long, sp double"
+    )
+    bucket = F.floor(F.col("sp") / F.lit(eps))
+    left = df.select(
+        F.col("user_id").alias("ua"), F.col("sp").alias("sa"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bk"),
+    )
+    right = df.select(
+        F.col("user_id").alias("ub"), F.col("sp").alias("sb"),
+        bucket.alias("bk"),
+    )
+    got = {
+        (r.ua, r.ub)
+        for r in left.join(right, "bk")
+        .where((F.col("ua") < F.col("ub")) & (F.abs(F.col("sa") - F.col("sb")) <= eps))
+        .collect()
+    }
+    want = {
+        (a, b)
+        for a, ca in vals
+        for b, cb in vals
+        if a < b and abs(ca - cb) <= eps_cents
+    }
+    assert got == want, (sorted(got ^ want), eps)
