@@ -833,18 +833,28 @@ def x_token_budget_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Differentially-private release counts — the governance tier's
-# noisy-aggregate release: per-source document counts with Laplace(
-# 1/eps) noise from a SEEDED hash-derived uniform (reproducible-DP
-# practice: the noise draw is a pure function of a release key, so
-# re-running the release pipeline can't leak via fresh draws — the
-# privacy accounting treats the whole release as ONE mechanism).
+# Seeded-Laplace noisy release counts — the governance tier's
+# noisy-aggregate release shape: per-source document counts with
+# Laplace(1/eps) noise from a hash-derived uniform seeded by
+# md5(release_seed || ':' || source). The noise is a pure function of
+# (release_seed, source): re-running the release pipeline can't leak
+# via fresh draws (the whole release is ONE mechanism draw), and
+# adding a source never perturbs another source's noise.
+#
+# PRIVACY CAVEAT (this is the honest contract, not fine print): the
+# mechanism is differentially private ONLY if release_seed is secret
+# and never published — anyone who knows the seed recomputes the
+# noise exactly and recovers the true count from n_noisy. The
+# registered query runs with the DEFAULT seed below, which is in this
+# public repo, so the registered form is a deterministic,
+# oracle-checkable NOISE-SHAPE DEMO of the release pipeline, not a DP
+# release. A real release passes a secret out-of-band seed.
 # u = (first-8-hex of md5 + 0.5) / 2^32 in (0,1); noise via the
 # inverse-CDF transform −(1/eps)·sign(u−½)·ln(1−2|u−½|). Everything
 # is exact-deterministic except one ln() — both engines call libm on
-# identical doubles, and the 4-dp rounding absorbs ulp skew. The true
-# count never appears in the released frame.
+# identical doubles, and the 4-dp rounding absorbs ulp skew.
 # --------------------------------------------------------------------------
+DP_DEMO_SEED = "dp"  # public demo seed — see privacy caveat above
 @register(
     "x_dp_counts",
     """
@@ -862,17 +872,25 @@ def x_token_budget_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                  4) AS n_noisy
     FROM seeded
     """,
-    doc="differentially-private per-source counts: Laplace(1/eps) "
-    "noise from a seeded md5-derived uniform (reproducible-release "
-    "DP; inverse-CDF transform, eps=1)",
+    doc="seeded-Laplace noisy release counts: Laplace(1/eps) noise "
+    "from an md5(release_seed:source)-derived uniform (inverse-CDF "
+    "transform, eps=1). DP only under a SECRET seed; the registered "
+    "default seed is public, making this the reproducible "
+    "noise-shape demo of the release pipeline",
 )
-def x_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x_dp_counts(
+    spark: SparkSession, sf_dir: str, release_seed: str = DP_DEMO_SEED
+) -> DataFrame:
     eps = 1.0
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     u = (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, 8),
+            F.substring(
+                F.md5(F.concat(F.lit(release_seed + ":"), F.col("source"))),
+                1,
+                8,
+            ),
             16,
             10,
         ).cast("bigint")
@@ -912,7 +930,7 @@ def x_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, source FROM ranked
-    WHERE rk <= CAST(CEIL(n * 0.1) AS BIGINT)
+    WHERE rk <= (n + 9) // 10
     """,
     doc="stratified exact-quota sample: deterministic md5-ranked "
     "top-ceil(10%) per source (per-stratum quotas, run- and "
@@ -934,7 +952,10 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rk"),
             F.count(F.lit(1)).over(wc).alias("n"),
         )
-        .where(F.col("rk") <= F.ceil(F.col("n") * 0.1).cast("bigint"))
+        # Integer arithmetic: (n + 9) div 10 == ceil(n/10) exactly for
+        # all n — CEIL(n * 0.1) in doubles overshoots by one for some n
+        # (e.g. 30 * 0.1 = 3.0000000000000004).
+        .where(F.col("rk") <= F.expr("(n + 9) div 10"))
         .select("doc_id", "source")
     )
 

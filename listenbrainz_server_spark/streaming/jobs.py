@@ -92,12 +92,22 @@ def sliding_trending(
     total order). Each event lands in window/slide windows (Spark's
     F.window overlap explode); the rank runs per-window over the
     COUNT-reduced frame, so the window only ever orders
-    |keys-per-window| rows. In stream mode the windowed count is the
-    stateful stage (watermark-bounded); the rank is applied per
-    complete window downstream (the batch check here ranks directly).
+    |keys-per-window| rows.
+
+    Streaming: row_number is a non-time window and is unsupported on
+    streaming DataFrames, so when ``df.isStreaming`` this returns ONLY
+    the stateful stage — the watermark-bounded overlapping-window
+    counts ``(w, key, n)`` — and the caller ranks on the drained sink
+    (tests/test_streaming.py does exactly that and proves the split
+    reproduces the batch report). Batch inputs get the full ranked
+    report.
     """
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    if df.isStreaming:
+        if watermark is not None:
+            df = df.withWatermark(ts_col, watermark)
+        return df.groupBy(
+            F.window(ts_col, window, slide).alias("w"), F.col(key_col)
+        ).agg(F.count(F.lit(1)).alias("n"))
     counts = df.groupBy(
         F.window(ts_col, window, slide).alias("w"), F.col(key_col)
     ).agg(F.count(F.lit(1)).alias("n"))

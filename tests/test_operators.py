@@ -1042,3 +1042,86 @@ def test_quality_classifier_auc(spark):
     assert auc > 0.95, auc
     agree = sum(1 for r in out if r.prediction == r.label) / len(out)
     assert agree > 0.9, agree
+
+
+def test_dp_counts_seed_is_load_bearing(spark):
+    """The Laplace noise must be a function of the release seed: two
+    different seeds give different n_noisy for the same true counts
+    (a secret out-of-band seed is what makes the release private —
+    ADVICE r6). The default public seed reproduces the registered
+    demo output exactly."""
+    from listenbrainz_server_spark.queries import load_all
+    from listenbrainz_server_spark.queries.extras import x_dp_counts
+
+    sf = "/root/testdata/sf0.001"
+    pub = {r.source: r.n_noisy for r in x_dp_counts(spark, sf).collect()}
+    reg = {
+        r.source: r.n_noisy
+        for r in load_all()["x_dp_counts"].fn(spark, sf).collect()
+    }
+    assert pub == reg
+    secret = {
+        r.source: r.n_noisy
+        for r in x_dp_counts(spark, sf, release_seed="s3cr3t").collect()
+    }
+    assert set(secret) == set(pub)
+    assert secret != pub  # noise moved with the seed
+    # Noise stays bounded-ish: |n_noisy - n| rarely exceeds ~10/eps.
+    from listenbrainz_server_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    true = {
+        r.source: r.n
+        for r in load_table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s, v in secret.items():
+        assert abs(v - true[s]) < 25.0
+
+
+def test_stratified_sample_exact_integer_quota(spark):
+    """Quota must be exactly ceil(n/10) per stratum — integer
+    arithmetic, immune to the CEIL(n*0.1) double overshoot at n=30
+    (ADVICE r6)."""
+    import math
+
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.queries import load_all
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        load_all()["x_stratified_sample"].fn(spark, sf)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    n_by = {
+        r.source: r.n
+        for r in load_table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got
+    for r in got:
+        assert r["count"] == math.ceil(n_by[r.source] / 10), (
+            r.source,
+            r["count"],
+            n_by[r.source],
+        )
+    # The integer form is exact for ALL bigint n — including n beyond
+    # 2^53 where n*0.1 loses integer resolution entirely. (The
+    # advisor's n=30 repro doesn't fire on IEEE doubles — 30*0.1
+    # rounds to exactly 3.0 — but (n+9) div 10 needs no such luck.)
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    quota = df.groupBy("source").agg(
+        F.expr("(count(*) + 9) div 10").alias("q")
+    ).collect()[0]
+    assert quota.q == 3
+    big = (1 << 55) + 3  # n*0.1 in doubles cannot represent this quota
+    assert (big + 9) // 10 != math.ceil(big * 0.1)

@@ -78,9 +78,12 @@ def test_sliding_trending_stream_equals_batch(spark, event_dir):
 
     batch = _mk_events(spark, event_dir)
     stream = read_parquet_stream(spark, event_dir, batch.schema)
-    counts = stream.withWatermark("ts", "2 hours").groupBy(
-        F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # The streaming branch of sliding_trending returns the stateful
+    # stage only (rank is a non-time window — unsupported on streams).
+    counts = sliding_trending(
+        stream, "ts", "event_type", window="2 hours", slide="1 hour"
+    )
+    assert counts.isStreaming and set(counts.columns) == {"w", "event_type", "n"}
     run_to_memory_sink(counts, "tr_test")
     rk = W.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
     got = (
