@@ -1789,11 +1789,15 @@ def t_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.functions.text import shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("w")
-    )
+    # Doc-keyed explicit repartition: parallelize the bigram explode
+    # by document, not input-file split (operators/dedup.py:55 rule).
+    words = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    # tf is one row per (doc, term), so DF is a plain count over it —
+    # no second explode, no count_distinct shuffle.
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_t, "w")
@@ -1819,6 +1823,10 @@ def t_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
             F.round(F.col("tfidf") * 1000000).cast("bigint").alias("ti"),
         )
+        # Pin: feeds ssq + both join sides; without it each consumer
+        # re-runs the bigram explode, two aggregates, and the window.
+        # 10 rows/doc — tiny relative to the lineage it cuts.
+        .localCheckpoint(eager=True)
     )
     ssq = top10.groupBy("doc_id").agg(F.sum(F.col("ti") * F.col("ti")).alias("s"))
     a = top10.select(F.col("doc_id").alias("id_a"), "w", F.col("ti").alias("ta"))
