@@ -458,11 +458,18 @@ def banded_range_search(
     """
     v = as_double(F.col(vec_col))
     sig_bits = bands * band_bits
-    sigs = vectors.select(
-        F.col(id_col).alias("vid"),
-        v.alias("v"),
-        lsh_signature(v, dims, sig_bits).alias("sig"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    sigs = (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            v.alias("v"),
+            lsh_signature(v, dims, sig_bits).alias("sig"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        # Pin: feeds the band explode and BOTH exact-filter join
+        # sides; each would otherwise recompute all sig_bits
+        # hyperplane projections per row.
+        .localCheckpoint(eager=True)
+    )
 
     band_structs = F.array(
         *[
@@ -473,9 +480,21 @@ def banded_range_search(
             for b in range(bands)
         ]
     )
-    bd = sigs.select("vid", F.explode(band_structs).alias("band")).select(
-        "vid", "band.band_id", "band.bk"
+    # Spread the band explode and the collision join across the
+    # executor cores — a single-file fixture otherwise runs both in
+    # one task (explicit count: exempt from AQE coalescing).
+    bd = (
+        sigs.repartition(
+            vectors.sparkSession.sparkContext.defaultParallelism, F.col("vid")
+        )
+        .select("vid", F.explode(band_structs).alias("band"))
+        .select("vid", "band.band_id", "band.bk")
     )
+    # DISTINCT over the collision join, with map-side partial
+    # aggregation doing the heavy dedup before the exchange. (A
+    # first-matching-band emit-once filter was tried and measured 3x
+    # SLOWER: the dynamic-substr exists() lambda is interpreted
+    # per collision row, while distinct's partial hash-agg is codegen.)
     cand = (
         bd.select(F.col("vid").alias("id_a"), "band_id", "bk")
         .join(bd.select(F.col("vid").alias("id_b"), "band_id", "bk"),
