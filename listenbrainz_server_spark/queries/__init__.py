@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
         api_variants,
         dedup,
         extras,
+        graph,
         handlers,
         handlers2,
         handlers3,

@@ -1,0 +1,140 @@
+"""Graph analytics tier: PageRank over the customer↔supplier trade
+graph.
+
+The reference side: recommendation/similarity graphs (the reference's
+``recommendation`` jobs walk a user↔recording bipartite graph; its
+``similarity`` tier materializes entity-entity edges). This module adds
+the canonical whole-graph centrality pass — power-iteration PageRank —
+in the Spark-native iterative-DataFrame shape: the edge/out-degree
+frames are pinned ONCE (they are re-read every iteration), each
+iteration is one key-partitioned join + aggregate, and the iteration
+count is a fixed small constant so the whole computation unrolls into
+a single Catalyst plan on the Spark side and a chained-CTE oracle on
+the DuckDB side (no recursion needed — fully hash-checkable).
+
+Scale notes (100 TB): edges shuffle once on dst per iteration; the
+rank vector is node-keyed (|V| rows, far below |E|); at very large
+iteration counts you would localCheckpoint the rank frame every few
+rounds to cut lineage — with K=5 the unrolled plan is fine. Dangling
+nodes cannot exist here because every edge is mirrored (the graph is
+made symmetric), so the damping term alone conserves probability mass
+up to the (1-d) teleport.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from listenbrainz_server_spark.catalog import load_table
+from listenbrainz_server_spark.queries import register
+
+_DAMP = 0.85
+_ITERS = 5
+_TOPK = 50
+
+
+def _pagerank_sql() -> str:
+    """Chained-CTE power iteration: r0 uniform, r{i+1} from r{i}."""
+    steps = []
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+        SELECT nd.node,
+               (1 - {_DAMP}) / nn.n
+                   + {_DAMP} * COALESCE(SUM(r.pr * w.w / od.od), 0) AS pr
+        FROM nodes nd
+        CROSS JOIN nn
+        LEFT JOIN w ON w.dst = nd.node
+        LEFT JOIN {prev} r ON r.node = w.src
+        LEFT JOIN outdeg od ON od.src = w.src
+        GROUP BY nd.node, nn.n
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e0 AS (
+        SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+               's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    w AS (SELECT src, dst, COUNT(*) AS w FROM edges GROUP BY 1, 2),
+    outdeg AS (SELECT src, SUM(w) AS od FROM w GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    {chain}
+    SELECT node, ROUND(pr, 8) AS pagerank
+    FROM {prev}
+    ORDER BY ROUND(pr, 8) DESC, node
+    LIMIT {_TOPK}
+    """
+
+
+@register(
+    "g_pagerank",
+    _pagerank_sql(),
+    doc=f"PageRank (damping {_DAMP}, {_ITERS} unrolled iterations) over "
+    "the symmetric customer-supplier trade graph (orders x lineitem); "
+    f"top-{_TOPK} nodes. Edge/out-degree frames pinned once; each "
+    "iteration one dst-keyed join+agg",
+)
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = orders.join(
+        li, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Pin: the weighted edge list and out-degrees feed every iteration.
+    w = (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    outdeg = w.groupBy("src").agg(F.sum("w").alias("od")).localCheckpoint(
+        eager=True
+    )
+    nodes = w.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    rank = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    # Edges with out-degree attached, pinned once for all iterations.
+    contrib_src = w.join(outdeg, "src").localCheckpoint(eager=True)
+    # The graph is symmetric, so EVERY node has at least one in-edge —
+    # no node can drop out of the join, and each iteration is exactly
+    # one src-keyed join + one dst-keyed aggregate (the oracle's LEFT
+    # JOIN + COALESCE form is value-identical on this graph).
+    for _ in range(_ITERS):
+        rank = (
+            contrib_src.join(
+                rank.select(F.col("node").alias("src"), "pr"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("od")).alias("mass"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                ((1 - _DAMP) / F.col("n") + _DAMP * F.col("mass")).alias("pr"),
+            )
+        )
+    return (
+        rank.select("node", F.round("pr", 8).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "node")
+        .limit(_TOPK)
+    )
