@@ -855,15 +855,18 @@ def x_token_budget_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical doubles, and the 4-dp rounding absorbs ulp skew.
 # --------------------------------------------------------------------------
 DP_DEMO_SEED = "dp"  # public demo seed — see privacy caveat above
+# The oracle interpolates DP_DEMO_SEED (advisor r7): the Spark side
+# derives its default noise from the same constant, so editing the
+# seed cannot silently desync the two engines.
 @register(
     "x_dp_counts",
-    """
+    f"""
     WITH counts AS (
         SELECT source, COUNT(*) AS n FROM documents GROUP BY source
     ),
     seeded AS (
         SELECT source, n,
-               (('0x' || substr(md5('dp:' || source), 1, 8))::BIGINT + 0.5)
+               (('0x' || substr(md5('{DP_DEMO_SEED}:' || source), 1, 8))::BIGINT + 0.5)
                    / 4294967296.0 AS u
         FROM counts
     )

@@ -133,6 +133,14 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((1 - _DAMP) / F.col("n") + _DAMP * F.col("mass")).alias("pr"),
             )
         )
+    # Determinism note (advisor r7): ROUND(pr, 8) is deliberately
+    # TIGHTER than the repo's usual 6-dp ratio convention — it must
+    # absorb only summation-order ULP drift plus DuckDB's DECIMAL
+    # 0.85/1.0 literals vs Python-float damping, and 8 dp leaves the
+    # top-50 ordering stable at every tested sf (0.001, 0.01, 0.1,
+    # and the sf1 scaling smoke). If a larger scale ever flakes at
+    # the cutoff, quantize per-iteration contributions instead (the
+    # t_tfidf_cosine_pairs pattern) rather than loosening the round.
     return (
         rank.select("node", F.round("pr", 8).alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "node")

@@ -238,6 +238,73 @@ def st_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# In-stream RANKED trending (VERDICT r7 #4): st_sliding_trending's
+# streaming branch returns only the stateful (w, key, n) stage because
+# row_number is unsupported on streams; trending_rank_sink closes the
+# loop by ranking inside a foreachBatch sink (the st_upsert_latest
+# LWW-merge pattern, order_cols=[n] — counts are monotone so argmax-n
+# is latest-wins). This entry drives the FULL streaming job — parquet
+# append log → stateful windowed counts → rank-and-upsert sink — and
+# returns the ranked state, which the oracle (identical to
+# st_sliding_trending's) must reproduce exactly.
+# --------------------------------------------------------------------------
+@register(
+    "st_trending_ranked",
+    """
+    WITH ex AS (
+        SELECT event_type,
+               UNNEST([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS w_start
+        FROM events
+    ),
+    counts AS (
+        SELECT w_start, event_type, COUNT(*) AS n
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT w_start, event_type, n, rank FROM (
+        SELECT w_start, event_type, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY w_start
+                   ORDER BY n DESC, event_type) AS BIGINT) AS rank
+        FROM counts)
+    WHERE rank <= 3
+    """,
+    doc="in-stream ranked trending top-3: foreachBatch rank-and-upsert "
+    "sink over the stateful sliding-window counts (LWW merge on "
+    "monotone counts, rank over the count-reduced state, atomic swap); "
+    "the drained ranked state must equal the batch report",
+)
+def st_trending_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from listenbrainz_server_spark.streaming.jobs import (
+        read_parquet_stream,
+        trending_rank_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    root = tempfile.mkdtemp(prefix="st_trend_")
+    log_dir = root + "/log"
+    counts_path, ranked_path = root + "/counts", root + "/ranked"
+    ev.repartition(4).write.mode("overwrite").parquet(log_dir)
+    stream = read_parquet_stream(
+        spark, log_dir, spark.read.parquet(log_dir).schema, max_files=1
+    )
+    # watermark=None: the parquet log replays in ARBITRARY event-time
+    # order (repartition(4)), so any finite watermark would evict
+    # state and drop legitimately-replayed rows — the availableNow
+    # drain bounds state instead. A live ingest (roughly time-ordered)
+    # passes a real watermark; tests/test_streaming.py pins that form.
+    trending_rank_sink(
+        stream, "ts", "event_type", counts_path, ranked_path, top_k=3,
+        watermark=None,
+    )
+    return spark.read.parquet(ranked_path).select(
+        "w_start", "event_type", "n", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
 # Custom stateful streaming operator, driven end to end:
 # applyInPandasWithState keeps running per-user (count, sum) state
 # across micro-batches (update mode emits a row per key per trigger);
