@@ -1330,6 +1330,191 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_train_artifacts(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    n_centroids: int = 8,
+    m: int = 4,
+    k_sub: int = 16,
+    seed: int = 45,
+):
+    """Train the IVFPQ model artifacts ONLY — coarse centers + residual
+    codebooks — without encoding anything. The artifacts are the unit
+    of index maintenance (VERDICT r7 #6): a delta batch is encoded
+    against FROZEN artifacts by ``ivfpq_encode`` (pure per-row work, no
+    refit), and a refit replaces the artifacts + re-encodes.
+
+    Same trainers and parameters as ``ivfpq_topk`` (seeded MLlib
+    KMeans, maxIter=8, on the checkpointed unit frame;
+    ``pq_train_codebooks`` on residuals). Returns
+    ``(centers, codebooks)`` as nested Python floats — small enough to
+    persist as JSON next to the index and to ship as closure literals.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dims // m
+    if sub * m != dims:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    unit = (
+        vectors.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
+        )
+        .where(norm(F.col("raw")) != 0)
+        .select(
+            "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
+        )
+    )
+    feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
+        eager=True
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=8
+    ).fit(feats)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    center_df = vectors.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "bucket int, center array<double>",
+    )
+    assigned = model.transform(feats).select(
+        "vec", F.col(model.getPredictionCol()).alias("bucket")
+    )
+    resid = assigned.join(F.broadcast(center_df), "bucket").select(
+        F.zip_with("vec", "center", lambda x, y: x - y).alias("vec")
+    )
+    books = pq_train_codebooks(resid, "vec", dims, m=m, k_sub=k_sub, seed=seed)
+    feats.unpersist()
+    return centers, books
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers,
+    codebooks,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Encode vectors against FROZEN IVFPQ artifacts: nearest stored
+    coarse center (numpy argmin, first-index tie-break — deterministic)
+    + residual PQ codes. A PURE per-row function of
+    (vector, centers, codebooks): encoding a delta batch alone is
+    byte-identical to the matching slice of a full re-encode, which is
+    what makes append-only index maintenance exact
+    (tests/test_similarity_blocks.py pins delta ∪ base ≡ full).
+
+    One Arrow ``mapInPandas`` pass, no shuffle; output
+    ``(nid, bucket, codes)`` (+ ``vec`` when ``keep_vec``, for drift
+    stats). Scale: delta-sized work only — the corpus is never read.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c_arr = np.array(centers, dtype="float64")
+    cb = np.array(codebooks, dtype="float64")  # (m, k_sub, sub)
+    m, _, sub = cb.shape
+
+    unit = (
+        vectors.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
+        )
+        .where(norm(F.col("raw")) != 0)
+        .select(
+            "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+            d2c = ((v[:, None, :] - c_arr[None, :, :]) ** 2).sum(axis=2)
+            bucket = d2c.argmin(axis=1)
+            r = v - c_arr[bucket]
+            codes = np.empty((len(v), m), dtype="int32")
+            for j in range(m):
+                x = r[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            out = {
+                "nid": pdf["vid"].to_numpy(),
+                "bucket": bucket.astype("int32"),
+                "codes": list(codes),
+            }
+            if keep_vec:
+                out["vec"] = pdf["vec"].to_numpy()
+            yield pd.DataFrame(out)
+
+    schema = "nid bigint, bucket int, codes array<int>"
+    if keep_vec:
+        schema += ", vec array<double>"
+    return unit.mapInPandas(encode, schema=schema)
+
+
+def ivf_drift_report(
+    encoded_delta: DataFrame, centers, round_dp: int = 6
+) -> DataFrame:
+    """Per-coarse-list drift of a delta batch vs the FROZEN centers —
+    the v_embedding_drift centroid-shift stat repurposed as the
+    refit-vs-append trigger (VERDICT r7 #6): per bucket, the L2
+    distance between the delta's mean unit vector and the stored
+    center. A delta drawn from the indexed distribution lands near its
+    centers; an encoder change / distribution shift pushes the shift
+    up, and the caller refits when the n-weighted mean shift crosses
+    its threshold (``ivfpq_should_refit``).
+
+    Input must come from ``ivfpq_encode(..., keep_vec=True)``. Plan:
+    one posexplode + per-(bucket, dim) partial-agg mean (map-side
+    combinable), broadcast join with the tiny center table — no
+    corpus access, delta-sized.
+    """
+    center_df = encoded_delta.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "bucket int, center array<double>",
+    )
+    comp = (
+        encoded_delta.select(
+            "bucket", F.posexplode("vec").alias("p", "x")
+        )
+        .groupBy("bucket", "p")
+        .agg(F.avg("x").alias("mean_x"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        comp.join(F.broadcast(center_df), "bucket")
+        .select(
+            "bucket",
+            "n",
+            ((F.col("mean_x") - F.element_at("center", F.col("p") + 1)) ** 2).alias(
+                "sq"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.max("n").cast("bigint").alias("n_delta"),
+            F.round(F.sqrt(F.sum("sq")), round_dp).alias("centroid_shift"),
+        )
+    )
+
+
+def ivfpq_should_refit(drift_report: DataFrame, threshold: float) -> bool:
+    """Refit decision from an ``ivf_drift_report``: True when the
+    n-weighted mean per-list centroid shift exceeds ``threshold``.
+    Weighted so a handful of vectors landing far from a rarely-hit
+    list can't force a full retrain, while a corpus-wide shift does.
+    One 1-row aggregate — the only driver pull, and it IS the decision."""
+    row = drift_report.agg(
+        (
+            F.sum(F.col("centroid_shift") * F.col("n_delta"))
+            / F.sum("n_delta")
+        ).alias("w_shift")
+    ).collect()[0]
+    return row.w_shift is not None and row.w_shift > threshold
+
+
 def mmr_rerank(
     vectors: DataFrame,
     candidates: DataFrame,

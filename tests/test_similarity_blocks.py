@@ -335,3 +335,122 @@ def test_sized_sig_bits_choice_sits_on_measured_sweep_knee(spark):
     # within 8x of target (catches a sizer that returns max-ish bits
     # for a tiny corpus — the curve's right-of-knee region).
     assert n / 2**bits >= 64 / 8, (n, bits)
+
+
+# ---------------------------------------------------------------------------
+# Delta-only IVFPQ maintenance (VERDICT r7 #6): frozen-artifact encode
+# is a pure per-row function, drift decides refit-vs-append, append
+# touches only the delta's coarse lists.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_artifacts(spark):
+    from listenbrainz_server_spark.operators.similarity import (
+        ivfpq_train_artifacts,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    centers, books = ivfpq_train_artifacts(
+        base, "vec_id", "embedding", dims=64, n_centroids=8, m=8
+    )
+    return emb, base, centers, books
+
+
+def _canon_index(df):
+    return sorted((r.nid, r.bucket, tuple(r.codes)) for r in df.collect())
+
+
+def test_ivfpq_delta_encode_equals_full(spark, ivfpq_artifacts):
+    """base-encode ∪ delta-encode must be EXACTLY the full re-encode
+    under the same frozen artifacts — encoding is per-row pure, so
+    append-only maintenance never diverges from a rebuild."""
+    from listenbrainz_server_spark.operators.similarity import ivfpq_encode
+
+    emb, base, centers, books = ivfpq_artifacts
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    enc = lambda df: ivfpq_encode(df, "vec_id", "embedding", centers, books)
+    combined = _canon_index(enc(base)) + _canon_index(enc(delta))
+    assert sorted(combined) == _canon_index(enc(emb))
+
+
+def test_ivfpq_drift_trigger(spark, ivfpq_artifacts):
+    """Organic delta (same distribution) stays under the refit
+    threshold; a constant-offset distribution shift crosses it."""
+    from listenbrainz_server_spark.operators.similarity import (
+        ivf_drift_report,
+        ivfpq_encode,
+        ivfpq_should_refit,
+    )
+    from listenbrainz_server_spark.queries.similarity import (
+        _DRIFT_REFIT_THRESHOLD,
+    )
+
+    emb, base, centers, books = ivfpq_artifacts
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    organic = ivf_drift_report(
+        ivfpq_encode(delta, "vec_id", "embedding", centers, books, keep_vec=True),
+        centers,
+    )
+    assert not ivfpq_should_refit(organic, _DRIFT_REFIT_THRESHOLD)
+    shifted = delta.select(
+        "vec_id", F.transform("embedding", lambda x: x + F.lit(0.5)).alias("embedding")
+    )
+    drifted = ivf_drift_report(
+        ivfpq_encode(shifted, "vec_id", "embedding", centers, books, keep_vec=True),
+        centers,
+    )
+    assert ivfpq_should_refit(drifted, _DRIFT_REFIT_THRESHOLD)
+    # The stat itself is ordered the right way, not just thresholded.
+    w = lambda rep: (
+        rep.agg(
+            (F.sum(F.col("centroid_shift") * F.col("n_delta")) / F.sum("n_delta"))
+        ).collect()[0][0]
+    )
+    assert w(drifted) > 2 * w(organic)
+
+
+def test_ivfpq_append_touches_only_affected_lists(spark, ivfpq_artifacts, tmp_path):
+    """Affected-list pruning (the tests/test_incremental.py:42 rule at
+    the index layer): appending a delta adds files ONLY under the
+    bucket= dirs its vectors land in; every other coarse list's file
+    set is untouched."""
+    import os
+
+    from listenbrainz_server_spark.operators.similarity import ivfpq_encode
+
+    emb, base, centers, books = ivfpq_artifacts
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    state = str(tmp_path / "index")
+    ivfpq_encode(base, "vec_id", "embedding", centers, books).write.partitionBy(
+        "bucket"
+    ).parquet(state)
+
+    def listing():
+        out = {}
+        for d in os.listdir(state):
+            if d.startswith("bucket="):
+                p = os.path.join(state, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = listing()
+    delta_idx = ivfpq_encode(delta, "vec_id", "embedding", centers, books)
+    delta_buckets = {
+        f"bucket={r.bucket}" for r in delta_idx.select("bucket").distinct().collect()
+    }
+    delta_idx.write.mode("append").partitionBy("bucket").parquet(state)
+    after = listing()
+    for d, files in before.items():
+        if d not in delta_buckets:
+            assert after[d] == files, f"untouched list {d} was rewritten"
+    for d in delta_buckets:
+        assert len(after[d]) > len(before.get(d, [])), f"no delta files in {d}"
+    # And the maintained index is complete: every vector indexed once.
+    n = spark.read.parquet(state).count()
+    assert n == emb.where(F.col("vec_id").isNotNull()).count()
