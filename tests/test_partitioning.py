@@ -105,3 +105,75 @@ def test_zorder_layout_prunes_secondary_dimension(spark, tmp_path):
     # the z-ordered layout concentrates an hour range.
     assert u_hit >= u_total - 1
     assert z_hit < u_hit
+
+
+def test_zone_map_report_drives_measured_prune(spark, tmp_path):
+    """Close the zone-map loop (VERDICT r7 #7): x_zone_map_report
+    PREDICTS skippability per (event_type, day) zone under
+    value >= 400; here the events table is physically laid out by that
+    zone key (one file per zone) and the prediction is checked against
+    ACTUAL scan behavior two ways:
+
+    (a) stats view — the bare value-predicate draws surviving rows
+        from exactly the non-skippable zones' files (parquet row-group
+        min/max would skip the rest: every other file's vmax < 400);
+    (b) report-driven prune — feeding the report's non-skippable zone
+        list back as a partition predicate prunes the scan to exactly
+        that many files (PartitionFilters in the plan), and the pruned
+        scan is LOSSLESS for the value predicate (same row count as
+        the full scan — the min/max semantics guarantee no qualifying
+        row lives in a skippable zone)."""
+    from functools import reduce
+
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.01"
+    reg = load_all()
+    report = reg["x_zone_map_report"].fn(spark, sf)
+    nonskip = [
+        (r.event_type, r.day)
+        for r in report.where(~F.col("skippable")).collect()
+    ]
+    n_zones = report.count()
+    assert 0 < len(nonskip) < n_zones  # the fixture makes pruning real
+
+    path = str(tmp_path / "events_zoned")
+    ev = load_table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    # Hash-repartition on the zone key first: each zone lands wholly in
+    # one task, so partitionBy writes exactly one file per zone dir.
+    ev.repartition("event_type", "day").write.partitionBy(
+        "event_type", "day"
+    ).parquet(path)
+    zoned = spark.read.parquet(path)
+    total_files = zoned.select(F.input_file_name()).distinct().count()
+    assert total_files == n_zones
+
+    # (a) value predicate alone: only non-skippable zones' files yield rows.
+    touched = (
+        zoned.where(F.col("value") >= 400.0)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert touched == len(nonskip)
+
+    # (b) the report as a pruning plan: zone-key IN-list → partition prune.
+    pred = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("event_type") == et) & (F.col("day") == F.lit(d))
+            for et, d in nonskip
+        ],
+    )
+    pruned = zoned.where(pred)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    files_after_prune = pruned.select(F.input_file_name()).distinct().count()
+    assert files_after_prune == len(nonskip)
+    assert (
+        pruned.where(F.col("value") >= 400.0).count()
+        == zoned.where(F.col("value") >= 400.0).count()
+    )
