@@ -1724,6 +1724,60 @@ def t_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast. smooth idf = ln((1+N)/(1+df)) + 1 keeps zero divisions
 # out at any scale.
 # --------------------------------------------------------------------------
+def _tfidf_top10(spark: SparkSession, sf_dir: str):
+    """Shared build for the tf-idf pair tier: each doc's top-10 bigram
+    terms with integer-quantized weights + the term's corpus df, pinned
+    once, and the per-doc squared norm. Returns ``(top10, ssq)``."""
+    from pyspark.sql import Window
+
+    from listenbrainz_server_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Doc-keyed explicit repartition: parallelize the bigram explode
+    # by document, not input-file split (operators/dedup.py:55 rule).
+    words = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is one row per (doc, term), so DF is a plain count over it —
+    # no second explode, no count_distinct shuffle.
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
+    )
+    top10 = (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") <= 10)
+        .select(
+            "doc_id",
+            "w",
+            "df",
+            F.round(F.col("tfidf") * 1000000).cast("bigint").alias("ti"),
+        )
+        # Pin: feeds ssq + both join sides; without it each consumer
+        # re-runs the bigram explode, two aggregates, and the window.
+        # 10 rows/doc — tiny relative to the lineage it cuts.
+        .localCheckpoint(eager=True)
+    )
+    ssq = top10.groupBy("doc_id").agg(F.sum(F.col("ti") * F.col("ti")).alias("s"))
+    return top10, ssq
+
+
 @register(
     "t_tfidf_cosine_pairs",
     """
@@ -1783,52 +1837,22 @@ def t_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every aggregate is order-free bigint arithmetic; the only floats
     are one sqrt and one division over exact integers — deterministic
     in any engine.
+
+    Superlinearity finding (r8 sf1 scaling smoke, SCALING.md): on the
+    densified 10× fixture the term-join candidate volume grows
+    6.8M → 711M (×104, quadratic in posting density) and wall time
+    ×53 — partial aggregation halves the per-candidate cost but the
+    enumeration is the floor for an EXACT all-pairs join. A Bayardo
+    (WWW'07) prefix filter was implemented and MEASURED ineffective
+    here — 0.08% pruning, because ~equal-weight 10-term vectors put
+    every term above the (t/2)² suffix budget — and reverted. On
+    natural corpora vocabulary grows with the corpus (Heaps' law), so
+    posting density — and this cost — stays near-linear; for corpora
+    that are genuinely this dense, the bounded-posting variant below
+    (``t_tfidf_cosine_pairs_capped``) restricts candidate generation
+    to discriminative terms and is the designed linear-cost path.
     """
-    from pyspark.sql import Window
-
-    from listenbrainz_server_spark.functions.text import shingles
-
-    docs = load_table(spark, sf_dir, "documents")
-    # Doc-keyed explicit repartition: parallelize the bigram explode
-    # by document, not input-file split (operators/dedup.py:55 rule).
-    words = docs.repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    ).select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("w"))
-    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    # tf is one row per (doc, term), so DF is a plain count over it —
-    # no second explode, no count_distinct shuffle.
-    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(df_t, "w")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "w",
-            F.round(
-                F.col("tf")
-                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
-                6,
-            ).alias("tfidf"),
-        )
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
-    )
-    top10 = (
-        scored.withColumn("rn", rn)
-        .where(F.col("rn") <= 10)
-        .select(
-            "doc_id",
-            "w",
-            F.round(F.col("tfidf") * 1000000).cast("bigint").alias("ti"),
-        )
-        # Pin: feeds ssq + both join sides; without it each consumer
-        # re-runs the bigram explode, two aggregates, and the window.
-        # 10 rows/doc — tiny relative to the lineage it cuts.
-        .localCheckpoint(eager=True)
-    )
-    ssq = top10.groupBy("doc_id").agg(F.sum(F.col("ti") * F.col("ti")).alias("s"))
+    top10, ssq = _tfidf_top10(spark, sf_dir)
     a = top10.select(F.col("doc_id").alias("id_a"), "w", F.col("ti").alias("ta"))
     b = top10.select(F.col("doc_id").alias("id_b"), "w", F.col("ti").alias("tb"))
     dots = (
@@ -1842,6 +1866,113 @@ def t_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.col("dp") / (F.sqrt("s_a") * F.sqrt("s_b"))
     return (
         dots.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(sim >= 0.5)
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounded-posting tf-idf pairs (r8, the SCALING.md fix task for
+# t_tfidf_cosine_pairs' superlinear candidate volume): candidate
+# generation runs only over DISCRIMINATIVE terms (corpus df ≤ 100 —
+# the stop-bigram cut; a bounded posting list caps the per-term join
+# at cap² rows, so candidate volume is O(cap · Σ postings) = LINEAR
+# in the corpus where the exact query's Σ posting² is quadratic).
+# Candidates are then scored EXACTLY on the full top-10 vectors —
+# each doc's terms packed into a map, one row per candidate pair, dp
+# via an order-free integer map-lookup aggregate — so every emitted
+# pair carries the same sim the exact query would give it; what the
+# cap changes is the CONTRACT: only pairs sharing a discriminative
+# term are reported (a pair similar purely through stop-bigrams is
+# boilerplate, not near-duplication — the d_hot_shingles argument at
+# the scoring tier). Oracle mirrors the cap verbatim.
+# --------------------------------------------------------------------------
+_TFIDF_DF_CAP = 100
+
+
+@register(
+    "t_tfidf_cosine_pairs_capped",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    words AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                      i -> array_to_string(t[i:i+1], ' '))) AS w
+        FROM toks
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w, df.df,
+               ROUND(tf.tf * (LN((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+    ),
+    top10 AS (
+        SELECT doc_id, w, df,
+               CAST(ROUND(tfidf * 1000000) AS BIGINT) AS ti
+        FROM (SELECT doc_id, w, df, tfidf,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, w ASC) AS rn
+              FROM scored)
+        WHERE rn <= 10
+    ),
+    ssq AS (SELECT doc_id, SUM(ti * ti) AS s FROM top10 GROUP BY doc_id),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM top10 a JOIN top10 b ON a.w = b.w AND a.doc_id < b.doc_id
+        WHERE a.df <= {_TFIDF_DF_CAP} AND b.df <= {_TFIDF_DF_CAP}
+    ),
+    dots AS (
+        SELECT c.id_a, c.id_b, SUM(a.ti * b.ti) AS dp
+        FROM cand c
+        JOIN top10 a ON a.doc_id = c.id_a
+        JOIN top10 b ON b.doc_id = c.id_b AND b.w = a.w
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(dp / (sqrt(sa.s) * sqrt(sb.s)), 6) AS sim
+    FROM dots
+    JOIN ssq sa ON sa.doc_id = id_a
+    JOIN ssq sb ON sb.doc_id = id_b
+    WHERE dp / (sqrt(sa.s) * sqrt(sb.s)) >= 0.5
+    """,
+    doc=f"bounded-posting tf-idf cosine pairs: candidates only from "
+    f"discriminative terms (df <= {_TFIDF_DF_CAP}), scored exactly on "
+    "the full top-10 vectors (map-packed, order-free integer dot) — "
+    "the linear-candidate-volume path for stop-term-dense corpora",
+)
+def t_tfidf_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top10, ssq = _tfidf_top10(spark, sf_dir)
+    idx = top10.where(F.col("df") <= _TFIDF_DF_CAP)
+    cand = (
+        idx.select(F.col("doc_id").alias("id_a"), "w")
+        .join(idx.select(F.col("doc_id").alias("id_b"), "w"), "w")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = top10.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "ti"))).alias("m")
+    )
+    dp = F.aggregate(
+        F.map_entries("ma"),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc
+        + e["value"] * F.coalesce(F.element_at("mb", e["key"]), F.lit(0)),
+    )
+    pairs = (
+        cand.join(vecs.select(F.col("doc_id").alias("id_a"), F.col("m").alias("ma")), "id_a")
+        .join(vecs.select(F.col("doc_id").alias("id_b"), F.col("m").alias("mb")), "id_b")
+        .select("id_a", "id_b", dp.alias("dp"))
+    )
+    sa = ssq.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = ssq.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    sim = F.col("dp") / (F.sqrt("s_a") * F.sqrt("s_b"))
+    return (
+        pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .where(sim >= 0.5)
         .select("id_a", "id_b", F.round(sim, 6).alias("sim"))

@@ -1,0 +1,72 @@
+"""At-head artifact coverage — the VERDICT r7 #1 invariant made
+STRUCTURAL (4th recurrence of the drift: r3, r4, r5, r7): the test
+suite itself fails if the committed full-registry artifacts
+(CHECK_full_r*.json, BENCH_full_latest.json, PLAN_AUDIT.md) don't
+cover every registered query. A round can no longer end green with
+queries registered after the last `tools/endround.py` run — the
+snapshot commit would carry a red suite.
+
+The rule this encodes: anything registered in the round's last
+working commit triggers `tools/endround.py` (which regenerates all
+three artifacts and fails on drift) BEFORE the snapshot.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry_names():
+    from listenbrainz_server_spark.queries import load_all
+
+    return set(load_all())
+
+
+def test_check_full_covers_registry():
+    reg = _registry_names()
+    paths = sorted(glob.glob(os.path.join(REPO, "CHECK_full_r*.json")))
+    assert paths, "no CHECK_full artifact committed — run tools/endround.py"
+    with open(paths[-1]) as f:
+        check = json.load(f)
+    covered = set(check.get("queries", {}))
+    missing = sorted(reg - covered)
+    assert not missing, (
+        f"{paths[-1]} missing {len(missing)} registered queries "
+        f"({missing[:5]}…) — run tools/endround.py before the snapshot commit"
+    )
+    assert check.get("n_fail", 1) == 0
+
+
+def test_bench_full_covers_registry():
+    reg = _registry_names()
+    path = os.path.join(REPO, "BENCH_full_latest.json")
+    assert os.path.exists(path), "run tools/endround.py"
+    with open(path) as f:
+        bench = json.load(f)
+    covered = set(bench.get("queries", {})) | set(bench.get("errors", {}))
+    missing = sorted(reg - covered)
+    assert not missing, (
+        f"BENCH_full_latest.json missing {len(missing)} queries "
+        f"({missing[:5]}…) — run tools/endround.py before the snapshot commit"
+    )
+
+
+def test_plan_audit_covers_registry():
+    reg = _registry_names()
+    path = os.path.join(REPO, "PLAN_AUDIT.md")
+    assert os.path.exists(path), "run tools/endround.py"
+    audit = open(path).read()
+    rows = set(
+        m.group(1)
+        for m in re.finditer(r"^\| (?!query \|)(\w+)", audit, re.M)
+    )
+    missing = sorted(reg - rows)
+    assert not missing, (
+        f"PLAN_AUDIT.md missing {len(missing)} queries ({missing[:5]}…) — "
+        "run tools/endround.py before the snapshot commit"
+    )
