@@ -100,15 +100,29 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     run_all = "--all" in sys.argv
+    # --only a,b,c: bench just those names with --all semantics and MERGE
+    # the results into BENCH_full_latest.json (delta-mode endround — keeps
+    # the at-head artifact invariant cheap per-registration instead of a
+    # full ~4 min sweep; tests/test_artifacts.py enforces the coverage).
+    only: list[str] = []
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        run_all = True
 
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
-    names = (
-        sorted(registry)
-        if run_all
-        else [n for n in HEADLINE + HEADLINE_NEW if n in registry]
-    )
+    if only:
+        unknown = [n for n in only if n not in registry]
+        if unknown:
+            raise SystemExit(f"--only names not in registry: {unknown}")
+        names = only
+    else:
+        names = (
+            sorted(registry)
+            if run_all
+            else [n for n in HEADLINE + HEADLINE_NEW if n in registry]
+        )
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # query execution, not session cold-start.
@@ -174,9 +188,29 @@ def main() -> None:
         # full registry (VERDICT r2 #5) — the stdout line stays the
         # driver's parse target. Per-run samples let a reader separate
         # noise from regression without re-running.
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_full_latest.json"), "w") as f:
-            json.dump({**out, "samples": samples_by_query}, f, indent=1)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_full_latest.json")
+        artifact = {**out, "samples": samples_by_query}
+        if only and os.path.exists(path):
+            with open(path) as f:
+                prior = json.load(f)
+            merged_q = {**prior.get("queries", {}), **timings}
+            merged_s = {**prior.get("samples", {}), **samples_by_query}
+            merged_e = {**prior.get("errors", {}), **errors}
+            for n in timings:  # a now-passing query clears its old error
+                merged_e.pop(n, None)
+            artifact = {
+                **prior,
+                "queries": merged_q,
+                "samples": merged_s,
+                "value": round(sum(merged_q.values()), 2),
+            }
+            if merged_e:
+                artifact["errors"] = merged_e
+            else:
+                artifact.pop("errors", None)
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1)
     print(json.dumps(out, separators=(",", ":")))
 
 

@@ -1,7 +1,12 @@
 """Sweep every registered query's physical plan for scale red flags:
 row-at-a-time Python UDFs (BatchEvalPython), cartesian products,
 sort-merge joins where a broadcast was expected, and count exchanges.
-Writes PLAN_AUDIT.md. Usage: python tools/audit_plans.py
+Writes PLAN_AUDIT.md. Usage: python tools/audit_plans.py [name ...]
+
+With explicit names, audits ONLY those queries and merges their rows
+into the existing PLAN_AUDIT.md (delta-mode endround); red flags are
+re-derived from the merged table plus a fresh source-level collect
+sweep, so a delta run cannot hide a flag an earlier full run raised.
 """
 
 from __future__ import annotations
@@ -20,6 +25,10 @@ def main() -> None:
     spark = get_session("audit")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    unknown = [n for n in only if n not in registry]
+    if unknown:
+        raise SystemExit(f"names not in registry: {unknown}")
     lines = [
         "# PLAN AUDIT — physical-plan scan of every registered query",
         "",
@@ -36,28 +45,47 @@ def main() -> None:
         "| query | exchanges | BHJ | SMJ | cartesian | rowPyUDF | arrowPy |",
         "|---|---|---|---|---|---|---|",
     ]
-    bad = []
-    for name, q in sorted(registry.items()):
+    rows: dict[str, str] = {}
+    if only:
+        # Delta mode: start from the committed audit's rows, re-audit
+        # only the requested names.
+        import re as _re
+
+        prior = open("/root/repo/PLAN_AUDIT.md").read()
+        for m in _re.finditer(r"^\| (?!query \|)(\w+)(.*)$", prior, _re.M):
+            rows[m.group(1)] = f"| {m.group(1)}{m.group(2)}"
+        rows = {n: r for n, r in rows.items() if n in registry}
+    for name in sorted(only) if only else sorted(registry):
+        q = registry[name]
         try:
             df = q.fn(spark, SF)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
         except Exception as e:  # noqa: BLE001
-            lines.append(f"| {name} | ERROR: {e} | | | | | |")
+            rows[name] = f"| {name} | ERROR: {e} | | | | | |"
             continue
         tree = plan.split("\n\n")[0]
         row_udf = tree.count("BatchEvalPython")
         cart = tree.count("CartesianProduct")
         arrow = tree.count("ArrowEvalPython") + tree.count("MapInPandas")
-        lines.append(
+        rows[name] = (
             f"| {name} | {tree.count('Exchange')} | "
             f"{tree.count('BroadcastHashJoin')} | {tree.count('SortMergeJoin')} | "
             f"{cart} | {row_udf} | {arrow} |"
         )
-        if row_udf:
+    lines += [rows[n] for n in sorted(rows)]
+    # Flags derived from the (possibly merged) table so a delta run
+    # cannot drop a flag a prior full run raised.
+    bad = []
+    for name in sorted(rows):
+        cells = [c.strip() for c in rows[name].split("|")[1:-1]]
+        if len(cells) < 7 or cells[1].startswith("ERROR"):
+            bad.append(f"{name}: {cells[1] if len(cells) > 1 else 'unparsable row'}")
+            continue
+        if cells[5] not in ("", "0"):
             bad.append(f"{name}: row-at-a-time Python UDF")
-        if cart and name != "m_als_recommend":
+        if cells[4] not in ("", "0") and name != "m_als_recommend":
             # ALS recommendForAllUsers block-cross-joins factor blocks
             # inside Spark ML — that IS the blocked algorithm (bounded
             # by rank×block sizes), not a planning miss.

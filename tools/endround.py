@@ -2,7 +2,7 @@
 at-head artifacts and REFUSE to pass unless each covers every
 registered query.
 
-    python tools/endround.py [round_number]
+    python tools/endround.py [round_number] [--delta]
 
 Runs, in order:
   1. tools/check.py --json CHECK_full_r{N}.json  (full oracle gate,
@@ -15,6 +15,18 @@ Then asserts len(artifact) == len(registry) for all three and exits
 non-zero on any shortfall — the artifact-drift failure mode of rounds
 3-5 (BENCH_full/PLAN_AUDIT missing final-commit queries, CHECK_full
 never committed) becomes a hard error instead of a memory.
+
+--delta (VERDICT r7 #1, the structural fix): instead of the full
+~15 min sweep, compute the set of registered names MISSING from each
+committed artifact and run check/bench/audit for just those, merging
+into the artifacts (CHECK_full_r{N}.json starts from the newest
+committed CHECK_full; bench.py --only and audit_plans.py <names>
+merge natively). The coverage assertions at the end are identical to
+the full path, and tests/test_artifacts.py keeps the suite red until
+this has run — so registering a query and running `endround.py N
+--delta` before its commit is cheap enough to be the per-registration
+norm, which is what makes the invariant structural rather than
+remembered.
 """
 
 from __future__ import annotations
@@ -31,26 +43,111 @@ sys.path.insert(0, REPO)
 from listenbrainz_server_spark.queries import load_all  # noqa: E402
 
 
+def _delta_steps(registry, check_path):
+    """Build (label, thunk) steps that re-run check/bench/audit for
+    ONLY the registered names each committed artifact is missing, then
+    merge. A thunk returns an error string or None."""
+    import glob
+
+    reg = set(registry)
+
+    def run_check():
+        prior_paths = sorted(glob.glob(os.path.join(REPO, "CHECK_full_r*.json")))
+        prior = json.load(open(prior_paths[-1])) if prior_paths else {"queries": {}}
+        missing = sorted(reg - set(prior["queries"]))
+        if not missing:
+            if os.path.abspath(prior_paths[-1]) != os.path.abspath(check_path):
+                json.dump(prior, open(check_path, "w"), indent=1)
+            print("  check: nothing missing")
+            return None
+        print(f"  check delta: {missing}")
+        tmp = check_path + ".delta"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/check.py"),
+             "/root/testdata/sf0.01", *missing, "--json", tmp],
+            cwd=REPO,
+        )
+        if r.returncode != 0:
+            return f"delta check exited {r.returncode}"
+        new = json.load(open(tmp))
+        os.remove(tmp)
+        merged_q = {**prior["queries"], **new["queries"]}
+        by = lambda s: sum(1 for v in merged_q.values() if v.get("status") == s)
+        json.dump(
+            {**prior, "queries": merged_q, "n_pass": by("pass"),
+             "n_fail": by("fail"), "n_rows_only": by("rows_only"),
+             "n_registry": len(registry), "sf_dir": "/root/testdata/sf0.01"},
+            open(check_path, "w"), indent=1, sort_keys=True,
+        )
+        return None
+
+    def run_bench():
+        path = os.path.join(REPO, "BENCH_full_latest.json")
+        prior = json.load(open(path)) if os.path.exists(path) else {}
+        covered = set(prior.get("queries", {})) | set(prior.get("errors", {}))
+        missing = sorted(reg - covered)
+        if not missing:
+            print("  bench: nothing missing")
+            return None
+        print(f"  bench delta: {missing}")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--only", ",".join(missing)],
+            cwd=REPO,
+        )
+        return f"delta bench exited {r.returncode}" if r.returncode else None
+
+    def run_audit():
+        path = os.path.join(REPO, "PLAN_AUDIT.md")
+        covered = set()
+        if os.path.exists(path):
+            covered = set(re.findall(r"^\| (?!query \|)(\w+)", open(path).read(), re.M))
+        missing = sorted(reg - covered)
+        if not missing:
+            print("  audit: nothing missing")
+            return None
+        print(f"  audit delta: {missing}")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/audit_plans.py"), *missing],
+            cwd=REPO,
+        )
+        return f"delta audit exited {r.returncode}" if r.returncode else None
+
+    return [("oracle gate", run_check), ("full bench", run_bench),
+            ("plan audit", run_audit)]
+
+
 def main() -> int:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "0"
+    args = [a for a in sys.argv[1:] if a != "--delta"]
+    delta = "--delta" in sys.argv[1:]
+    rnd = args[0] if args else "0"
     registry = load_all()
     n_reg = len(registry)
     print(f"registry: {n_reg} queries")
     check_path = os.path.join(REPO, f"CHECK_full_r{int(rnd):02d}.json")
 
-    steps = [
-        (
-            "oracle gate",
-            [sys.executable, os.path.join(REPO, "tools/check.py"),
-             "/root/testdata/sf0.01", "--json", check_path],
-        ),
-        ("full bench", [sys.executable, os.path.join(REPO, "bench.py"), "--all"]),
-        ("plan audit", [sys.executable, os.path.join(REPO, "tools/audit_plans.py")]),
-    ]
+    if delta:
+        steps = _delta_steps(registry, check_path)
+    else:
+        steps = [
+            (
+                "oracle gate",
+                [sys.executable, os.path.join(REPO, "tools/check.py"),
+                 "/root/testdata/sf0.01", "--json", check_path],
+            ),
+            ("full bench", [sys.executable, os.path.join(REPO, "bench.py"), "--all"]),
+            ("plan audit", [sys.executable, os.path.join(REPO, "tools/audit_plans.py")]),
+        ]
     failures: list[str] = []
-    for label, cmd in steps:
-        print(f"== {label}: {' '.join(os.path.basename(c) for c in cmd[1:])}")
-        r = subprocess.run(cmd, cwd=REPO)
+    for label, step in steps:
+        if callable(step):
+            print(f"== {label} (delta)")
+            err = step()
+            if err:
+                failures.append(f"{label}: {err}")
+            continue
+        print(f"== {label}: {' '.join(os.path.basename(c) for c in step[1:])}")
+        r = subprocess.run(step, cwd=REPO)
         if r.returncode != 0:
             failures.append(f"{label} exited {r.returncode}")
 
