@@ -196,11 +196,11 @@ def trending_rank_sink(
         )
         state = batch_df.sparkSession.read.parquet(counts_path)
         rk = W.partitionBy("w_start").orderBy(F.col("n").desc(), F.col(key_col))
-        ranked = (
-            state.withColumn("rank", F.row_number().over(rk).cast("bigint"))
-            .where(F.col("rank") <= top_k)
-            .localCheckpoint(eager=True)
-        )
+        ranked = state.withColumn(
+            "rank", F.row_number().over(rk).cast("bigint")
+        ).where(F.col("rank") <= top_k)
+        # Lineage reads counts_path, not ranked_path — no checkpoint
+        # needed even under the swap's rename discipline.
         atomic_swap_write(ranked, ranked_path)
 
     q = (
@@ -304,9 +304,9 @@ def foreach_batch_upsert(
             merged = combine_aggregates(existing, delta, keys, sum_cols)
         else:
             merged = delta
-        # The state feeding the swap must be fully materialized BEFORE
-        # the old dir is renamed aside (the plan reads state_path).
-        merged = merged.localCheckpoint(eager=True)
+        # Self-referential plan (reads state_path) is safe without a
+        # checkpoint: atomic_swap_write materializes into a __tmp
+        # sibling BEFORE any rename touches state_path.
         atomic_swap_write(merged, state_path)
 
     q = (
@@ -350,8 +350,8 @@ def merge_latest_into_state(
         merged = _latest(existing.unionByName(winners))
     else:
         merged = winners
-    # Materialize BEFORE the swap (the plan reads state_path).
-    merged = merged.localCheckpoint(eager=True)
+    # Self-referential plan (reads state_path) needs no checkpoint:
+    # atomic_swap_write's write-to-__tmp completes before the renames.
     atomic_swap_write(merged, state_path)
 
 

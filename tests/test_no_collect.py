@@ -27,6 +27,9 @@ ALLOWED = {
     ("operators/similarity.py", "_iter_ref_blocks"),
     # PQ codebook fit: capped at 4096 sample rows (documented).
     ("operators/similarity.py", "pq_train_codebooks"),
+    # Refit trigger: one 1-row weighted-mean aggregate — the pull IS
+    # the boolean decision (r8 delta-IVFPQ maintenance).
+    ("operators/similarity.py", "ivfpq_should_refit"),
 }
 
 
