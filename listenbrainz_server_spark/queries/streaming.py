@@ -295,9 +295,13 @@ def st_trending_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state and drop legitimately-replayed rows — the availableNow
     # drain bounds state instead. A live ingest (roughly time-ordered)
     # passes a real watermark; tests/test_streaming.py pins that form.
+    # state_partitions=8: state is |windows × event_types| (~hundreds
+    # of rows) — the store's per-trigger commit cost tracks partition
+    # count, and the exchange feeding it carries only map-side partials
+    # (see state_partition_conf). Measured 8.5 → 5.2 s at 4 triggers.
     trending_rank_sink(
         stream, "ts", "event_type", counts_path, ranked_path, top_k=3,
-        watermark=None,
+        watermark=None, state_partitions=8,
     )
     return spark.read.parquet(ranked_path).select(
         "w_start", "event_type", "n", "rank"
@@ -337,16 +341,23 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, log_dir, spark.read.parquet(log_dir).schema, max_files=2
     )
     sink_name = "st_stateful_totals_sink"
-    q = (
-        running_user_totals(stream)
-        .writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .option("checkpointLocation", root + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    from listenbrainz_server_spark.streaming.jobs import state_partition_conf
+
+    # applyInPandasWithState ships full rows to the state partitioning
+    # (no partial agg), so the count must cover the Python stage too:
+    # 150 user keys / 8 partitions ≈ 19 keys per Arrow task, vs 32
+    # near-empty tasks paying per-trigger store commits.
+    with state_partition_conf(spark, 8):
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
     # Update mode appends one row per key per trigger; the final state
     # per user is the one with the largest running count (monotonic).
     emitted = spark.table(sink_name)
