@@ -334,3 +334,100 @@ def g_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ppr").desc(), "node")
         .limit(_TOPK)
     )
+
+
+_LPA_ITERS = 4
+
+
+def _label_prop_sql() -> str:
+    """Chained-CTE synchronous weighted-mode label propagation."""
+    steps = []
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        steps.append(
+            f"""l{i} AS (
+        SELECT node, lab FROM (
+            SELECT w.dst AS node, r.lab AS lab,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY w.dst
+                       ORDER BY SUM(w.w) DESC, r.lab
+                   ) AS rn
+            FROM w JOIN {prev} r ON r.node = w.src
+            GROUP BY w.dst, r.lab
+        ) WHERE rn = 1
+    )"""
+        )
+        prev = f"l{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e0 AS (
+        SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    w AS (SELECT src, dst, COUNT(*) AS w FROM edges GROUP BY 1, 2),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+    {chain}
+    SELECT CASE WHEN lab % 2 = 0 THEN 'c' || CAST(lab // 2 AS VARCHAR)
+                ELSE 's' || CAST((lab - 1) // 2 AS VARCHAR) END AS community,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM {prev}
+    GROUP BY lab
+    ORDER BY size DESC, community
+    LIMIT {_TOPK}
+    """
+
+
+@register(
+    "g_label_prop",
+    _label_prop_sql(),
+    doc=f"synchronous weighted-mode label propagation ({_LPA_ITERS} "
+    "unrolled iterations) over the shared pinned trade graph: each "
+    "node adopts the neighbor label with the highest incident edge "
+    "weight (ties to the smallest label — fully deterministic, "
+    f"integer-only so oracle parity is EXACT); top-{_TOPK} communities "
+    "by size. (src,dst,w)-aggregate, per-iteration (dst,label) "
+    "aggregate, and the dst-keyed argmax window all reuse the one "
+    "cached dst partitioning — exchange-free iterations",
+)
+def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+    contrib, outdeg = _trade_graph(spark, sf_dir)
+    # Initial label = own node id; |V| rows, broadcast each round.
+    labels = outdeg.select(F.col("src").alias("node"), F.col("src").alias("lab"))
+    # Synchronous update: new_label(v) = argmax_label Σ w(u,v) over
+    # neighbors u with label(u)=label, ties to min label. On a
+    # bipartite graph a synchronous sweep can 2-cycle rather than
+    # converge, so K is a FIXED unrolled depth mirrored exactly by the
+    # oracle (community quality at K=4 is the deliverable, like
+    # g_pagerank's fixed-depth damped walk). All arithmetic is bigint
+    # sums of bigint edge weights — no rounding contract needed.
+    # The argmax is a second aggregate, NOT a row_number window: the
+    # (dst,lab) sum is exchange-free over the hash(dst) cache and
+    # PROPAGATES that partitioning, so groupBy(dst) chains exchange-
+    # free too — where a window's required distribution-by-dst would
+    # re-shuffle (hash(dst,lab) clustering doesn't satisfy it).
+    # max(struct(tw, -lab)) = highest weight, ties to SMALLEST label.
+    for _ in range(_LPA_ITERS):
+        labels = (
+            contrib.join(
+                F.broadcast(labels.select(F.col("node").alias("src"), "lab")),
+                "src",
+            )
+            .groupBy("dst", "lab")
+            .agg(F.sum("w").alias("tw"))
+            .groupBy("dst")
+            .agg(F.max(F.struct(F.col("tw"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("lab"))
+        )
+    return (
+        labels.groupBy("lab")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .select(_node_label("lab").alias("community"), "size")
+        .orderBy(F.col("size").desc(), "community")
+        .limit(_TOPK)
+    )

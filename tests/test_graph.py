@@ -101,3 +101,50 @@ def test_ppr_teleports_only_to_seeds(spark):
     # Rank is sorted (ppr desc, node) — the registered contract.
     pairs = [(r.ppr, r.node) for r in rows]
     assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
+
+
+def test_label_prop_matches_pure_python_reference(spark):
+    """g_label_prop vs an independent pure-Python synchronous LPA
+    (weighted mode, ties to smallest label) over the same graph — pins
+    the argmax/tie-break semantics the SQL oracle shares with the
+    Spark side from a THIRD implementation, including the final
+    (size desc, community) report order."""
+    from collections import defaultdict
+
+    from listenbrainz_server_spark.queries.graph import (
+        _LPA_ITERS,
+        _TOPK,
+        g_label_prop,
+    )
+
+    contrib, outdeg = _trade_graph(spark, SF_SMOKE, partitions=4)
+    w = defaultdict(int)
+    for r in contrib.select("src", "dst", "w").collect():
+        w[(r.src, r.dst)] = r.w
+    contrib.unpersist()
+    outdeg.unpersist()
+    nodes = sorted({s for s, _ in w})
+    lab = {n: n for n in nodes}
+    for _ in range(_LPA_ITERS):
+        tw = defaultdict(int)
+        for (s, d), wt in w.items():
+            tw[(d, lab[s])] += wt
+        new = {}
+        for (d, L), t in tw.items():
+            cur = new.get(d)
+            if cur is None or (t, -L) > (cur[0], -cur[1]):
+                new[d] = (t, L)
+        lab = {d: L for d, (t, L) in new.items()}
+    sizes = defaultdict(int)
+    for L in lab.values():
+        sizes[L] += 1
+
+    def label_str(n):
+        return f"c{n // 2}" if n % 2 == 0 else f"s{(n - 1) // 2}"
+
+    expect = sorted(
+        ((label_str(L), c) for L, c in sizes.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:_TOPK]
+    got = [(r.community, r.size) for r in g_label_prop(spark, SF_SMOKE).collect()]
+    assert got == expect
