@@ -2711,3 +2711,137 @@ def x_zone_map_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vmax") < 400.0).alias("skippable"),
         F.round(F.col("n_rows") * 1.0 / F.col("total"), 6).alias("row_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min-Sketch heavy-hitter audit (r8): the mergeable
+# bounded-memory frequency sketch every 100 TB pipeline reaches for
+# when exact per-key counts stop fitting (Cormode & Muthukrishnan,
+# J.Alg'05). The sketch is D×W integer cells — CONSTANT size no matter
+# the input: each event increments one cell per hash row, so building
+# it is an explode(D) + groupBy(row, cell) whose partial aggregation
+# collapses every task's contribution to ≤ D·W cells before the (tiny)
+# shuffle, and two sketches merge by cell-wise addition (the same
+# combine). est(k) = min_j cells[j][h_j(k)] ≥ exact(k), always.
+#
+# Hashing is the repo's deterministic md5 convention (first 8 hex →
+# bigint, mod W), byte-identical in DuckDB, and all arithmetic is
+# integer — the oracle parity is exact. The report joins the estimate
+# against the EXACT top-20 so the CMS overcount is auditable: on this
+# near-uniform fixture the ε·N collision floor (ε ≈ e/W) is the same
+# order as the true counts, which is precisely the regime where a
+# sketch must NOT be trusted blindly — the overcount column is the
+# deliverable. Scale: sketch build is one bounded-size aggregate over
+# one scan; probes broadcast-join the ≤ D·W-row sketch.
+# --------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 2048
+
+
+def _cms_cell_sql(j: str, key: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || "
+        f"CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {_CMS_W}"
+    )
+
+
+def _cms_cell_spark(j, key):  # j: Column or int, key: Column
+    jc = F.lit(j) if isinstance(j, int) else j
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(jc.cast("string"), F.lit(":"), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+@register(
+    "x_heavy_hitters",
+    f"""
+    WITH rows_j AS (SELECT UNNEST(range({_CMS_D})) AS j),
+    cms AS (
+        SELECT j, {_cms_cell_sql("j", "user_id")} AS cell,
+               COUNT(*) AS c
+        FROM events CROSS JOIN rows_j
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT user_id, COUNT(*) AS exact_n
+        FROM events GROUP BY 1
+        ORDER BY exact_n DESC, user_id LIMIT 20
+    )
+    SELECT t.user_id, t.exact_n,
+           MIN(c.c) AS cms_est,
+           MIN(c.c) - t.exact_n AS overcount
+    FROM top t
+    CROSS JOIN rows_j j
+    JOIN cms c
+      ON c.j = j.j
+     AND c.cell = {_cms_cell_sql("j.j", "t.user_id")}
+    GROUP BY t.user_id, t.exact_n
+    ORDER BY exact_n DESC, user_id
+    """,
+    doc=f"Count-Min-Sketch ({_CMS_D}x{_CMS_W}, deterministic md5 rows) "
+    "heavy-hitter audit: constant-size mergeable sketch built in one "
+    "bounded aggregate; exact top-20 users joined against their CMS "
+    "estimate with the (always >= 0) overcount exposed — integer-only, "
+    "oracle parity exact",
+)
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    # Build: one scan, explode to D (j, cell) pairs per event, count.
+    # Partial agg bounds every task's output at D·W cells.
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_cell_spark(j, F.col("user_id")).alias("cell"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("e")
+    ).select("e.j", "e.cell")
+    cms = cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c"))
+
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_cell_spark(j, F.col("user_id")).alias("cell"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_n", "p.j", "p.cell")
+    return (
+        probes.join(F.broadcast(cms), ["j", "cell"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )

@@ -1125,3 +1125,21 @@ def test_stratified_sample_exact_integer_quota(spark):
     assert quota.q == 3
     big = (1 << 55) + 3  # n*0.1 in doubles cannot represent this quota
     assert (big + 9) // 10 != math.ceil(big * 0.1)
+
+
+def test_cms_heavy_hitters_invariants(spark):
+    """CMS guarantees: est(k) >= exact(k) for every key (min over rows
+    of counters that each include all of k's increments), and the
+    sketch is CONSTANT-size (<= D*W cells regardless of input)."""
+    from listenbrainz_server_spark.queries.extras import (
+        _CMS_D,
+        _CMS_W,
+        x_heavy_hitters,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = x_heavy_hitters(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= 20  # sf0.001 has fewer than 20 users
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.cms_est == r.exact_n + r.overcount for r in rows)
+    assert _CMS_D * _CMS_W < 10_000  # the bounded-state contract
