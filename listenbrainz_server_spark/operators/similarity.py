@@ -1607,3 +1607,144 @@ def mmr_rerank(
         )
 
     return g.groupBy("qid").applyInPandas(select_group, out_schema)
+
+
+def semdedup(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    n_clusters: int = 16,
+    tau: float = 0.4,
+    seed: int = 45,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication with CLUSTER-BOUNDED pair enumeration — the scale
+    path between exact all-pairs (``neardup_pairs``, quadratic) and
+    banded LSH (``banded_range_search``, recall < 1 by construction).
+
+    1. TRAIN+ASSIGN: seeded KMeans (maxIter=8, the ivfpq coarse
+       convention) on unit vectors → cluster per vector.
+    2. PAIRS: per-cluster cosine gram matrix via one Arrow pass
+       (``applyInPandas`` over ``groupBy(cluster)`` — a numpy matmul
+       per group; pairs are enumerated within clusters ONLY, so the
+       quadratic term is bounded by cluster population, the paper's
+       core trick), keeping id_a < id_b with score ≥ ``tau``.
+    3. GROUPS: connected components (path-halving, O(log n) rounds)
+       over the near-dup edges.
+    4. KEEP RULE: per group, keep the member with the LOWEST cosine
+       to its cluster centroid (the paper's rule — retain the least
+       prototypical example; ties to the smallest id). Singleton
+       groups keep themselves.
+
+    Returns one row per input vector:
+    (``id_col``, cluster, group_id, keeper_id, keep, cos_center).
+    Zero-norm vectors can't participate in cosine dedup and come back
+    as their own keepers with cluster = -1 and NULL cos_center.
+
+    Recall contract: within-cluster near-dup pairs are EXACT (full
+    gram matrix); pairs split across clusters are the recall loss,
+    measured against exact all-pairs in
+    tests/test_similarity_blocks.py. Determinism: seeded KMeans,
+    sorted ids inside each gram group, struct-min keeper rule.
+
+    Scale (100 TB): one shuffle keyed on cluster id (bounded groups),
+    sparse edge CC, one keeper aggregate — no all-pairs stage; cluster
+    count dials the pair budget exactly like the paper's k.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    raw = vectors.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
+    )
+    zero = raw.where(norm(F.col("raw")) == 0)
+    unit = raw.where(norm(F.col("raw")) != 0).select(
+        "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
+    )
+    feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
+        eager=True
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="features", maxIter=8
+    ).fit(feats)
+    centroids = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, center array<double>",
+    )
+    members = (
+        model.transform(feats)
+        .select(
+            "vid", "vec", F.col(model.getPredictionCol()).alias("cluster")
+        )
+        .join(F.broadcast(centroids), "cluster")
+        .select(
+            "cluster",
+            "vid",
+            "vec",
+            # |v| = 1, so cos(v, c) = v·c / |c|.
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vec"), F.col("center"), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / norm(F.col("center"))
+            ).alias("cos_center"),
+        )
+        .localCheckpoint(eager=True)  # feeds pairs, CC nodes, keeper agg
+    )
+
+    id_t = vectors.schema[id_col].dataType.simpleString()
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        mat = np.vstack(pdf["vec"].to_numpy())
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = sims[ia, ib] >= tau
+        return pd.DataFrame(
+            {
+                "id_a": pdf["vid"].iloc[ia[keep]].to_numpy(),
+                "id_b": pdf["vid"].iloc[ib[keep]].to_numpy(),
+            }
+        )
+
+    edges = members.select("cluster", "vid", "vec").groupBy("cluster").applyInPandas(
+        cluster_pairs, f"id_a {id_t}, id_b {id_t}"
+    )
+    from listenbrainz_server_spark.operators.dedup import connected_components
+
+    groups = connected_components(
+        members.select("vid"), edges, id_col="vid"
+    ).withColumnRenamed("vid", "_gvid")
+
+    labeled = members.join(
+        groups, members.vid == F.col("_gvid")
+    ).select("cluster", "vid", "cos_center", "group_id")
+    keepers = labeled.groupBy("group_id").agg(
+        F.min(F.struct(F.col("cos_center"), F.col("vid"))).alias("m")
+    ).select("group_id", F.col("m.vid").alias("keeper_id"))
+
+    out = labeled.join(F.broadcast(keepers), "group_id").select(
+        F.col("vid").alias(id_col),
+        "cluster",
+        "group_id",
+        "keeper_id",
+        (F.col("vid") == F.col("keeper_id")).alias("keep"),
+        F.round("cos_center", round_dp).alias("cos_center"),
+    )
+    zeros = zero.select(
+        F.col("vid").alias(id_col),
+        F.lit(-1).alias("cluster"),
+        F.col("vid").alias("group_id"),
+        F.col("vid").alias("keeper_id"),
+        F.lit(True).alias("keep"),
+        F.lit(None).cast("double").alias("cos_center"),
+    )
+    return out.unionByName(zeros).orderBy(id_col)

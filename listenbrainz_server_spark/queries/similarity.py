@@ -407,6 +407,33 @@ def v_embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup — the
+# scale path between v_embedding_dup_groups (exact all-pairs edges)
+# and v_range_search (banded, recall < 1 by construction). KMeans
+# bounds the quadratic pair term by cluster population; within-cluster
+# pairs are exact; the keep rule is the paper's least-prototypical
+# member. Rows-only (iterative trainer); the partition/witness/keeper
+# /recall properties are pinned in tests/test_similarity_blocks.py.
+# --------------------------------------------------------------------------
+@register(
+    "d_semdedup",
+    None,
+    doc="SemDeDup cluster-bounded semantic dedup: seeded KMeans -> "
+    "per-cluster exact cosine gram (one Arrow pass per cluster) -> "
+    "CC groups -> keep the least-prototypical member (lowest cosine "
+    "to centroid, ties to min id). Rows-only: partition/witness/"
+    "keeper/recall properties pytest-pinned",
+)
+def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, "vec_id", "embedding", dims=_DIMS, n_clusters=16, tau=0.4
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental ANN index maintenance: the reference's partial/delta
 # combine (stats/incremental) applied to the signature index. The
 # "base" index is built from existing vectors and persisted; a delta

@@ -454,3 +454,79 @@ def test_ivfpq_append_touches_only_affected_lists(spark, ivfpq_artifacts, tmp_pa
     # And the maintained index is complete: every vector indexed once.
     n = spark.read.parquet(state).count()
     assert n == emb.where(F.col("vec_id").isNotNull()).count()
+
+
+def test_semdedup_properties_vs_numpy(spark):
+    """SemDeDup contract vs a numpy recompute on the fixture:
+    partition (each vector exactly once, exactly one keeper per
+    group), witness (every removed vector has a >= tau within-cluster
+    edge to a group-mate), the paper's keep rule (lowest cosine to
+    centroid, ties to min id), determinism across runs, and measured
+    recall of exact near-dup PAIRS (within-cluster exactness; the
+    cross-cluster split is the only loss)."""
+    import numpy as np
+
+    from listenbrainz_server_spark.operators.similarity import (
+        neardup_pairs,
+        semdedup,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    tau = 0.4
+    out = semdedup(emb, "vec_id", "embedding", dims=64, n_clusters=8, tau=tau)
+    rows = out.collect()
+    again = semdedup(
+        emb, "vec_id", "embedding", dims=64, n_clusters=8, tau=tau
+    ).collect()
+    assert rows == again, "seeded pipeline must be deterministic"
+
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids)) == emb.count()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    for g, members in by_group.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        assert keepers[0].vec_id == members[0].keeper_id
+        assert all(m.keeper_id == keepers[0].vec_id for m in members)
+        # Keep rule: lowest cos_center, ties to min id.
+        best = min(members, key=lambda m: (m.cos_center, m.vec_id))
+        assert keepers[0].vec_id == best.vec_id
+
+    # numpy ground truth for witness + recall.
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    idx = {v: i for i, v in enumerate(pdf["vec_id"])}
+    cluster = {r.vec_id: r.cluster for r in rows}
+    for g, members in by_group.items():
+        for m in members:
+            if m.keep:
+                continue
+            mates = [
+                o for o in members
+                if o.vec_id != m.vec_id and cluster[o.vec_id] == m.cluster
+            ]
+            assert any(
+                sims[idx[m.vec_id], idx[o.vec_id]] >= tau - 1e-9 for o in mates
+            ), f"removed {m.vec_id} has no within-cluster witness edge"
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs(
+            emb, "vec_id", "embedding", threshold=tau
+        ).collect()
+    }
+    captured = {
+        (a, b) for (a, b) in exact if cluster[a] == cluster[b]
+    }
+    # Measured on the fixture: 27/59 = 0.458 at k=8, tau=0.4. The
+    # loose 0.4 radius is far from the paper's tight-dup regime
+    # (tau ~ 0.95+, where near-identical vectors co-cluster almost
+    # surely) — pair recall at loose radii is SemDeDup's documented
+    # trade for the bounded pair budget. Pin just under the measured
+    # value so a clustering regression (seed/featurization drift)
+    # still shows up.
+    assert len(captured) >= 0.4 * len(exact), (len(captured), len(exact))
