@@ -1658,12 +1658,24 @@ def semdedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # Explicit repartition: a single-file fixture otherwise serializes
+    # EVERY downstream stage (localCheckpoint preserves the 1-partition
+    # layout, so even the KMeans iterations run one task). The norm is
+    # materialized through the checkpoint BEFORE the per-element
+    # divide — inlined into the transform lambda, an aggregate norm
+    # re-evaluates per element (64× per row, the r6 CollapseProject
+    # lesson).
     raw = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
-    )
+    ).repartition(32)
     zero = raw.where(norm(F.col("raw")) == 0)
-    unit = raw.where(norm(F.col("raw")) != 0).select(
-        "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
+    pre = (
+        raw.select("vid", "raw", norm(F.col("raw")).alias("nrm"))
+        .where(F.col("nrm") != 0)
+        .localCheckpoint(eager=True)
+    )
+    unit = pre.select(
+        "vid", F.transform("raw", lambda x: x / F.col("nrm")).alias("vec")
     )
     feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
         eager=True
@@ -1720,13 +1732,25 @@ def semdedup(
     )
     from listenbrainz_server_spark.operators.dedup import connected_components
 
-    groups = connected_components(
-        members.select("vid"), edges, id_col="vid"
-    ).withColumnRenamed("vid", "_gvid")
+    # CC only over edge-TOUCHED vertices: a vector with no >= tau edge
+    # is trivially its own group, and the touched set is the dup mass
+    # (tiny vs the corpus — every label-propagation round would
+    # otherwise shuffle the full |V| node frame for nothing).
+    touched = edges.select(
+        F.explode(F.array("id_a", "id_b")).alias("vid")
+    ).distinct()
+    groups = connected_components(touched, edges, id_col="vid").withColumnRenamed(
+        "vid", "_gvid"
+    )
 
     labeled = members.join(
-        groups, members.vid == F.col("_gvid")
-    ).select("cluster", "vid", "cos_center", "group_id")
+        groups, members.vid == F.col("_gvid"), "left"
+    ).select(
+        "cluster",
+        "vid",
+        "cos_center",
+        F.coalesce("group_id", "vid").alias("group_id"),
+    )
     keepers = labeled.groupBy("group_id").agg(
         F.min(F.struct(F.col("cos_center"), F.col("vid"))).alias("m")
     ).select("group_id", F.col("m.vid").alias("keeper_id"))
