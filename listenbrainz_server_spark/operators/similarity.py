@@ -53,6 +53,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit_vectors(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    partitions: int | None = 32,
+) -> DataFrame:
+    """(vid, vec) with ``vec`` unit-normalized and zero-norm rows
+    dropped (no cosine exists for them; downstream trainers/encoders
+    would NaN-poison).
+
+    Two measured fixes folded in (semdedup profile, r8 — the naive
+    ``transform(raw, x -> x / norm(raw))`` form cost 2.7 s where this
+    costs 0.4 s on the sf0.1 embeddings):
+
+    * the norm is materialized through an eager checkpoint BEFORE the
+      per-element divide — inlined into the transform lambda
+      (CollapseProject), an aggregate norm re-evaluates per element,
+      64× per row;
+    * explicit ``repartition`` first — a single-file source otherwise
+      serializes every downstream stage on one task, INCLUDING
+      iterative trainers fit on the checkpointed frame
+      (localCheckpoint preserves the 1-partition layout).
+    """
+    raw = vectors.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
+    )
+    if partitions:
+        raw = raw.repartition(partitions)
+    pre = (
+        raw.select("vid", "raw", norm(F.col("raw")).alias("nrm"))
+        .where(F.col("nrm") != 0)
+        .localCheckpoint(eager=True)
+    )
+    return pre.select(
+        "vid", F.transform("raw", lambda x: x / F.col("nrm")).alias("vec")
+    )
+
+
 # Rows of the reference side broadcast per block. 100k × 64 dims ×
 # 8 B ≈ 50 MB per broadcast — executor-friendly; override down in tests
 # to exercise the multi-block path on small fixtures.
@@ -1056,17 +1094,7 @@ def pq_topk(
     # Zero vectors are DROPPED before normalizing (no cosine exists
     # for them; the zero-norm NULL rule elsewhere would otherwise
     # poison codebooks/ADC with NaN rows).
-    unit = (
-        vectors.select(
-            F.col(id_col).alias("vid"),
-            as_double(F.col(vec_col)).alias("raw"),
-        )
-        .where(norm(F.col("raw")) != 0)
-        .select(
-            "vid",
-            F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec"),
-        )
-    )
+    unit = unit_vectors(vectors, id_col, vec_col)
     # Codebooks train on a deterministic hash sample — the standard PQ
     # practice (codebook quality saturates long before full-corpus
     # coverage; at 100 TB training on everything is pure waste).
@@ -1189,16 +1217,7 @@ def ivfpq_topk(
     # Zero vectors dropped before normalizing (same rule as pq_topk:
     # no cosine exists; NaN rows would poison KMeans and the residual
     # codebooks).
-    unit = (
-        vectors.select(
-            F.col(id_col).alias("vid"),
-            as_double(F.col(vec_col)).alias("raw"),
-        )
-        .where(norm(F.col("raw")) != 0)
-        .select(
-            "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
-        )
-    )
+    unit = unit_vectors(vectors, id_col, vec_col)
     # Pin the featurized frame ONCE: the KMeans fit iterates over it,
     # the assignment transform reads it, and the probe side reuses the
     # unit vectors — without a cut the scan+normalize lineage
@@ -1359,15 +1378,7 @@ def ivfpq_train_artifacts(
     sub = dims // m
     if sub * m != dims:
         raise ValueError(f"dims={dims} not divisible by m={m}")
-    unit = (
-        vectors.select(
-            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
-        )
-        .where(norm(F.col("raw")) != 0)
-        .select(
-            "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
-        )
-    )
+    unit = unit_vectors(vectors, id_col, vec_col)
     feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
         eager=True
     )
@@ -1417,15 +1428,10 @@ def ivfpq_encode(
     cb = np.array(codebooks, dtype="float64")  # (m, k_sub, sub)
     m, _, sub = cb.shape
 
-    unit = (
-        vectors.select(
-            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
-        )
-        .where(norm(F.col("raw")) != 0)
-        .select(
-            "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
-        )
-    )
+    # Delta batches are small — the checkpoint inside unit_vectors
+    # stays delta-sized, and the per-element norm fix matters just as
+    # much on the encode scan.
+    unit = unit_vectors(vectors, id_col, vec_col)
 
     def encode(batches):
         for pdf in batches:
@@ -1658,25 +1664,11 @@ def semdedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # Explicit repartition: a single-file fixture otherwise serializes
-    # EVERY downstream stage (localCheckpoint preserves the 1-partition
-    # layout, so even the KMeans iterations run one task). The norm is
-    # materialized through the checkpoint BEFORE the per-element
-    # divide — inlined into the transform lambda, an aggregate norm
-    # re-evaluates per element (64× per row, the r6 CollapseProject
-    # lesson).
     raw = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
-    ).repartition(32)
+    )
     zero = raw.where(norm(F.col("raw")) == 0)
-    pre = (
-        raw.select("vid", "raw", norm(F.col("raw")).alias("nrm"))
-        .where(F.col("nrm") != 0)
-        .localCheckpoint(eager=True)
-    )
-    unit = pre.select(
-        "vid", F.transform("raw", lambda x: x / F.col("nrm")).alias("vec")
-    )
+    unit = unit_vectors(vectors, id_col, vec_col)
     feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
         eager=True
     )

@@ -537,9 +537,14 @@ def v_ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "vec_id", "embedding", dims=_DIMS, n_centroids=8, m=8
     )
     state = tempfile.mkdtemp(prefix="ivfpq_index_") + "/index"
-    ivfpq_encode(base, "vec_id", "embedding", centers, books).write.partitionBy(
+    # repartition BY THE BUCKET COLUMN before the partitioned write:
+    # the encode frame is 32-way partitioned (unit_vectors), and
+    # partitionBy from there fans out partitions × buckets tiny files
+    # (measured: the file explosion cost more than the parallel encode
+    # saved); bucket-aligned shuffle writes one file per list.
+    ivfpq_encode(base, "vec_id", "embedding", centers, books).repartition(
         "bucket"
-    ).parquet(state)
+    ).write.partitionBy("bucket").parquet(state)
 
     # Delta-sized work only: encode the batch against the frozen
     # artifacts, measure drift, and append (the organic fixture delta
@@ -561,9 +566,9 @@ def v_ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ivfpq_encode(emb, "vec_id", "embedding", centers, books), state
         )
     else:
-        delta_idx.drop("vec").write.mode("append").partitionBy("bucket").parquet(
-            state
-        )
+        delta_idx.drop("vec").repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(state)
 
     totals = (
         spark.read.parquet(state)
