@@ -148,3 +148,40 @@ def test_label_prop_matches_pure_python_reference(spark):
     )[:_TOPK]
     got = [(r.community, r.size) for r in g_label_prop(spark, SF_SMOKE).collect()]
     assert got == expect
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    """triangle_counts (degree-ordered wedge enumeration) must equal
+    the O(n^3) definition on a seeded random graph — per-node counts
+    AND degrees, including the it-finds-each-triangle-exactly-once
+    property the degree orientation is supposed to guarantee."""
+    import itertools
+    import random
+
+    from listenbrainz_server_spark.queries.graph import triangle_counts
+
+    rng = random.Random(8)
+    n = 40
+    edges = sorted(
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if rng.random() < 0.25
+    )
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+
+    df = spark.createDataFrame(edges, "a: bigint, b: bigint")
+    got = {
+        r.node: (r.triangles, r.degree)
+        for r in triangle_counts(df, partitions=4).collect()
+    }
+    assert {v: t for v, (t, _) in got.items()} == expect
+    for v, (_, d) in got.items():
+        assert d == len(adj[v])
