@@ -342,3 +342,112 @@ def w_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .where(F.col("rank") <= 15)
     )
+
+
+# --------------------------------------------------------------------------
+# w_ewma: exponentially-weighted moving average over daily per-type
+# event counts — the standard trend smoother (pandas ewm / Holt level
+# term) re-expressed as a bounded windowed weighted sum. The reference
+# side: listens_per_day-style activity series (listenbrainz_spark
+# stats/listening_activity) that dashboards smooth client-side; here
+# the smoothing is in-engine.
+#
+# Semantics (declared, mirrored exactly by the oracle): zero-origin
+# truncated EWMA over the last 30 PRESENT days of the series —
+# y_t = alpha * sum_{i in window} (1-alpha)^(t_i distance) x_i with
+# distance = day difference (calendar gaps decay by elapsed DAYS, not
+# rows, so a quiet week actually fades). The unbounded recursive form
+# needs pow(1/(1-a), t) partial sums that overflow double at ~2500
+# days; a 30-row frame bounds both the math and the state, and at
+# alpha=0.1 the truncation error is (0.9)^30 < 5% of mass only when
+# the window is saturated with equal counts (documented trade).
+#
+# FP contract: each term is quantized to integer nanounits
+# (round(x * 0.9^d * 1e9)) and summed as BIGINT — the fold order in
+# Spark's aggregate() HOF and DuckDB's banded self-join differ, and
+# bigint addition is the repo's standard order-free-exactness trick
+# (t_tfidf_cosine_pairs precedent).
+#
+# Scale: one (event_type, day) aggregate (map-side combinable), then
+# a per-type window over the tiny daily series — the window partition
+# is |days| rows per type, never event-volume. The collect_list-in-
+# frame array is bounded at 30 structs.
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.1
+_EWMA_WINDOW = 30
+
+
+@register(
+    "w_ewma",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    win AS (
+        SELECT a.event_type, a.day, a.n, a.di,
+               SUM(CAST(ROUND(b.n * pow(1 - {_EWMA_ALPHA}, a.di - b.di) * 1e9)
+                        AS BIGINT)) AS qsum
+        FROM daily a
+        JOIN daily b
+          ON b.event_type = a.event_type
+         AND b.di <= a.di
+         AND b.di > a.di - 1000000
+         AND b.di IN (
+             SELECT c.di FROM daily c
+             WHERE c.event_type = a.event_type AND c.di <= a.di
+             ORDER BY c.di DESC LIMIT {_EWMA_WINDOW}
+         )
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           ROUND({_EWMA_ALPHA} * qsum / 1e9, 6) AS ewma
+    FROM win
+    ORDER BY event_type, day
+    """,
+    doc=f"EWMA (alpha={_EWMA_ALPHA}, last-{_EWMA_WINDOW}-present-days "
+    "truncation, calendar-day decay) over daily per-type event counts; "
+    "integer-nanounit quantized terms summed as BIGINT so the Spark "
+    "HOF fold and the oracle's banded self-join agree exactly",
+)
+def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.withColumn(
+        "di", F.datediff("day", F.lit("1970-01-01")).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(-(_EWMA_WINDOW - 1), 0)
+    )
+    arr = F.collect_list(F.struct("di", "n")).over(w)
+    qsum = F.aggregate(
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.round(
+            s["n"] * F.pow(F.lit(1 - _EWMA_ALPHA), F.col("di") - s["di"]) * 1e9
+        ).cast("bigint"),
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            "di",
+            qsum.alias("qsum"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(F.lit(_EWMA_ALPHA) * F.col("qsum") / 1e9, 6).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )
