@@ -3016,3 +3016,166 @@ def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_year")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (r8): Data Selection with Importance
+# Resampling (Xie et al., NeurIPS 2023) — the standard recipe for
+# "select raw-corpus documents that look like a target domain":
+# hashed n-gram bag features, a multinomial LM per side, and per-doc
+# importance weight log p_target(doc) - log p_raw(doc). At 100 TB this
+# is the cheap alternative to model-based scoring: two bounded
+# (B-bucket) count aggregates + one broadcast join per doc-token.
+#
+#  * features: word unigrams + bigrams hashed into B=4096 buckets via
+#    the repo's deterministic md5 convention (byte-identical in
+#    DuckDB);
+#  * LMs: add-1-smoothed bucket multinomials — target = one declared
+#    source (src0), raw = the whole corpus;
+#  * weight: per-gram log-ratio quantized to integer nanounits and
+#    summed as BIGINT (order-free exact, t_tfidf precedent), then
+#    normalized by gram count (DSIR's sum is length-biased; the
+#    per-gram mean ranks documents, not document lengths);
+#  * output: top-50 docs by avg log-ratio — the docs DSIR would
+#    resample FIRST into a src0-flavored mix.
+#
+# Scale: the gram explode is pinned once, doc-partitioned, so the
+# per-doc aggregate is exchange-free; both LMs are <= B-row frames
+# (broadcast); nothing quadratic anywhere.
+# --------------------------------------------------------------------------
+_DSIR_B = 4096
+_DSIR_TARGET = "src0"
+
+
+def _dsir_bucket_sql(expr: str) -> str:
+    return (
+        f"('0x' || substr(md5({expr}), 1, 8))::BIGINT % {_DSIR_B}"
+    )
+
+
+@register(
+    "x_dsir_weights",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               {_dsir_bucket_sql("g")} AS b
+        FROM (
+            SELECT doc_id, source, UNNEST(
+                list_transform(ws, w -> 'u:' || w)
+                || list_transform(range(1, len(ws)),
+                                  i -> 'b:' || ws[i] || ' ' || ws[i+1])
+            ) AS g
+            FROM toks
+        )
+    ),
+    rawc AS (SELECT b, COUNT(*) AS cr FROM grams GROUP BY b),
+    tgtc AS (SELECT b, COUNT(*) AS ct FROM grams
+             WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+    nt AS (SELECT COUNT(*) AS n FROM grams WHERE source = '{_DSIR_TARGET}'),
+    nr AS (SELECT COUNT(*) AS n FROM grams),
+    lr AS (
+        SELECT r.b,
+               CAST(ROUND((LN((COALESCE(t.ct, 0) + 1.0) / (nt.n + {_DSIR_B}))
+                          - LN((r.cr + 1.0) / (nr.n + {_DSIR_B}))) * 1e9)
+                    AS BIGINT) AS qlr
+        FROM rawc r LEFT JOIN tgtc t USING (b), nt, nr
+    )
+    SELECT g.doc_id,
+           MIN(g.source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(SUM(l.qlr) * 1.0 / COUNT(*) / 1e9, 6) AS avg_logratio
+    FROM grams g JOIN lr l USING (b)
+    GROUP BY g.doc_id
+    ORDER BY avg_logratio DESC, doc_id
+    LIMIT 50
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): hashed unigram+"
+    f"bigram bag ({_DSIR_B} md5 buckets), add-1 bucket LMs for "
+    f"target='{_DSIR_TARGET}' vs raw corpus, per-doc mean log-ratio "
+    "(integer-nanounit quantized, BIGINT-summed — order-free exact); "
+    "top-50 docs the resampler would pick first",
+)
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .repartition(32, "doc_id")  # explode preserves this; the
+        # per-doc aggregate below is then exchange-free
+    )
+    ws = F.col("ws")
+    gram_strs = F.concat(
+        F.transform(ws, lambda w: F.concat(F.lit("u:"), w)),
+        F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 2),
+                lambda i: F.concat(
+                    F.lit("b:"), F.get(ws, i), F.lit(" "), F.get(ws, i + 1)
+                ),
+            ),
+        ).otherwise(F.array()),
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(gram_strs).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % _DSIR_B
+        ).alias("b"),
+    ).localCheckpoint(eager=True)  # feeds both LMs + the per-doc agg
+
+    rawc = grams.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgtc = (
+        grams.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    nt = grams.where(F.col("source") == _DSIR_TARGET).agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    nr = grams.agg(F.count(F.lit(1)).alias("n_r"))
+    lr = (
+        rawc.join(tgtc, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                        / (F.col("n_t") + _DSIR_B)
+                    )
+                    - F.log((F.col("cr") + 1.0) / (F.col("n_r") + _DSIR_B))
+                )
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("qlr"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("qlr").alias("qsum"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            F.round(F.col("qsum") * 1.0 / F.col("n_grams") / 1e9, 6).alias(
+                "avg_logratio"
+            ),
+        )
+        .orderBy(F.col("avg_logratio").desc(), "doc_id")
+        .limit(50)
+    )
