@@ -134,3 +134,120 @@ def i_affected_key_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combined.select(
         "user_id", "event_type", F.col("listen_count").cast("bigint").alias("listen_count")
     )
+
+
+# --------------------------------------------------------------------------
+# i_cdc_merge (r8): changelog application with full insert / update /
+# delete semantics — the batch MERGE INTO analog (Delta/Iceberg MERGE,
+# Flink upsert-compaction). The reference's incremental-dump flow
+# (listenbrainz_spark/dump loaders) only ever appends; a real CDC feed
+# also retracts, and the engine needs the keyed apply:
+#
+#   final(key) = CASE latest-op(key)
+#                  WHEN none THEN base(key)            -- untouched
+#                  WHEN 'D'  THEN <absent>             -- retracted
+#                  ELSE      changelog row (upsert)    -- I/U
+#
+# "latest" is a (version, tiebreak) max PER KEY — computed as a
+# max(struct(...)) aggregate, not a row_number window, so the per-key
+# reduction is map-side combinable (the same argmax-as-aggregate trade
+# g_label_prop documents: a window's required sort/distribution would
+# re-shuffle; an aggregate partial-combines every task's changelog
+# slice before the one keyed exchange).
+#
+# Fixture derivation (declared, deterministic): state = one row per
+# customer; base = latest order per customer before 1997-01-01;
+# changelog = orders from 1997 on, op 'D' when o_orderkey % 7 = 0 else
+# 'U', version = (o_orderdate, o_orderkey). Scale: one keyed exchange
+# for the changelog compaction + one keyed outer join against base —
+# both on the state key; nothing scans more than once.
+# --------------------------------------------------------------------------
+_CDC_CUTOFF = "1997-01-01"
+
+
+@register(
+    "i_cdc_merge",
+    f"""
+    WITH base AS (
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < DATE '{_CDC_CUTOFF}'
+        ) WHERE rn = 1
+    ),
+    latest AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate >= DATE '{_CDC_CUTOFF}'
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.o_custkey, c.o_custkey) AS custkey,
+           COALESCE(c.o_orderkey, b.o_orderkey) AS last_orderkey,
+           ROUND(COALESCE(c.o_totalprice, b.o_totalprice), 6)
+               AS last_totalprice,
+           CASE WHEN c.o_custkey IS NULL THEN 'base' ELSE 'merged' END
+               AS provenance
+    FROM base b
+    FULL OUTER JOIN latest c ON c.o_custkey = b.o_custkey
+    WHERE COALESCE(c.op, '') <> 'D'
+    ORDER BY custkey
+    """,
+    doc="CDC MERGE apply (insert/update/delete) of a derived order "
+    "changelog onto a per-customer snapshot: per-key latest op via "
+    "map-side-combinable max(struct) compaction, one keyed full-outer "
+    "join, 'D' retracts the key entirely; provenance column audits "
+    "untouched-vs-merged rows",
+)
+def i_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.col("o_orderkey").cast("bigint").alias("ok"),
+        F.col("o_totalprice").alias("tp"),
+        F.col("o_orderdate").alias("od"),
+    )
+    cutoff = F.lit(_CDC_CUTOFF).cast("date")
+
+    def compact(df: DataFrame) -> DataFrame:
+        # argmax-as-aggregate: one map-side-combinable reduction per
+        # key instead of a row_number sort-window.
+        return (
+            df.groupBy("ck")
+            .agg(F.max(F.struct("od", "ok", "tp")).alias("m"))
+            .select("ck", F.col("m.ok").alias("ok"), F.col("m.tp").alias("tp"))
+        )
+
+    base = compact(orders.where(F.col("od") < cutoff))
+    latest = compact(orders.where(F.col("od") >= cutoff)).select(
+        "ck",
+        F.when(F.col("ok") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "ok",
+        "tp",
+    )
+    b = base.select(
+        F.col("ck").alias("bck"), F.col("ok").alias("bok"), F.col("tp").alias("btp")
+    )
+    c = latest.select(
+        F.col("ck").alias("cck"), "op", F.col("ok").alias("cok"),
+        F.col("tp").alias("ctp"),
+    )
+    return (
+        b.join(c, b.bck == c.cck, "full_outer")
+        .where(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("cck"), F.col("bck")).alias("custkey"),
+            F.coalesce(F.col("cok"), F.col("bok")).alias("last_orderkey"),
+            F.round(F.coalesce(F.col("ctp"), F.col("btp")), 6).alias(
+                "last_totalprice"
+            ),
+            F.when(F.col("cck").isNull(), F.lit("base"))
+            .otherwise(F.lit("merged"))
+            .alias("provenance"),
+        )
+        .orderBy("custkey")
+    )
