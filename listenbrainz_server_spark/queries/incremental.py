@@ -251,3 +251,108 @@ def i_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# i_deletion_apply (r8): the reference's two-tier listen-deletion
+# semantics (listenbrainz_spark/listens/delete.py:43,67 import jobs;
+# listens/data.py:67 filter_deleted_listens), applied and audited:
+#
+#   tier 1 — row tombstones: exact rows anti-joined away on a
+#            composite key (reference: user_id+listened_at+msid+
+#            created; here: user_id+ts+event_id);
+#   tier 2 — per-user history cutoff: users in deleted_user_listen_
+#            history keep only rows created >= max_created (reference
+#            data.py:79-84 left join + null-safe where).
+#
+# Instead of two destructive anti-joins, the audit TAGS each row with
+# the tier that would remove it (tombstone wins, like the reference's
+# apply order) — one scan, two broadcast joins, one per-type
+# aggregate; the counts are the GDPR-erasure evidence a pipeline has
+# to produce anyway. Deterministic fixture derivation: tombstones =
+# event_id % 199 = 0; cutoff users = user_id % 7 = 0 with max_created
+# = their latest 'signup' ts. Scale: tombstone and cutoff frames are
+# deletion-sized (broadcast), the fact table is scanned once and
+# never shuffled until the tiny per-type aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "i_deletion_apply",
+    """
+    WITH tomb AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_id % 199 = 0
+    ),
+    cutoff AS (
+        SELECT user_id, MAX(ts) AS max_created
+        FROM events
+        WHERE user_id % 7 = 0 AND event_type = 'signup'
+        GROUP BY user_id
+    ),
+    tagged AS (
+        SELECT e.event_type,
+               (t.event_id IS NOT NULL) AS is_tomb,
+               (t.event_id IS NULL AND c.max_created IS NOT NULL
+                AND e.ts < c.max_created) AS is_hist
+        FROM events e
+        LEFT JOIN tomb t ON t.user_id = e.user_id AND t.ts = e.ts
+                        AND t.event_id = e.event_id
+        LEFT JOIN cutoff c ON c.user_id = e.user_id
+    )
+    SELECT event_type,
+           COUNT(*) AS n_before,
+           COUNT(*) FILTER (is_tomb) AS n_tombstoned,
+           COUNT(*) FILTER (is_hist) AS n_history_pruned,
+           COUNT(*) FILTER (NOT is_tomb AND NOT is_hist) AS n_after
+    FROM tagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="two-tier deletion apply + audit (reference listens/delete.py "
+    "tombstones + per-user history cutoff, data.py:67 apply order): "
+    "rows tagged by the tier that removes them, per-type before/"
+    "tombstoned/history-pruned/after counts; deletion-sized broadcast "
+    "frames, fact scanned once, integer-exact",
+)
+def i_deletion_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tomb = ev.where(F.col("event_id") % 199 == 0).select(
+        F.col("user_id").alias("t_uid"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_eid"),
+        F.lit(1).alias("t_hit"),
+    )
+    cutoff = (
+        ev.where((F.col("user_id") % 7 == 0) & (F.col("event_type") == "signup"))
+        .groupBy(F.col("user_id").alias("c_uid"))
+        .agg(F.max("ts").alias("max_created"))
+    )
+    tagged = (
+        ev.join(
+            F.broadcast(tomb),
+            (F.col("user_id") == F.col("t_uid"))
+            & (F.col("ts") == F.col("t_ts"))
+            & (F.col("event_id") == F.col("t_eid")),
+            "left",
+        )
+        .join(F.broadcast(cutoff), F.col("user_id") == F.col("c_uid"), "left")
+        .select(
+            "event_type",
+            F.col("t_hit").isNotNull().alias("is_tomb"),
+            (
+                F.col("t_hit").isNull()
+                & F.col("max_created").isNotNull()
+                & (F.col("ts") < F.col("max_created"))
+            ).alias("is_hist"),
+        )
+    )
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before"),
+            F.count_if("is_tomb").cast("bigint").alias("n_tombstoned"),
+            F.count_if("is_hist").cast("bigint").alias("n_history_pruned"),
+            F.count_if(~F.col("is_tomb") & ~F.col("is_hist"))
+            .cast("bigint")
+            .alias("n_after"),
+        )
+        .orderBy("event_type")
+    )
