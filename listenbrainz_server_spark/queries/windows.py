@@ -451,3 +451,79 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# w_mad_outliers: robust per-group outlier audit — median + MAD
+# (median absolute deviation), outlier = |x - med| > 3 * MAD. The
+# mean/stddev z-score (a_daily_anomalies) breaks under heavy tails
+# because the outliers inflate their own threshold; MAD has a 50%
+# breakdown point and is the robust-stats default (Leys et al. 2013).
+# Two exact interpolated-percentile passes (med, then MAD over the
+# per-row deviations) + one broadcast join back. Scale note: exact
+# per-group percentile buffers each group's values — the 100 TB path
+# swaps both passes for the histogram-CDF form the repo already uses
+# (t_quality_calibrated_hist) or percentile_approx
+# (x_approx_percentile); the exact form is kept here because groups
+# are few and the oracle contract is exact.
+# --------------------------------------------------------------------------
+@register(
+    "w_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+        GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(m.med), 6) AS med,
+           ROUND(MIN(x.mad), 6) AS mad,
+           COUNT(*) FILTER (d.adev > 3 * x.mad) AS n_outliers,
+           ROUND(COUNT(*) FILTER (d.adev > 3 * x.mad) * 1.0 / COUNT(*), 6)
+               AS outlier_share
+    FROM dev d JOIN med m USING (event_type) JOIN mad x USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    doc="median + MAD robust outlier audit per event type "
+    "(outlier = |x - med| > 3*MAD): two exact interpolated-percentile "
+    "passes + broadcast joins; integer outlier counts exact, "
+    "med/mad/share 6dp",
+)
+def w_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count_if(F.col("adev") > 3 * F.col("mad"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(
+                F.count_if(F.col("adev") > 3 * F.col("mad")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("outlier_share"),
+        )
+        .orderBy("event_type")
+    )
