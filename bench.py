@@ -93,6 +93,19 @@ HEADLINE_NEW = (
     "w_user_lifecycle",
     "mm_phash_dedup",
     "t_tfidf_cosine_pairs",
+    # r7/r8 families: iterative graph, semantic dedup, CMS sketch,
+    # Bloom runtime pruning, DSIR selection, CDC retraction merge,
+    # triangle/clustering, EWMA, MAD outliers, two-tier deletion.
+    "g_pagerank",
+    "g_triangle_count",
+    "d_semdedup",
+    "x_heavy_hitters",
+    "x_bloom_prune",
+    "x_dsir_weights",
+    "i_cdc_merge",
+    "i_deletion_apply",
+    "w_ewma",
+    "w_mad_outliers",
 )
 
 

@@ -611,3 +611,127 @@ def a_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.exp(-age_days / 30.0)), 4).alias("decayed_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# st_cdc_merge (r8): streaming CDC apply WITH RETRACTIONS — the
+# Flink-upsert-stream / Delta-streaming-MERGE shape, and the streaming
+# sibling of i_cdc_merge (same declared changelog derivation, same
+# final state; tests pin stream ≡ batch).
+#
+# Composition, not a new sink: the base snapshot is pre-seeded into
+# the state, the RAW changelog (every change row, not pre-compacted)
+# streams through foreach_batch_merge_latest's LWW merge keyed on
+# custkey with (o_orderdate, o_orderkey) as the version — and deletes
+# are just rows whose op payload is 'D'. The tombstone is STORED with
+# its version rather than dropping the key: an out-of-order or
+# replayed micro-batch carrying an older 'U' therefore cannot
+# resurrect a deleted key (argmax semantics), which is the part naive
+# "delete matched keys" merges get wrong. The read view filters
+# op <> 'D'. State is O(|keys|), per-batch work is O(|batch| + |state|)
+# keyed exchanges, and every batch is idempotent under replay.
+# --------------------------------------------------------------------------
+@register(
+    "st_cdc_merge",
+    """
+    WITH base AS (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        ) WHERE rn = 1
+    ),
+    latest AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.o_custkey, c.o_custkey) AS custkey,
+           COALESCE(c.o_orderkey, b.o_orderkey) AS last_orderkey,
+           ROUND(COALESCE(c.o_totalprice, b.o_totalprice), 6)
+               AS last_totalprice,
+           CASE WHEN c.o_custkey IS NULL THEN 'base' ELSE 'merged' END
+               AS provenance
+    FROM base b
+    FULL OUTER JOIN latest c ON c.o_custkey = b.o_custkey
+    WHERE COALESCE(c.op, '') <> 'D'
+    ORDER BY custkey
+    """,
+    doc="streaming CDC apply with retractions: base snapshot pre-"
+    "seeded, raw changelog streamed through the LWW foreachBatch merge "
+    "(version = orderdate+orderkey) with tombstones STORED at their "
+    "version so replayed/out-of-order older upserts cannot resurrect "
+    "deleted keys; read view filters op<>'D'; stream-drained state == "
+    "i_cdc_merge's batch answer",
+)
+def st_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from listenbrainz_server_spark.sources.sinks import atomic_swap_write
+    from listenbrainz_server_spark.streaming.jobs import (
+        foreach_batch_merge_latest,
+        read_parquet_stream,
+        state_partition_conf,
+    )
+
+    cutoff = F.lit("1997-01-01").cast("date")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.col("o_orderkey").cast("bigint").alias("ok"),
+        F.col("o_totalprice").alias("tp"),
+        F.col("o_orderdate").alias("od"),
+    )
+    base = (
+        orders.where(F.col("od") < cutoff)
+        .groupBy("ck")
+        .agg(F.max(F.struct("od", "ok", "tp")).alias("m"))
+        .select(
+            "ck",
+            F.col("m.od").alias("od"),
+            F.col("m.ok").alias("ok"),
+            F.col("m.tp").alias("tp"),
+            F.lit("U").alias("op"),
+        )
+    )
+    # RAW changelog — every post-cutoff change row; the LWW merge does
+    # the compaction (op assigned per row, so intermediate versions
+    # carry their own op like a real CDC feed).
+    changes = orders.where(F.col("od") >= cutoff).select(
+        "ck",
+        "od",
+        "ok",
+        "tp",
+        F.when(F.col("ok") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+
+    root = tempfile.mkdtemp(prefix="st_cdc_")
+    log_dir, state = root + "/log", root + "/state"
+    changes.repartition(4).write.mode("overwrite").parquet(log_dir)
+    atomic_swap_write(base, state)  # pre-seeded snapshot
+    with state_partition_conf(spark, 8):
+        stream = read_parquet_stream(
+            spark, log_dir, spark.read.parquet(log_dir).schema, max_files=1
+        )
+        foreach_batch_merge_latest(
+            stream, state, keys=["ck"], order_cols=["od", "ok"]
+        )
+    return (
+        spark.read.parquet(state)
+        .where(F.col("op") != "D")
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("ok").alias("last_orderkey"),
+            F.round("tp", 6).alias("last_totalprice"),
+            F.when(F.col("od") >= cutoff, F.lit("merged"))
+            .otherwise(F.lit("base"))
+            .alias("provenance"),
+        )
+        .orderBy("custkey")
+    )

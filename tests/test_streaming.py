@@ -450,3 +450,40 @@ def test_quality_gate_stream_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = _rows(spark.table("quality_gate_sink"), ["doc_id"])
     assert got == batch_ids
+
+
+def test_cdc_tombstone_blocks_resurrection(spark, tmp_path):
+    """CDC retraction semantics: a tombstone is STORED with its
+    version, so a replayed/out-of-order micro-batch carrying an OLDER
+    upsert of the key cannot resurrect it — and a NEWER upsert can
+    legitimately re-create the key."""
+    from listenbrainz_server_spark.streaming import jobs
+
+    state = str(tmp_path / "state")
+
+    def merge_batch(rows):
+        df = spark.createDataFrame(rows, "k string, ts long, op string")
+        jobs.merge_latest_into_state(state, df, keys=["k"], order_cols=["ts"])
+
+    def live():
+        df = spark.read.parquet(state)
+        return {(r.k, r.ts) for r in df.where(df.op != "D").collect()}
+
+    merge_batch([("a", 10, "D"), ("b", 5, "U")])
+    merge_batch([("a", 3, "U")])  # out-of-order older upsert
+    assert live() == {("b", 5)}  # 'a' stays dead
+    merge_batch([("a", 12, "U")])  # genuinely newer upsert
+    assert live() == {("a", 12), ("b", 5)}
+
+
+def test_st_cdc_merge_stream_equals_batch(spark):
+    """The drained streaming CDC state must equal i_cdc_merge's batch
+    answer row-for-row (same declared changelog derivation)."""
+    from listenbrainz_server_spark.queries import load_all
+
+    reg = load_all()
+    from tests.conftest import SF_SMOKE
+
+    batch = [tuple(r) for r in reg["i_cdc_merge"].fn(spark, SF_SMOKE).collect()]
+    stream = [tuple(r) for r in reg["st_cdc_merge"].fn(spark, SF_SMOKE).collect()]
+    assert stream == batch
