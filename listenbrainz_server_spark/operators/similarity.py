@@ -58,29 +58,37 @@ def unit_vectors(
     id_col: str,
     vec_col: str,
     partitions: int | None = 32,
+    pin: bool = False,
 ) -> DataFrame:
     """(vid, vec) with ``vec`` unit-normalized and zero-norm rows
     dropped (no cosine exists for them; downstream trainers/encoders
     would NaN-poison).
 
-    Two measured fixes folded in (semdedup profile, r8 — the naive
-    ``transform(raw, x -> x / norm(raw))`` form cost 2.7 s where this
-    costs 0.4 s on the sf0.1 embeddings):
+    ``partitions``: explicit repartition first — a single-file source
+    otherwise serializes every downstream stage on one task, INCLUDING
+    iterative trainers fit on a checkpointed frame (localCheckpoint
+    preserves the 1-partition layout).
 
-    * the norm is materialized through an eager checkpoint BEFORE the
-      per-element divide — inlined into the transform lambda
-      (CollapseProject), an aggregate norm re-evaluates per element,
-      64× per row;
-    * explicit ``repartition`` first — a single-file source otherwise
-      serializes every downstream stage on one task, INCLUDING
-      iterative trainers fit on the checkpointed frame
-      (localCheckpoint preserves the 1-partition layout).
+    ``pin`` (MEASURE per site — the r8 refactor that defaulted this to
+    True cost v_ivfpq_topk +1.6 s and d_semdedup +1.8 s in redundant
+    eager jobs): True materializes the norm through an eager
+    checkpoint before the per-element divide, so CollapseProject can't
+    inline the aggregate norm into the transform lambda (re-evaluated
+    64× per row). Worth it ONLY when the returned frame itself feeds
+    multiple consumers with no pin of its own (pq_topk, measured). If
+    the caller checkpoints a derived frame immediately (feats pins in
+    ivfpq/semdedup) or consumes it in one linear pass (encode), the
+    64×-norm single pass is CHEAPER than an extra job — leave False.
     """
     raw = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
     )
     if partitions:
         raw = raw.repartition(partitions)
+    if not pin:
+        return raw.where(norm(F.col("raw")) != 0).select(
+            "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
+        )
     pre = (
         raw.select("vid", "raw", norm(F.col("raw")).alias("nrm"))
         .where(F.col("nrm") != 0)
@@ -1094,7 +1102,7 @@ def pq_topk(
     # Zero vectors are DROPPED before normalizing (no cosine exists
     # for them; the zero-norm NULL rule elsewhere would otherwise
     # poison codebooks/ADC with NaN rows).
-    unit = unit_vectors(vectors, id_col, vec_col)
+    unit = unit_vectors(vectors, id_col, vec_col, pin=True)
     # Codebooks train on a deterministic hash sample — the standard PQ
     # practice (codebook quality saturates long before full-corpus
     # coverage; at 100 TB training on everything is pure waste).
@@ -1664,9 +1672,12 @@ def semdedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # zero scans the repartitioned raw lazily (materialized only in
+    # the final union — a parallel 32-task pass); unit stays unpinned
+    # because feats pins the whole normalize+vectorize lineage next.
     raw = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
-    )
+    ).repartition(32)
     zero = raw.where(norm(F.col("raw")) == 0)
     unit = unit_vectors(vectors, id_col, vec_col)
     feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
