@@ -3179,3 +3179,62 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_logratio").desc(), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# x_chi_square (r8): Pearson chi-square contingency audit between a
+# categorical feature and a cohort label — the standard "is this
+# feature independent of the split?" check for A/B bucketing bugs and
+# leaky dataset splits (e.g. a hash-split whose buckets correlate
+# with event type means the hash key leaks the feature). Cohort =
+# user_id % 4, the same declared-modulus convention as x_hash_split.
+# One fact scan -> one (type, cohort) count aggregate (map-side
+# combinable, |cells| = |types| x 4); marginals and the statistic are
+# cell-frame arithmetic over broadcast-sized frames. Integer counts
+# exact; expected/contrib 6dp.
+# --------------------------------------------------------------------------
+@register(
+    "x_chi_square",
+    """
+    WITH cells AS (
+        SELECT event_type, user_id % 4 AS cohort, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(n) AS row_n FROM cells GROUP BY 1),
+    ct AS (SELECT cohort, SUM(n) AS col_n FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM cells)
+    SELECT c.event_type, c.cohort, CAST(c.n AS BIGINT) AS n,
+           ROUND(rt.row_n * ct.col_n * 1.0 / tot.total, 6) AS expected,
+           ROUND(POW(c.n - rt.row_n * ct.col_n * 1.0 / tot.total, 2)
+                 / (rt.row_n * ct.col_n * 1.0 / tot.total), 6) AS contrib
+    FROM cells c
+    JOIN rt USING (event_type) JOIN ct USING (cohort), tot
+    ORDER BY event_type, cohort
+    """,
+    doc="Pearson chi-square contingency audit (event_type x user-"
+    "cohort): per-cell observed/expected/contribution for detecting "
+    "cohort-feature dependence in splits; one map-side-combinable "
+    "cell aggregate, marginals over the broadcast-sized cell frame",
+)
+def x_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rt = cells.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    ct = cells.groupBy("cohort").agg(F.sum("n").alias("col_n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    exp = F.col("row_n") * F.col("col_n") * 1.0 / F.col("total")
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "cohort")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "cohort",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(exp, 6).alias("expected"),
+            F.round(F.pow(F.col("n") - exp, 2) / exp, 6).alias("contrib"),
+        )
+        .orderBy("event_type", "cohort")
+    )
