@@ -1672,14 +1672,18 @@ def semdedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # zero scans the repartitioned raw lazily (materialized only in
-    # the final union — a parallel 32-task pass); unit stays unpinned
-    # because feats pins the whole normalize+vectorize lineage next.
+    # ONE shared repartitioned frame feeds both branches (zero lazy —
+    # materialized only in the final union as a parallel pass; unit
+    # unpinned because feats pins the whole normalize+vectorize
+    # lineage next). Calling unit_vectors here would rebuild and
+    # re-shuffle the same projection a second time.
     raw = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
     ).repartition(32)
     zero = raw.where(norm(F.col("raw")) == 0)
-    unit = unit_vectors(vectors, id_col, vec_col)
+    unit = raw.where(norm(F.col("raw")) != 0).select(
+        "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
+    )
     feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
         eager=True
     )

@@ -127,6 +127,19 @@ def _node_label(col: str = "node"):
     )
 
 
+def _finalize(result: DataFrame, *pins: DataFrame) -> DataFrame:
+    """Eagerly materialize the (tiny, top-k) result, then release the
+    graph-build cache pins. Without this, every graph query leaked its
+    cached edge frames for the rest of the session (cached frames are
+    never reclaimed by the ContextCleaner, unlike localCheckpoint
+    RDDs), shrinking executor storage for every query benched after
+    the graph tier."""
+    out = result.localCheckpoint(eager=True)
+    for p in pins:
+        p.unpersist()
+    return out
+
+
 def _pagerank_sql() -> str:
     """Chained-CTE power iteration: r0 uniform, r{i+1} from r{i}."""
     steps = []
@@ -212,10 +225,12 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the sf1 scaling smoke). If a larger scale ever flakes at
     # the cutoff, quantize per-iteration contributions instead (the
     # t_tfidf_cosine_pairs pattern) rather than loosening the round.
-    return (
+    return _finalize(
         rank.select(_node_label().alias("node"), F.round("pr", 8).alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "node")
-        .limit(_TOPK)
+        .limit(_TOPK),
+        contrib,
+        outdeg,
     )
 
 
@@ -328,11 +343,22 @@ def g_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("pr").alias("pr"))
         )
-    return (
-        rank.where(F.col("node") % 2 == 1)
-        .select(_node_label().alias("node"), F.round("pr", 8).alias("ppr"))
+    # Pad zero-mass suppliers: the sparse rank omits nodes the walk
+    # never reached, but the oracle's nodes-anchored LEFT JOIN emits
+    # them with pr=0 and its LIMIT includes such rows whenever fewer
+    # than _TOPK suppliers are reachable from the seed cohort — the
+    # dense left join keeps both sides row-identical in that regime.
+    supp = nodes.where(F.col("node") % 2 == 1)
+    dense = supp.join(rank, "node", "left").select(
+        "node", F.coalesce(F.col("pr"), F.lit(0.0)).alias("pr")
+    )
+    return _finalize(
+        dense.select(_node_label().alias("node"), F.round("pr", 8).alias("ppr"))
         .orderBy(F.col("ppr").desc(), "node")
-        .limit(_TOPK)
+        .limit(_TOPK),
+        contrib,
+        outdeg,
+        seedw,
     )
 
 

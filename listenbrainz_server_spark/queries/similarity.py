@@ -562,8 +562,13 @@ def v_ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from listenbrainz_server_spark.sources.sinks import atomic_swap_write
 
+        # partition_by preserves the bucket-directory contract the
+        # append path and affected-list pruning rely on — a flat
+        # rewrite after a refit would silently void both.
         atomic_swap_write(
-            ivfpq_encode(emb, "vec_id", "embedding", centers, books), state
+            ivfpq_encode(emb, "vec_id", "embedding", centers, books),
+            state,
+            partition_by=["bucket"],
         )
     else:
         delta_idx.drop("vec").repartition("bucket").write.mode("append").partitionBy(

@@ -32,17 +32,28 @@ def append_coalesced(df: DataFrame, path: str, files: int = 1) -> None:
     df.coalesce(files).write.mode("append").parquet(path)
 
 
-def atomic_swap_write(df: DataFrame, path: str) -> None:
+def atomic_swap_write(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
     """Write to a temp sibling then rename into place
     (listens/dump.py:204-208 / delete.py:27-34 swap pattern) — readers
     never observe a half-written dataset on a posix-rename filesystem.
 
     The old dataset is renamed ASIDE first (rename is atomic; delete is
     not), so the path is absent only for the instant between two
-    renames — not for the duration of a recursive delete."""
+    renames — not for the duration of a recursive delete.
+
+    ``partition_by`` preserves a partitioned-layout contract across the
+    swap (a replacement written flat would silently drop the per-
+    partition directory layout downstream pruning relies on)."""
     tmp = path.rstrip("/") + "__tmp"
     old = path.rstrip("/") + "__old"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = df.repartition(*partition_by).write.mode("overwrite").partitionBy(
+            *partition_by
+        )
+    writer.parquet(tmp)
     if os.path.exists(old):
         shutil.rmtree(old)
     had_old = os.path.exists(path)

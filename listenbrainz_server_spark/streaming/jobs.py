@@ -119,7 +119,7 @@ def sliding_trending(
     key_col: str,
     window: str = "2 hours",
     slide: str = "1 hour",
-    top_k: int = 3,
+    top_k: int | None = None,
     watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Sliding-window trending top-k: per overlapping event-time
@@ -138,11 +138,12 @@ def sliding_trending(
     report.
     """
     if df.isStreaming:
-        if top_k != 3:
-            # Advisor r7: callers passing a non-default top_k on a
-            # stream would otherwise get no signal that the ranking
-            # stage was dropped (and a (w,key,n) schema, not the
-            # batch (w_start,key,n,rank)).
+        if top_k is not None:
+            # Advisor r7 + r8 review: None is the explicit "default"
+            # sentinel, so ANY caller-supplied top_k on a stream gets
+            # the signal that the ranking stage was dropped (the old
+            # `!= 3` check silently swallowed an explicit top_k=3,
+            # and would have drifted if the default changed).
             import warnings
 
             warnings.warn(
@@ -165,7 +166,7 @@ def sliding_trending(
     rk = W.partitionBy("w").orderBy(F.col("n").desc(), F.col(key_col))
     return (
         counts.withColumn("rank", F.row_number().over(rk).cast("bigint"))
-        .where(F.col("rank") <= top_k)
+        .where(F.col("rank") <= (3 if top_k is None else top_k))
         .select(
             F.col("w.start").alias("w_start"),
             F.col(key_col),

@@ -63,7 +63,11 @@ def main() -> None:
                 df._jdf.queryExecution(), "formatted"
             )
         except Exception as e:  # noqa: BLE001
-            rows[name] = f"| {name} | ERROR: {e} | | | | | |"
+            # Sanitize: '|' or newlines in the exception text would
+            # corrupt the markdown row and break the delta-mode
+            # re-parse on every later run (r8 review finding).
+            msg = str(e).replace("|", "/").replace("\n", " ")[:200]
+            rows[name] = f"| {name} | ERROR: {msg} | | | | | |"
             continue
         tree = plan.split("\n\n")[0]
         row_udf = tree.count("BatchEvalPython")

@@ -16,6 +16,14 @@ non-zero on any shortfall — the artifact-drift failure mode of rounds
 3-5 (BENCH_full/PLAN_AUDIT missing final-commit queries, CHECK_full
 never committed) becomes a hard error instead of a memory.
 
+--delta certifies COVERAGE, not regression: it re-runs only names
+MISSING from the committed artifacts, so a behavioral regression in an
+already-covered query is carried forward verbatim (r8 review finding).
+The round must therefore END with one FULL pass (no --delta) — the
+driver's own CORRECTNESS gate also re-runs every query per round, so
+a regression cannot survive to the judge unnoticed, but the at-head
+artifacts should not rely on that.
+
 --delta (VERDICT r7 #1, the structural fix): instead of the full
 ~15 min sweep, compute the set of registered names MISSING from each
 committed artifact and run check/bench/audit for just those, merging

@@ -59,7 +59,12 @@ def main() -> None:
         print(f"{name}: x{REPLICAS} with offsets {offsets}")
 
     replicate_keys("orders", ["o_orderkey", "o_custkey"])
-    replicate_keys("lineitem", ["l_orderkey", "l_suppkey", "l_partkey"])
+    # l_partkey is NOT offset: part is copied verbatim below, so
+    # offsetting would break the lineitem->part FK for 9/10 of derived
+    # rows and silently shrink any part-join under the smoke (r8
+    # review finding). Part-key reuse just makes each part 10x hotter,
+    # which is the conservative direction for a scaling measurement.
+    replicate_keys("lineitem", ["l_orderkey", "l_suppkey"])
     replicate_keys("customer", ["c_custkey"])
     replicate_keys("supplier", ["s_suppkey"])
 
