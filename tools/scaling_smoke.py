@@ -25,6 +25,14 @@ HEAVIES = [
     "t_tfidf_cosine_pairs",
     "v_range_search",
     "g_pagerank",
+    # r8 additions: wedge enumeration (density-sensitive threshold),
+    # gram-explode importance weights, cluster-bounded semantic dedup.
+    "g_triangle_count",
+    "x_dsir_weights",
+    "d_semdedup",
+    # the scale path for the quadratic t_tfidf_cosine_pairs — keep its
+    # factor in the artifact next to the uncapped diagnosis.
+    "t_tfidf_cosine_pairs_capped",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scale/sf1")
