@@ -3238,3 +3238,82 @@ def x_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "cohort")
     )
+
+
+# --------------------------------------------------------------------------
+# x_epoch_shuffle_quality (r8): mixing audit for the epoch ordering —
+# given documents ordered by the deterministic md5 interleave key
+# (the x_interleave_domains convention), how often are ADJACENT rows
+# from the same source, vs the Σ p_i² rate perfect mixing predicts?
+# A ratio ≫ 1 means the shuffle key clumps a source (bad batches:
+# consecutive same-domain examples raise gradient correlation); ≈ 1
+# certifies the md5 key mixes. One window pass over the ordered
+# corpus + one tiny aggregate; integer counts exact, rates 6dp.
+# Scale: the lag window needs a total order — at 100 TB you audit a
+# bounded SAMPLE of the order (the statistic is an average, stable on
+# samples), or per range-partition with the same contract.
+# --------------------------------------------------------------------------
+@register(
+    "x_epoch_shuffle_quality",
+    """
+    WITH ordered AS (
+        SELECT source,
+               LAG(source) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch'), doc_id
+               ) AS prev_source
+        FROM documents
+    ),
+    adj AS (
+        SELECT COUNT(*) FILTER (prev_source IS NOT NULL) AS n_pairs,
+               COUNT(*) FILTER (prev_source = source) AS n_same
+        FROM ordered
+    ),
+    shares AS (
+        SELECT SUM(POW(n * 1.0 / tot, 2)) AS expected_rate
+        FROM (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+             (SELECT COUNT(*) AS tot FROM documents)
+    )
+    SELECT CAST(a.n_pairs AS BIGINT) AS n_pairs,
+           CAST(a.n_same AS BIGINT) AS n_same,
+           ROUND(a.n_same * 1.0 / a.n_pairs, 6) AS same_rate,
+           ROUND(s.expected_rate, 6) AS expected_rate,
+           ROUND((a.n_same * 1.0 / a.n_pairs) / s.expected_rate, 6)
+               AS mixing_ratio
+    FROM adj a, shares s
+    """,
+    doc="epoch-ordering mixing audit: adjacent same-source rate under "
+    "the md5 interleave order vs the sum-p_i-squared perfect-mixing "
+    "expectation; ratio ~1 certifies the shuffle key, >>1 flags "
+    "clumping; integer counts exact, rates 6dp",
+)
+def x_epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch"))),
+        "doc_id",
+    )
+    ordered = docs.select(
+        "source", F.lag("source").over(w).alias("prev_source")
+    )
+    adj = ordered.agg(
+        F.count_if(F.col("prev_source").isNotNull()).alias("n_pairs"),
+        F.count_if(F.col("prev_source") == F.col("source")).alias("n_same"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("tot"))
+    shares = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.pow(F.col("n") * 1.0 / F.col("tot"), 2)).alias("expected_rate"))
+    )
+    return adj.crossJoin(F.broadcast(shares)).select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("n_same").cast("bigint").alias("n_same"),
+        F.round(F.col("n_same") * 1.0 / F.col("n_pairs"), 6).alias("same_rate"),
+        F.round("expected_rate", 6).alias("expected_rate"),
+        F.round(
+            (F.col("n_same") * 1.0 / F.col("n_pairs")) / F.col("expected_rate"), 6
+        ).alias("mixing_ratio"),
+    )

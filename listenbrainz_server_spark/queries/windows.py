@@ -527,3 +527,122 @@ def w_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# w_cusum_drift: one-sided CUSUM change-point detection on the daily
+# per-type count series (Page 1954) — the standard "did the level
+# shift?" monitor that catches slow drifts KS-on-histograms
+# (x_length_drift_ks) and pointwise z-scores (a_daily_anomalies) both
+# miss. The textbook recursion C_t = max(0, C_{t-1} + x_t - μ - κ) is
+# not window-expressible, but it UNROLLS exactly to
+#     C_t = S_t - min(0, min_{i<=t} S_i),  S = running Σ (x - μ - κ)
+# — one running sum + one running min, two frames over the same
+# per-type day order (single sort, no recursion, no UDF). μ and the
+# slack κ = 0.05μ come from the first-30-present-days baseline;
+# alarm at C > h = 2μ. Per-term integer-microunit quantization makes
+# the running sums exact in both engines (the repo's order-free-sum
+# convention — here the order is identical anyway, but exact integers
+# also make the ALARM BOUNDARY un-flippable). Scale: the window
+# partitions are |days|-row per-type series, never event volume.
+# --------------------------------------------------------------------------
+@register(
+    "w_cusum_drift",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+        SELECT event_type, AVG(n) AS mu FROM (
+            SELECT event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY di)
+                       AS rn
+            FROM daily
+        ) WHERE rn <= 30 GROUP BY event_type
+    ),
+    terms AS (
+        SELECT d.event_type, d.day, d.di, d.n, b.mu,
+               CAST(ROUND((d.n - b.mu - 0.05 * b.mu) * 1e6) AS BIGINT) AS tq
+        FROM daily d JOIN base b USING (event_type)
+    ),
+    runs AS (
+        SELECT event_type, day, di, n, mu,
+               SUM(tq) OVER (PARTITION BY event_type ORDER BY di
+                             ROWS UNBOUNDED PRECEDING) AS s
+        FROM terms
+    ),
+    sums AS (
+        SELECT event_type, day, n, mu, s,
+               MIN(s) OVER (PARTITION BY event_type ORDER BY di
+                            ROWS UNBOUNDED PRECEDING) AS mins
+        FROM runs
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           ROUND((s - LEAST(0, mins)) / 1e6, 6) AS cusum,
+           (s - LEAST(0, mins)) > CAST(ROUND(2 * mu * 1e6) AS BIGINT)
+               AS alarm
+    FROM sums
+    ORDER BY event_type, day
+    """,
+    doc="one-sided CUSUM level-shift monitor per event type (Page "
+    "1954): recursion unrolled to running-sum minus prefix-min (two "
+    "frames, one sort, no UDF); baseline mu from the first 30 present "
+    "days, slack 0.05mu, alarm at 2mu; integer-microunit terms make "
+    "sums and the alarm boundary exact",
+)
+def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.withColumn(
+        "di", F.datediff("day", F.lit("1970-01-01")).cast("bigint")
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("di")
+    base = (
+        daily.withColumn("rn", F.row_number().over(w_rn))
+        .where(F.col("rn") <= 30)
+        .groupBy("event_type")
+        .agg(F.avg("n").alias("mu"))
+    )
+    terms = daily.join(F.broadcast(base), "event_type").withColumn(
+        "tq",
+        F.round((F.col("n") - F.col("mu") - 0.05 * F.col("mu")) * 1e6).cast(
+            "bigint"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = terms.select(
+        "event_type",
+        "day",
+        "di",
+        "n",
+        "mu",
+        F.sum("tq").over(w_run).alias("s"),
+    )
+    sums = runs.select(
+        "event_type",
+        "day",
+        "n",
+        "mu",
+        "s",
+        F.min("s").over(w_run).alias("mins"),
+    )
+    cus = F.col("s") - F.least(F.lit(0).cast("bigint"), F.col("mins"))
+    return (
+        sums.select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(cus / 1e6, 6).alias("cusum"),
+            (cus > F.round(2 * F.col("mu") * 1e6).cast("bigint")).alias("alarm"),
+        )
+        .orderBy("event_type", "day")
+    )
