@@ -97,6 +97,28 @@ def test_atomic_swap_write_replaces(spark, tmp_path):
     assert not os.path.exists(path + "__tmp")
 
 
+def test_atomic_swap_write_preserves_partition_layout(spark, tmp_path):
+    """partition_by must survive the swap: a refit that replaces a
+    bucket-partitioned index (v_ivfpq_delta_index) would otherwise
+    silently flatten the directory layout downstream pruning and the
+    append path rely on (r8 review finding #5)."""
+    path = str(tmp_path / "pidx")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "v int, k string")
+    atomic_swap_write(df1, path, partition_by=["k"])
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("k=")
+    ) == ["k=a", "k=b"]
+    # Replacement keeps the layout and the new content.
+    df2 = spark.createDataFrame([(3, "a"), (4, "c")], "v int, k string")
+    atomic_swap_write(df2, path, partition_by=["k"])
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("k=")
+    ) == ["k=a", "k=c"]
+    got = {(r.v, r.k) for r in spark.read.parquet(path).collect()}
+    assert got == {(3, "a"), (4, "c")}
+    assert not os.path.exists(path + "__tmp")
+
+
 def test_registry_upsert(spark, tmp_path):
     path = str(tmp_path / "registry")
     r1 = spark.createDataFrame([("dump-1", 10), ("dump-2", 20)], "name string, rows int")
