@@ -391,3 +391,125 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_seconds=12 * 3600,
         direction="nearest",
     ).select("event_id", "user_id", "purch_value", "asof_ts")
+
+
+# --------------------------------------------------------------------------
+# j_interval_overlap (r8): interval × interval OVERLAP join — the
+# two-sided generalization of j_range_join (point-in-interval) and
+# the batch analog of st_interval_join; the genomics/session-overlap
+# workhorse (Flink interval join, DuckDB/Trino range-join family).
+# Intervals = per-order fulfillment windows [order date, last ship
+# date] for two customer cohorts (nation 0 vs nation 1).
+#
+# Scale shape — the naive theta join is |A|·|B|; instead:
+#  * each interval is CHOPPED into the month buckets it covers
+#    (F.sequence over truncated dates — bounded explode, interval
+#    span / month);
+#  * candidates join EQUI on the month bucket (hash join, pushdown-
+#    friendly), overlap verified exactly in-candidate;
+#  * the classic duplicate problem (a pair overlaps in k shared
+#    buckets → reported k times) is solved WITHOUT a distinct
+#    shuffle: a pair is emitted only in the bucket that contains
+#    GREATEST(a.start, b.start) — the overlap's first month — which
+#    each qualifying pair has exactly one of (the emit-once spatial-
+#    join trick).
+# Output is the per-month overlap census (pair count + total overlap
+# days), not the pair list — the audit a scheduler wants. Integer
+# counts/days exact.
+# --------------------------------------------------------------------------
+@register(
+    "j_interval_overlap",
+    """
+    WITH iv AS (
+        SELECT o.o_orderkey AS k, c.c_nationkey AS nat,
+               MIN(o.o_orderdate) AS s,
+               GREATEST(MIN(o.o_orderdate), MAX(l.l_shipdate)) AS e
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_nationkey IN (0, 1)
+        GROUP BY 1, 2
+    ),
+    a AS (SELECT k, s, e FROM iv WHERE nat = 0),
+    b AS (SELECT k, s, e FROM iv WHERE nat = 1),
+    pairs AS (
+        SELECT GREATEST(a.s, b.s) AS os, LEAST(a.e, b.e) AS oe
+        FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+    )
+    SELECT date_trunc('month', os) AS overlap_month,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(date_diff('day', os, oe) + 1) AS BIGINT)
+               AS total_overlap_days
+    FROM pairs
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="interval-overlap join (order fulfillment windows, nation-0 x "
+    "nation-1 cohorts) via month-bucket chop + equi candidates + "
+    "exact in-candidate verify, pair emitted ONLY in the bucket of "
+    "greatest(start)s so no distinct pass is needed; per-month "
+    "pair/overlap-day census, integer-exact",
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(
+            F.broadcast(
+                cust.where(F.col("c_nationkey").isin(0, 1)).select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderkey").alias("k"), F.col("c_nationkey").alias("nat"))
+        .agg(
+            F.min("o_orderdate").alias("s"),
+            # the synthetic fixture does not guarantee ship >= order;
+            # clamp so the interval is well-formed (mirrored in SQL)
+            F.greatest(F.min("o_orderdate"), F.max("l_shipdate")).alias("e"),
+        )
+    )
+    # Chop each interval into covered month buckets; bounded explode
+    # (fulfillment windows span a few months).
+    chopped = iv.select(
+        "k",
+        "nat",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.trunc("s", "month"), F.trunc("e", "month"), F.expr("interval 1 month")
+            )
+        ).alias("m"),
+    )
+    # EXPLICIT repartition count: the chopped frames are a few
+    # hundred KB, so AQE coalesces the join's exchange to ONE task —
+    # which then expands into millions of candidate pairs serially
+    # (measured 80 s at sf0.1; 32 explicit partitions, exempt from
+    # AQE coalescing, bring it back to seconds — the r6 fan-out
+    # lesson).
+    a = chopped.where(F.col("nat") == 0).select(
+        F.col("k").alias("ak"), F.col("s").alias("as_"), F.col("e").alias("ae"), "m"
+    ).repartition(32, "m")
+    b = chopped.where(F.col("nat") == 1).select(
+        F.col("k").alias("bk"), F.col("s").alias("bs"), F.col("e").alias("be"), "m"
+    ).repartition(32, "m")
+    overlap = (F.col("as_") <= F.col("be")) & (F.col("bs") <= F.col("ae"))
+    first_bucket = F.trunc(F.greatest("as_", "bs"), "month") == F.col("m")
+    pairs = a.join(b, "m").where(overlap & first_bucket).select(
+        F.greatest("as_", "bs").alias("os"),
+        F.least("ae", "be").alias("oe"),
+    )
+    return (
+        pairs.groupBy(F.trunc("os", "month").alias("overlap_month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.datediff("oe", "os") + 1).cast("bigint").alias(
+                "total_overlap_days"
+            ),
+        )
+        .orderBy("overlap_month")
+    )
