@@ -180,6 +180,16 @@ def main() -> None:
             samples_by_query[name] = [round(s, 2) for s in samples]
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
             errors[name] = str(e).splitlines()[0][:120]
+        # Per-query isolation: drop cached frames AND the Python refs
+        # whose GC releases accumulated localCheckpoint RDD blocks —
+        # without this, block-manager pressure from ~200 earlier
+        # queries inflated the mid-alphabet ML heavies ~3x in the full
+        # sweep (m_als_cv 25.3 s in-sweep vs 7.8 s fresh-session,
+        # measured r8; the same query, same code, same box).
+        import gc as _gc
+
+        spark.catalog.clearCache()
+        _gc.collect()
 
     total = round(sum(timings.values()), 2)
     out = {
