@@ -3317,3 +3317,82 @@ def x_epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_same") * 1.0 / F.col("n_pairs")) / F.col("expected_rate"), 6
         ).alias("mixing_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# x_split_leakage (r8): train/test contamination audit — the classic
+# eval-hygiene failure where a doc-id-keyed split puts VERBATIM
+# duplicates of the same text on both sides of the train/test fence
+# (the reason dedup must precede splitting; Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" §5).
+# Duplicate tier = shared 8-word prefix (the crawl-boilerplate
+# fingerprint d_cross_source_dups uses — the fixture has no verbatim
+# full-text copies, so the exact tier would audit an always-empty
+# set), split = the x_hash_split md5-range convention. Reports, per
+# split pair, how many duplicate groups and docs straddle the fence;
+# zero means the split is leak-free AT THIS TIER (near-dup tiers
+# escalate to d_minhash_lsh / d_semdedup before splitting). One
+# prefix-hash aggregate + one tiny self-join of the leaky-group
+# frame — integer-exact.
+# --------------------------------------------------------------------------
+@register(
+    "x_split_leakage",
+    """
+    WITH tagged AS (
+        SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS th,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < 'cccccccc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < 'e6666666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    per_group AS (
+        SELECT th, split, COUNT(*) AS n FROM tagged GROUP BY 1, 2
+    ),
+    leaks AS (
+        SELECT a.th, a.split AS split_a, b.split AS split_b,
+               a.n AS n_a, b.n AS n_b
+        FROM per_group a JOIN per_group b
+          ON a.th = b.th AND a.split < b.split
+    )
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_leaky_groups,
+           CAST(COALESCE(SUM(n_a + n_b), 0) AS BIGINT) AS n_docs_involved
+    FROM leaks
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="train/test leakage audit: exact-duplicate text groups that "
+    "straddle the doc-id hash split (dedup-before-split hygiene, Lee "
+    "et al. 2022); per split pair, leaky group + involved doc counts "
+    "— zero on a clean corpus; integer-exact",
+)
+def x_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tagged = hash_split(docs, "doc_id").select(
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
+        ).alias("th"),
+        "split",
+    )
+    per_group = tagged.groupBy("th", "split").agg(F.count(F.lit(1)).alias("n"))
+    a = per_group.select(
+        "th", F.col("split").alias("split_a"), F.col("n").alias("n_a")
+    )
+    b = per_group.select(
+        "th", F.col("split").alias("split_b"), F.col("n").alias("n_b")
+    )
+    leaks = a.join(b, "th").where(F.col("split_a") < F.col("split_b"))
+    return (
+        leaks.groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_leaky_groups"),
+            F.sum(F.col("n_a") + F.col("n_b")).cast("bigint").alias(
+                "n_docs_involved"
+            ),
+        )
+        .orderBy("split_a", "split_b")
+    )
