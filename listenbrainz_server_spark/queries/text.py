@@ -2204,3 +2204,92 @@ def t_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t_heaps_law_fit (r8): vocabulary-growth exponent — Heaps' law
+# V(N) ≈ K·N^beta, the companion diagnostic to t_zipf_fit (a corpus
+# whose vocabulary saturates, beta → 0, is template/boilerplate-bound;
+# natural text sits around beta 0.4-0.6; beta near 1 flags id-like
+# token noise). Scale shape: ONE first-seen reduction (min doc_id per
+# word — the a_user_growth pattern: no cumulative distinct scan, the
+# groupBy is the only wide exchange), checkpoints = cumulative token
+# and NEW-vocab counts at 10 doc-id deciles (window over the 10-row
+# decile frame), then a closed-form log-log OLS over the checkpoints
+# (regr_slope — same idiom as t_zipf_fit). 4dp rounding absorbs the
+# float tails.
+# --------------------------------------------------------------------------
+@register(
+    "t_heaps_law_fit",
+    """
+    WITH toks AS (
+        SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id) AS dec,
+               string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    inst AS (
+        SELECT dec, UNNEST(ws) AS w FROM toks
+    ),
+    first_seen AS (
+        SELECT w, MIN(dec) AS fdec FROM inst GROUP BY w
+    ),
+    per_dec AS (
+        SELECT i.dec,
+               COUNT(*) AS toks_in_dec,
+               (SELECT COUNT(*) FROM first_seen f WHERE f.fdec = i.dec)
+                   AS new_vocab
+        FROM inst i GROUP BY i.dec
+    ),
+    cum AS (
+        SELECT dec,
+               SUM(toks_in_dec) OVER (ORDER BY dec) AS n_tokens,
+               SUM(new_vocab) OVER (ORDER BY dec) AS vocab
+        FROM per_dec
+    )
+    SELECT ROUND(regr_slope(LN(vocab), LN(n_tokens)), 4) AS heaps_beta,
+           ROUND(EXP(regr_intercept(LN(vocab), LN(n_tokens))), 4) AS heaps_k,
+           ROUND(regr_r2(LN(vocab), LN(n_tokens)), 4) AS r2,
+           CAST(MAX(vocab) AS BIGINT) AS total_vocab,
+           CAST(MAX(n_tokens) AS BIGINT) AS total_tokens
+    FROM cum
+    """,
+    doc="Heaps'-law vocabulary-growth fit V=K*N^beta over 10 doc-id "
+    "decile checkpoints: one first-seen reduction (min decile per "
+    "word), cumulative sums over the 10-row decile frame, closed-form "
+    "log-log OLS; beta->0 flags template-bound corpora, ~0.5 natural "
+    "text, ->1 id-like token noise",
+)
+def t_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    toks = docs.withColumn(
+        "dec", F.ntile(10).over(Window.orderBy("doc_id"))
+    )
+    inst = toks.select("dec", F.explode("ws").alias("w"))
+    first_seen = inst.groupBy("w").agg(F.min("dec").alias("fdec"))
+    new_vocab = first_seen.groupBy(F.col("fdec").alias("dec")).agg(
+        F.count(F.lit(1)).alias("new_vocab")
+    )
+    per_dec = (
+        inst.groupBy("dec")
+        .agg(F.count(F.lit(1)).alias("toks_in_dec"))
+        .join(new_vocab, "dec", "left")
+        .na.fill(0, ["new_vocab"])
+    )
+    w_cum = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_dec.select(
+        "dec",
+        F.sum("toks_in_dec").over(w_cum).alias("n_tokens"),
+        F.sum("new_vocab").over(w_cum).alias("vocab"),
+    )
+    lv, ln_ = F.log("vocab"), F.log("n_tokens")
+    return cum.agg(
+        F.round(F.regr_slope(lv, ln_), 4).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lv, ln_)), 4).alias("heaps_k"),
+        F.round(F.regr_r2(lv, ln_), 4).alias("r2"),
+        F.max("vocab").cast("bigint").alias("total_vocab"),
+        F.max("n_tokens").cast("bigint").alias("total_tokens"),
+    )
