@@ -109,6 +109,31 @@ HEADLINE_NEW = (
 )
 
 
+# --- In-session calibration probe (VERDICT r8 #2) -------------------
+# This box's throughput drifts +/-40% between bench windows hours
+# apart (measured on UNCHANGED code — see NEXT.md and memory note), so
+# raw cross-round seconds carry no signal. Every sweep therefore runs
+# a fixed probe (a1_pricing_summary, median of 3) at sweep START and
+# END and records both; "normalized" values divide the raw seconds by
+# (probe_median / PROBE_REF_SECS) so a round-over-round reader can
+# compare speeds with the window's drift divided out. PROBE_REF_SECS
+# is the pinned reference window: the sf0.1 probe median on the round
+# 9 session where normalization was introduced.
+PROBE_QUERY = "a1_pricing_summary"
+PROBE_REF_SECS = 0.36  # measured [0.42, 0.29] median this pin window
+
+
+def _run_probe(spark, registry, sf_dir: str) -> float:
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        registry[PROBE_QUERY].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        samples.append(time.time() - t0)
+    return round(sorted(samples)[1], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -140,6 +165,7 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure
     # query execution, not session cold-start.
     registry["a1_pricing_summary"].fn(spark, sf_dir).count()
+    probe_start = _run_probe(spark, registry, sf_dir)
     # Warm MLlib's ALS codepath too: the first fit in a fresh JVM pays
     # ~2-10 s of JIT that would otherwise be billed to whichever ALS
     # query runs first (measured: m_als_cv 11.0 s cold vs 8.5 s warm).
@@ -191,6 +217,9 @@ def main() -> None:
         spark.catalog.clearCache()
         _gc.collect()
 
+    probe_end = _run_probe(spark, registry, sf_dir)
+    probe_median = round((probe_start + probe_end) / 2, 3)
+    window_factor = round(probe_median / PROBE_REF_SECS, 3)
     total = round(sum(timings.values()), 2)
     out = {
         "metric": "headline_query_wall_seconds" if not run_all else "total_query_wall_seconds",
@@ -199,6 +228,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": runs,
+        # Drift calibration (VERDICT r8 #2): divide raw seconds by
+        # window_factor to compare across bench windows. probe_secs =
+        # [start, end] medians; a large start/end gap means the window
+        # itself was unstable and even normalized numbers are suspect.
+        "probe_secs": [probe_start, probe_end],
+        "probe_ref_secs": PROBE_REF_SECS,
+        "window_factor": window_factor,
+        "value_normalized": round(total / window_factor, 2) if window_factor else None,
     }
     if not run_all:
         out["value_comparable"] = round(
@@ -213,20 +250,45 @@ def main() -> None:
         # noise from regression without re-running.
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_full_latest.json")
-        artifact = {**out, "samples": samples_by_query}
+        # Every query measured this invocation is stamped with this
+        # window id so a merged artifact records WHEN/WHERE each number
+        # was taken (advisor r8: a spliced total mixes windows that
+        # drift +/-40% — the stamp + "merged" flag make that legible,
+        # and window_factor makes the numbers comparable anyway).
+        window_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        window_meta = {"window_id": window_id, "window_factor": window_factor,
+                       "probe_secs": [probe_start, probe_end]}
+        artifact = {
+            **out,
+            "samples": samples_by_query,
+            "sf_dir": sf_dir,
+            "windows": {window_id: window_meta},
+            "query_window": {n: window_id for n in timings},
+        }
         if only and os.path.exists(path):
             with open(path) as f:
                 prior = json.load(f)
+            if prior.get("sf_dir", sf_dir) != sf_dir:
+                raise SystemExit(
+                    f"--only merge refused: prior artifact sf_dir="
+                    f"{prior.get('sf_dir')} != current {sf_dir}"
+                )
             merged_q = {**prior.get("queries", {}), **timings}
             merged_s = {**prior.get("samples", {}), **samples_by_query}
             merged_e = {**prior.get("errors", {}), **errors}
             for n in timings:  # a now-passing query clears its old error
                 merged_e.pop(n, None)
+            merged_w = {**prior.get("windows", {}), window_id: window_meta}
+            merged_qw = {**prior.get("query_window", {}),
+                         **{n: window_id for n in timings}}
             artifact = {
                 **prior,
                 "queries": merged_q,
                 "samples": merged_s,
                 "value": round(sum(merged_q.values()), 2),
+                "merged": True,
+                "windows": merged_w,
+                "query_window": merged_qw,
             }
             if merged_e:
                 artifact["errors"] = merged_e

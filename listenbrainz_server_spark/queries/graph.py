@@ -450,12 +450,14 @@ def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.struct(F.col("tw"), (-F.col("lab")).alias("nl"))).alias("m"))
             .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("lab"))
         )
-    return (
+    return _finalize(
         labels.groupBy("lab")
         .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
         .select(_node_label("lab").alias("community"), "size")
         .orderBy(F.col("size").desc(), "community")
-        .limit(_TOPK)
+        .limit(_TOPK),
+        contrib,
+        outdeg,
     )
 
 

@@ -48,11 +48,11 @@ def atomic_swap_write(
     partition directory layout downstream pruning relies on)."""
     tmp = path.rstrip("/") + "__tmp"
     old = path.rstrip("/") + "__old"
-    writer = df.write.mode("overwrite")
+    writer = (
+        df.repartition(*partition_by) if partition_by else df
+    ).write.mode("overwrite")
     if partition_by:
-        writer = df.repartition(*partition_by).write.mode("overwrite").partitionBy(
-            *partition_by
-        )
+        writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     if os.path.exists(old):
         shutil.rmtree(old)

@@ -16,13 +16,16 @@ non-zero on any shortfall — the artifact-drift failure mode of rounds
 3-5 (BENCH_full/PLAN_AUDIT missing final-commit queries, CHECK_full
 never committed) becomes a hard error instead of a memory.
 
---delta certifies COVERAGE, not regression: it re-runs only names
-MISSING from the committed artifacts, so a behavioral regression in an
-already-covered query is carried forward verbatim (r8 review finding).
-The round must therefore END with one FULL pass (no --delta) — the
-driver's own CORRECTNESS gate also re-runs every query per round, so
-a regression cannot survive to the judge unnoticed, but the at-head
-artifacts should not rely on that.
+--delta certifies coverage AND (since r9) staleness: besides names
+MISSING from the committed artifacts, the oracle gate re-runs every
+query whose defining module changed since the prior artifact's
+recorded git head (advisor r8: carrying prior CHECK results forward
+verbatim re-certified potential regressions). If a changed package
+file is NOT any query's defining module (a shared operator/helper),
+delta conservatively falls back to a FULL check pass — the import
+graph is not tracked, so any query could depend on it. The round
+should still END with one FULL pass (no --delta); the driver's own
+CORRECTNESS gate also re-runs a sweep per round.
 
 --delta (VERDICT r7 #1, the structural fix): instead of the full
 ~15 min sweep, compute the set of registered names MISSING from each
@@ -59,16 +62,77 @@ def _delta_steps(registry, check_path):
 
     reg = set(registry)
 
+    def _stale_names(prior):
+        """Names whose defining module changed (committed or working
+        tree) since the prior artifact's recorded git head. Returns
+        None to request a conservative FULL pass (shared-file change
+        or unknown head)."""
+        import inspect
+
+        head = prior.get("git_head")
+        if not head:
+            return None  # pre-r9 artifact: no baseline to diff against
+        r = subprocess.run(
+            ["git", "diff", "--name-only", head, "--",
+             "listenbrainz_server_spark"],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            return None
+        changed = {ln.strip() for ln in r.stdout.splitlines() if ln.strip()}
+        if not changed:
+            return set()
+        file_to_names: dict[str, set[str]] = {}
+        for name, q in registry.items():
+            try:
+                f = os.path.relpath(inspect.getsourcefile(q.fn), REPO)
+            except TypeError:
+                return None
+            file_to_names.setdefault(f, set()).add(name)
+        stale: set[str] = set()
+        for f in changed:
+            if f in file_to_names:
+                stale |= file_to_names[f]
+            else:
+                # A shared operator/helper changed — any query could
+                # depend on it; the import graph is not tracked.
+                print(f"  check delta: non-query-module change {f} -> full pass")
+                return None
+        return stale
+
+    def _git_head():
+        r = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                           capture_output=True, text=True)
+        return r.stdout.strip() if r.returncode == 0 else None
+
     def run_check():
         prior_paths = sorted(glob.glob(os.path.join(REPO, "CHECK_full_r*.json")))
         prior = json.load(open(prior_paths[-1])) if prior_paths else {"queries": {}}
-        missing = sorted(reg - set(prior["queries"]))
+        missing_set = reg - set(prior["queries"])
+        stale = _stale_names(prior)
+        if stale is None:
+            # Conservative: cannot bound the blast radius — full pass.
+            print("  check delta: staleness unknown, running FULL check")
+            tmp = check_path + ".delta"
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools/check.py"),
+                 "/root/testdata/sf0.01", "--json", tmp],
+                cwd=REPO,
+            )
+            if r.returncode != 0:
+                return f"full check exited {r.returncode}"
+            new = json.load(open(tmp))
+            os.remove(tmp)
+            json.dump({**new, "git_head": _git_head()},
+                      open(check_path, "w"), indent=1, sort_keys=True)
+            return None
+        missing = sorted(missing_set | stale)
         if not missing:
             if os.path.abspath(prior_paths[-1]) != os.path.abspath(check_path):
                 json.dump(prior, open(check_path, "w"), indent=1)
-            print("  check: nothing missing")
+            print("  check: nothing missing or stale")
             return None
-        print(f"  check delta: {missing}")
+        print(f"  check delta (missing+stale): {missing}")
         tmp = check_path + ".delta"
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools/check.py"),
@@ -84,7 +148,10 @@ def _delta_steps(registry, check_path):
         json.dump(
             {**prior, "queries": merged_q, "n_pass": by("pass"),
              "n_fail": by("fail"), "n_rows_only": by("rows_only"),
-             "n_registry": len(registry), "sf_dir": "/root/testdata/sf0.01"},
+             "n_registry": len(registry), "sf_dir": "/root/testdata/sf0.01",
+             # Safe to advance: missing AND stale-since-prior-head names
+             # were just re-run (working tree included in the diff).
+             "git_head": _git_head()},
             open(check_path, "w"), indent=1, sort_keys=True,
         )
         return None
@@ -158,6 +225,18 @@ def main() -> int:
         r = subprocess.run(step, cwd=REPO)
         if r.returncode != 0:
             failures.append(f"{label} exited {r.returncode}")
+
+    # Full-pass artifacts get the git head stamp too, so the next
+    # --delta can diff staleness against it.
+    if not delta and os.path.exists(check_path):
+        with open(check_path) as f:
+            _c = json.load(f)
+        if "git_head" not in _c:
+            _r = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                                capture_output=True, text=True)
+            if _r.returncode == 0:
+                _c["git_head"] = _r.stdout.strip()
+                json.dump(_c, open(check_path, "w"), indent=1, sort_keys=True)
 
     # Coverage assertions: every artifact must account for every name.
     with open(check_path) as f:
