@@ -207,10 +207,56 @@ def m_user_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "m_als_recommend",
-    None,
-    doc="M1-M3 implicit ALS train + top-3 recommendations per user (rows-only check)",
+    """
+    WITH pc AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id, COUNT(*) AS playcount
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(3 AS BIGINT) AS k,
+           TRUE AS k_per_user,
+           TRUE AS items_from_catalog
+    FROM pc
+    """,
+    doc="M1-M3 implicit ALS train + top-3 recommendations per user; "
+    "registered form is the hash-gated serving audit (factorization "
+    "scores aren't SQL-reproducible): every interacting user got "
+    "exactly 3 recs and every recommended item exists in the "
+    "interaction catalog; serving form = als_recommend_raw",
 )
 def m_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pc = _playcounts(spark, sf_dir)
+    recs = als_recommend_raw(spark, sf_dir).localCheckpoint(eager=True)
+    per_user = recs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_recs"))
+    items = pc.select(F.col("item_id").cast("bigint")).distinct()
+    audit = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_served"),
+        F.every(F.col("n_recs") == 3).alias("three_each"),
+    )
+    catalog_ok = (
+        recs.join(items, "item_id", "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("items_from_catalog"))
+    )
+    n_users = pc.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    return (
+        n_users.crossJoin(F.broadcast(audit))
+        .crossJoin(F.broadcast(catalog_ok))
+        .select(
+            "n_users",
+            F.lit(3).cast("bigint").alias("k"),
+            (F.col("three_each") & (F.col("n_served") == F.col("n_users"))).alias(
+                "k_per_user"
+            ),
+            "items_from_catalog",
+        )
+    )
+
+
+def als_recommend_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving form: (user_id, item_id, score) top-3 per user."""
     from pyspark.ml.recommendation import ALS
 
     pc = _playcounts(spark, sf_dir)
@@ -441,9 +487,32 @@ def als_cv_lifecycle(
 
 @register(
     "m_als_cv",
-    None,
+    """
+    WITH pc AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id, COUNT(*) AS playcount
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    split AS (
+        SELECT substr(md5(user_id || '|' || item_id), 1, 8) < 'd5555555'
+                   AS is_train
+        FROM pc
+    )
+    SELECT CAST(COUNT_IF(is_train) AS BIGINT) AS n_train,
+           CAST(COUNT_IF(NOT is_train) AS BIGINT) AS n_test,
+           CAST(2 AS BIGINT) AS n_grid,
+           TRUE AS test_rmse_le_bound,
+           TRUE AS cv_rmse_le_bound
+    FROM split
+    """,
     doc="M1-M2 ALS CrossValidator grid + RMSE eval + model registry "
-    "(train_models.py:71-252; rows-only check)",
+    "(train_models.py:71-252); registered form is the hash-gated "
+    "audit: the md5 5:1 split sizes the oracle reproduces exactly, "
+    "plus held-out test RMSE <= 1.1 and every grid candidate's CV "
+    "RMSE <= 1.2 (measured 0.96-0.98 / 1.00-1.07 at both SFs; "
+    "implicit-ALS preference scale) — a training regression that "
+    "degrades fit flips a boolean and fails the gate; grid rows = "
+    "als_cv_lifecycle",
 )
 def m_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fast default profile (VERDICT r3 #5): still a REAL grid search —
@@ -455,9 +524,38 @@ def m_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     defaults for callers that want it."""
     import tempfile
 
+    from listenbrainz_server_spark.operators.sampling import split_label
+
     registry_dir = tempfile.mkdtemp(prefix="lbs_model_registry_")
-    return als_cv_lifecycle(
+    grid_df = als_cv_lifecycle(
         spark, sf_dir, registry_dir, max_iter=2, parallelism=4
+    ).localCheckpoint(eager=True)
+    grid_audit = grid_df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grid"),
+        (F.max(F.when(F.col("is_best"), F.col("test_rmse"))) <= 1.1).alias(
+            "test_rmse_le_bound"
+        ),
+        (F.max("cv_rmse") <= 1.2).alias("cv_rmse_le_bound"),
+    )
+    # Same md5 split the lifecycle applied (hash_split on user|item).
+    is_train = (
+        split_label(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("int"),
+                F.col("item_id").cast("int"),
+            ),
+            weights=(5 / 6, 1 / 6),
+            labels=("train", "test"),
+        )
+        == "train"
+    )
+    counts = _playcounts(spark, sf_dir).agg(
+        F.count_if(is_train).cast("bigint").alias("n_train"),
+        F.count_if(~is_train).cast("bigint").alias("n_test"),
+    )
+    return counts.crossJoin(F.broadcast(grid_audit)).select(
+        "n_train", "n_test", "n_grid", "test_rmse_le_bound", "cv_rmse_le_bound"
     )
 
 
@@ -476,12 +574,46 @@ def m_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "m_quality_classifier",
-    None,
-    doc="logistic-regression quality model on per-doc text features; "
-    "scoring folded back into column expressions (rows-only, AUC "
-    "test-pinned)",
+    """
+    WITH uni AS (
+        SELECT doc_id, w, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN SUM(n) >= 20 AND MAX(n) * 1.0 / SUM(n) <= 0.25
+                    THEN 1 ELSE 0 END AS label
+        FROM uni GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           TRUE AS accuracy_ge_floor
+    FROM lab
+    """,
+    doc="logistic-regression quality model on per-doc text features, "
+    "scoring folded back into column expressions; registered form is "
+    "the hash-gated audit: exact label counts (the gate is a pure "
+    "expression the oracle mirrors, d_clean_corpus CTE) + model-vs-"
+    "gate agreement >= 0.90 (measured 0.960-0.966 at both SFs; "
+    "deterministic LBFGS fit); per-doc scores = "
+    "quality_classifier_scores; AUC stays test-pinned",
 )
 def m_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = quality_classifier_scores(spark, sf_dir)
+    return scores.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (
+            F.avg((F.col("prediction") == F.col("label")).cast("double"))
+            >= F.lit(0.90)
+        ).alias("accuracy_ge_floor"),
+    )
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving form: per-doc (doc_id, label, prob, prediction)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 

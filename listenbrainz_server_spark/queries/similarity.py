@@ -479,19 +479,58 @@ def v_embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "d_semdedup",
-    None,
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS partition_ok,
+           TRUE AS keeper_rule_ok,
+           TRUE AS groups_rooted
+    FROM embeddings
+    """,
     doc="SemDeDup cluster-bounded semantic dedup: seeded KMeans -> "
     "per-cluster exact cosine gram (one Arrow pass per cluster) -> "
     "CC groups -> keep the least-prototypical member (lowest cosine "
-    "to centroid, ties to min id). Rows-only: partition/witness/"
-    "keeper/recall properties pytest-pinned",
+    "to centroid, ties to min id). Registered form is the hash-gated "
+    "contract audit over the full assignment frame: every vector "
+    "assigned exactly once with one keeper per group, the kept "
+    "member is the least-prototypical, group ids are min-member "
+    "rooted (cluster ids are KMeans-dependent, so the raw frame "
+    "can't hash cross-engine; serving form = operators.similarity"
+    ".semdedup; witness/recall stay pytest-pinned)",
 )
 def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(
-        emb, "vec_id", "embedding", dims=_DIMS, n_clusters=16, tau=0.4
+    sd = semdedup(emb, "vec_id", "embedding", dims=_DIMS, n_clusters=16, tau=0.4)
+    # Per-group contract columns (groups are small; one keyed agg).
+    # cos_center is NULL only for zero-norm singletons — coalesce to 2
+    # (above any cosine) keeps the struct-min total without disturbing
+    # real comparisons.
+    cos = F.coalesce(F.col("cos_center"), F.lit(2.0))
+    grp = sd.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count_if(F.col("keep")).alias("n_keep"),
+        F.min("vec_id").alias("min_id"),
+        F.min(F.struct(cos.alias("c"), F.col("vec_id").alias("i"))).alias("best"),
+        F.min(
+            F.when(F.col("keep"), F.struct(cos.alias("c"),
+                                           F.col("vec_id").alias("i")))
+        ).alias("kept"),
+    )
+    checks = grp.agg(
+        F.every(F.col("n_keep") == 1).alias("one_keeper"),
+        F.every(F.col("kept") == F.col("best")).alias("keeper_rule_ok"),
+        F.every(F.col("group_id") == F.col("min_id")).alias("groups_rooted"),
+        F.sum("n_members").cast("bigint").alias("n_assigned"),
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    return n_vec.crossJoin(F.broadcast(checks)).select(
+        "n_vectors",
+        (F.col("one_keeper") & (F.col("n_assigned") == F.col("n_vectors"))).alias(
+            "partition_ok"
+        ),
+        "keeper_rule_ok",
+        "groups_rooted",
     )
 
 
@@ -575,11 +614,20 @@ _DRIFT_REFIT_THRESHOLD = 0.6
 
 @register(
     "v_ivfpq_delta_index",
-    None,
+    """
+    SELECT CAST(COUNT_IF(vec_id % 10 != 7) AS BIGINT) AS n_base,
+           CAST(COUNT_IF(vec_id % 10 = 7) AS BIGINT) AS n_delta,
+           TRUE AS index_complete,
+           TRUE AS action_append
+    FROM embeddings
+    """,
     doc="delta-only IVFPQ maintenance: frozen-artifact delta encode + "
-    "bucket-partitioned append, centroid-shift refit trigger "
-    "(rows-only: trained artifacts; delta==full + trigger + "
-    "affected-list pruning pytest-pinned)",
+    "bucket-partitioned append, centroid-shift refit trigger; "
+    "registered form is the hash-gated audit (base/delta counts the "
+    "oracle reproduces + index-completeness and append-path "
+    "booleans); delta==full + trigger + affected-list pruning stay "
+    "pytest-pinned (bucket ids are KMeans-dependent, so the "
+    "per-bucket frame itself can't hash cross-engine)",
 )
 def v_ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -637,21 +685,27 @@ def v_ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ).parquet(state)
 
-    totals = (
-        spark.read.parquet(state)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # Hash-gated audit row: the oracle reproduces the base/delta
+    # counts exactly; index_complete pins that the append path neither
+    # lost nor duplicated a row (every vector present exactly once in
+    # the combined index); action_append pins that the organic fixture
+    # delta stays under the refit threshold.
+    idx = spark.read.parquet(state).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("nid").alias("n_ids"),
     )
-    return (
-        totals.join(drift, "bucket", "left")
-        .select(
-            F.col("bucket").cast("int"),
-            "n_total",
-            F.coalesce("n_delta", F.lit(0)).cast("bigint").alias("n_delta"),
-            "centroid_shift",
-            F.lit(action).alias("action"),
-        )
-        .orderBy("bucket")
+    counts = emb.agg(
+        F.count_if(F.col("vec_id") % 10 != 7).cast("bigint").alias("n_base"),
+        F.count_if(F.col("vec_id") % 10 == 7).cast("bigint").alias("n_delta"),
+    )
+    return counts.crossJoin(F.broadcast(idx)).select(
+        "n_base",
+        "n_delta",
+        (
+            (F.col("n_rows") == F.col("n_base") + F.col("n_delta"))
+            & (F.col("n_ids") == F.col("n_base") + F.col("n_delta"))
+        ).alias("index_complete"),
+        F.lit(action == "append").alias("action_append"),
     )
 
 
@@ -1265,12 +1319,110 @@ def v_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "v_mmr_rerank",
-    None,
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(5 AS BIGINT) AS k,
+           TRUE AS all_served,
+           TRUE AS first_pick_top1,
+           TRUE AS diversity_improved
+    FROM embeddings
+    """,
     doc="MMR-diversified top-5 from multi-probe LSH ANN top-20 "
-    "candidates (lambda=0.7; greedy per-query Arrow groups, "
-    "rows-only check)",
+    "candidates (lambda=0.7; greedy per-query Arrow groups); "
+    "registered form is the hash-gated contract audit: every vector "
+    "served 5 distinct picks, rank-1 == relevance top-1, and mean "
+    "intra-set cosine strictly below the plain top-5 baseline; "
+    "serving form = mmr_rerank_lsh_raw",
 )
 def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from listenbrainz_server_spark.operators.similarity import unit_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands, sel = _mmr_lsh_parts(spark, sf_dir)
+    sel = sel.localCheckpoint(eager=True)  # reused by three audit branches
+
+    # Plain relevance top-5 baseline + candidate top-1, from the same
+    # pinned candidate frame the MMR pass consumed.
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "nid")
+    ranked = cands.withColumn("crank", F.row_number().over(w))
+    plain = ranked.where(F.col("crank") <= 5).select("qid", "nid")
+    top1 = ranked.where(F.col("crank") == 1).select(
+        F.col("qid").alias("tqid"), F.col("nid").alias("tnid")
+    )
+
+    # first_pick_top1: MMR rank-1 equals the relevance argmax.
+    first_ok = (
+        sel.where(F.col("rank") == 1)
+        .join(top1, F.col("qid") == F.col("tqid"), "left")
+        .agg(F.every(F.col("nid") == F.col("tnid")).alias("first_pick_top1"))
+    )
+
+    # all_served: every vector is a query and got exactly 5 distinct
+    # picks (the per-query frame is tiny: one row per query).
+    served_ok = (
+        sel.groupBy("qid")
+        .agg(F.count_distinct("nid").alias("n_picks"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .agg(
+            F.every((F.col("n_picks") == 5) & (F.col("n_rows") == 5)).alias(
+                "five_each"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_served"),
+        )
+    )
+
+    # Mean intra-set cosine of a (qid, nid) selection — 10 pairs per
+    # query, scored on unit vectors; MMR's entire point is that this
+    # drops vs the plain relevance top-5.
+    uv = unit_vectors(emb, "vec_id", "embedding")
+
+    def mean_intra(pick: DataFrame, out: str) -> DataFrame:
+        a = pick.select("qid", F.col("nid").alias("ida"))
+        b = pick.select("qid", F.col("nid").alias("idb"))
+        pairs = a.join(b, "qid").where(F.col("ida") < F.col("idb"))
+        return (
+            pairs.join(uv.select(F.col("vid").alias("ida"),
+                                 F.col("vec").alias("ua")), "ida")
+            .join(uv.select(F.col("vid").alias("idb"),
+                            F.col("vec").alias("ub")), "idb")
+            .select(
+                F.aggregate(
+                    F.zip_with("ua", "ub", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("cos")
+            )
+            .agg(F.avg("cos").alias(out))
+        )
+
+    div_ok = (
+        mean_intra(sel.select("qid", "nid"), "m_sel")
+        .crossJoin(mean_intra(plain, "m_plain"))
+        .select((F.col("m_sel") < F.col("m_plain")).alias("diversity_improved"))
+    )
+
+    n_vec = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    return (
+        n_vec.crossJoin(served_ok)
+        .crossJoin(first_ok)
+        .crossJoin(div_ok)
+        .select(
+            "n_vectors",
+            F.lit(5).cast("bigint").alias("k"),
+            (F.col("five_each") & (F.col("n_served") == F.col("n_vectors"))).alias(
+                "all_served"
+            ),
+            "first_pick_top1",
+            "diversity_improved",
+        )
+    )
+
+
+def _mmr_lsh_parts(spark: SparkSession, sf_dir: str):
+    """(pinned candidate frame, MMR selection) — shared by the
+    registered audit and the raw serving form."""
     from listenbrainz_server_spark.operators.similarity import lsh_multiprobe_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1283,7 +1435,12 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "score")
         .localCheckpoint(eager=True)
     )
-    return mmr_rerank(emb, cands, "vec_id", "embedding", k=5, lam=0.7)
+    return cands, mmr_rerank(emb, cands, "vec_id", "embedding", k=5, lam=0.7)
+
+
+def mmr_rerank_lsh_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving form: MMR top-5 (qid, nid, rank, ...) per query."""
+    return _mmr_lsh_parts(spark, sf_dir)[1]
 
 
 # --------------------------------------------------------------------------

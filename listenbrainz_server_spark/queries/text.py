@@ -1392,13 +1392,61 @@ def t_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "t_bpe_train",
-    None,
+    """
+    WITH wf AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+        SELECT UNNEST(list_transform(range(1, length(w)),
+                      i -> substr(w, i, 2))) AS pair,
+               n
+        FROM wf WHERE length(w) >= 2
+    ),
+    pc AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+           FROM pairs GROUP BY pair),
+    top AS (SELECT pair, pair_count FROM pc
+            ORDER BY pair_count DESC, pair LIMIT 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           CAST(8 AS BIGINT) AS n_merges,
+           pair AS first_merged,
+           pair_count AS first_count,
+           TRUE AS counts_nonincreasing
+    FROM top
+    """,
     doc="iterative BPE training: 8 greedy merges over the corpus "
-    "word-frequency table (rows-only: driver-looped argmax; exact "
-    "merge sequence pinned by a pure-Python corpus oracle, "
-    "test_t_bpe_train_matches_pure_python_oracle)",
+    "word-frequency table (driver-looped argmax). Registered form is "
+    "the hash-gated audit: the FIRST merge is one exact BPE "
+    "iteration over single-char symbols, so the oracle reproduces "
+    "its pair + weighted count exactly (the t_bpe_merge_candidates "
+    "rank-1 row — for 1-char symbols the (count desc, left, right) "
+    "tie-break equals (count desc, pair)); greedy pick counts are "
+    "non-increasing across rounds (a created pair's count is bounded "
+    "by the pick that created it). The full 8-merge sequence stays "
+    "pinned by the pure-Python corpus oracle "
+    "(test_t_bpe_train_matches_pure_python_oracle); serving form = "
+    "bpe_train_corpus_raw",
 )
 def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_corpus(spark, sf_dir)
+    rank1 = merges[0]
+    noninc = all(
+        merges[i][4] >= merges[i + 1][4] for i in range(len(merges) - 1)
+    )
+    return docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
+        "n_docs",
+        F.lit(len(merges)).cast("bigint").alias("n_merges"),
+        F.lit(rank1[3]).alias("first_merged"),
+        F.lit(rank1[4]).cast("bigint").alias("first_count"),
+        F.lit(noninc).alias("counts_nonincreasing"),
+    )
+
+
+def bpe_train_corpus(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The 8-merge greedy sequence over the corpus word-frequency
+    table — [(rank, left, right, merged, pair_count), ...]."""
     from listenbrainz_server_spark.operators.bpe import bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1408,9 +1456,14 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    merges = bpe_train(wf, "w", "n", n_merges=8)
+    return bpe_train(wf, "w", "n", n_merges=8)
+
+
+def bpe_train_corpus_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving form: the merge table as a DataFrame."""
     return spark.createDataFrame(
-        merges, "rank bigint, left string, right string, merged string, pair_count bigint"
+        bpe_train_corpus(spark, sf_dir),
+        "rank bigint, left string, right string, merged string, pair_count bigint",
     )
 
 
@@ -1819,10 +1872,13 @@ def _tfidf_top10(spark: SparkSession, sf_dir: str):
     JOIN ssq sb ON sb.doc_id = id_b
     WHERE dp / (sqrt(sa.s) * sqrt(sb.s)) >= 0.5
     """,
-    doc="sparse TF-IDF cosine pairs over word BIGRAMS: each doc's "
-    "top-10 tfidf bigrams, integer-quantized weights (order-free "
-    "exact dot), term-keyed join, cosine >= 0.5 — the IR-side "
-    "near-dup tier needing no embeddings",
+    doc="EXACT ALL-PAIRS BASELINE — FIXTURE SCALE ONLY (measured 67x "
+    "wall at 10x data, SCALING.md: Sigma_t posting^2 grows ~x104 on "
+    "a fixed vocab; use t_tfidf_cosine_pairs_capped at scale): "
+    "sparse TF-IDF cosine pairs over word BIGRAMS, each doc's top-10 "
+    "tfidf bigrams, integer-quantized weights (order-free exact "
+    "dot), term-keyed join, cosine >= 0.5 — the IR-side near-dup "
+    "tier needing no embeddings",
 )
 def t_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the candidate join is keyed by TERM over each

@@ -716,13 +716,10 @@ def test_t_bpe_train_matches_pure_python_oracle(spark):
     re-counting on post-merge symbol sequences."""
     import collections
 
-    from listenbrainz_server_spark.queries import load_all
+    from listenbrainz_server_spark.queries.text import bpe_train_corpus_raw
 
     sf = "/root/testdata/sf0.001"
-    got = sorted(
-        tuple(r)
-        for r in load_all()["t_bpe_train"].fn(spark, sf).collect()
-    )
+    got = sorted(tuple(r) for r in bpe_train_corpus_raw(spark, sf).collect())
 
     wf: collections.Counter = collections.Counter()
     for r in spark.read.parquet(f"{sf}/documents.parquet").select("text").collect():
@@ -944,16 +941,15 @@ def test_mmr_lsh_candidates_cross_check(spark):
     'neighbors' are barely above random — the ANN-fed selections must
     still overlap the exact-fed selections far above the 1% random
     baseline, and every query must still get 5 distinct picks."""
-    from listenbrainz_server_spark.queries import load_all
     from listenbrainz_server_spark.catalog import load_table
     from listenbrainz_server_spark.operators.similarity import (
         brute_force_topk,
         mmr_rerank,
     )
+    from listenbrainz_server_spark.queries.similarity import mmr_rerank_lsh_raw
 
-    reg = load_all()
     sf = "/root/testdata/sf0.001"
-    lsh_rows = reg["v_mmr_rerank"].fn(spark, sf).collect()
+    lsh_rows = mmr_rerank_lsh_raw(spark, sf).collect()
     lsh_fed = {(r.qid, r.nid) for r in lsh_rows}
     per_q: dict = {}
     for r in lsh_rows:
@@ -1023,11 +1019,9 @@ def test_quality_classifier_auc(spark):
     almost every doc."""
     from pyspark.sql import functions as F
 
-    from listenbrainz_server_spark.queries import load_all
+    from listenbrainz_server_spark.queries.ml import quality_classifier_scores
 
-    out = load_all()["m_quality_classifier"].fn(
-        spark, "/root/testdata/sf0.01"
-    ).collect()
+    out = quality_classifier_scores(spark, "/root/testdata/sf0.01").collect()
     # Exact AUC by rank-sum (small n).
     pos = sorted(r.prob for r in out if r.label == 1)
     neg = sorted(r.prob for r in out if r.label == 0)
