@@ -1,0 +1,99 @@
+"""Generate the golden message-stream files for the handler e2e tests
+(VERDICT r8 #6 — the reference's dominant test pattern, SURVEY §5.1:
+full handler → chunked JSON messages → golden file, mirroring
+stats/user/tests/test_user_stats.py:16-71).
+
+Each golden captures the COMPLETE message stream a handler produces at
+sf0.001 through the production chunking path (plans.api.dispatch →
+messages.iter_message_chunks), canonicalized so the comparison is
+deterministic even where row order is not:
+
+- rows: every data row across all messages, JSON-canonicalized
+  (sorted keys, default=str for dates) and sorted — the multiset of
+  streamed rows;
+- n_messages / chunk_size / message_type: the stream shape (chunk
+  sizes are a deterministic function of row count, full chunks then a
+  remainder, so n_messages is stable even when order isn't).
+
+Regenerate ONLY when a deliberate output change lands:
+    python tools/gen_golden.py
+then review the diff like any contract change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from listenbrainz_server_spark.messages import CHUNK_USER_STATS, iter_message_chunks
+from listenbrainz_server_spark.plans.api import dispatch
+
+SF_DIR = "/root/testdata/sf0.001"
+GOLDEN_DIR = os.path.join(REPO, "tests", "golden")
+
+# (golden file stem, handler name, params, chunk_size, message_type)
+CASES = [
+    (
+        "stats_user_entity_all_time",
+        "stats.user.entity",
+        {"stats_range": "all_time"},
+        CHUNK_USER_STATS,
+        "user_entity",
+    ),
+    (
+        "stats_sitewide_entity_all_time",
+        "stats.sitewide.entity",
+        {"stats_range": "all_time"},
+        CHUNK_USER_STATS,
+        "sitewide_entity",
+    ),
+    (
+        "year_in_music_top_genres",
+        "year_in_music.top_genres",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_top_genres",
+    ),
+]
+
+
+def stream_canonical(spark, stem, name, params, chunk_size, message_type) -> dict:
+    df = dispatch(name, spark, SF_DIR, **params)
+    msgs = list(iter_message_chunks(df, chunk_size, message_type))
+    rows = sorted(
+        json.dumps(r, sort_keys=True, default=str)
+        for m in msgs
+        for r in m["data"]
+    )
+    return {
+        "handler": name,
+        "params": params,
+        "message_type": message_type,
+        "chunk_size": chunk_size,
+        "n_messages": len(msgs),
+        "types_ok": all(m["type"] == message_type for m in msgs),
+        "rows": rows,
+    }
+
+
+def main() -> None:
+    from listenbrainz_server_spark.session import get_session
+
+    spark = get_session("gen_golden")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for stem, name, params, chunk, mtype in CASES:
+        got = stream_canonical(spark, stem, name, params, chunk, mtype)
+        path = os.path.join(GOLDEN_DIR, f"{stem}.json")
+        with open(path, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+        print(f"wrote {path}: {len(got['rows'])} rows, "
+              f"{got['n_messages']} messages")
+
+
+if __name__ == "__main__":
+    main()
