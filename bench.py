@@ -92,7 +92,10 @@ HEADLINE_NEW = (
     "v_ivfpq_topk",
     "w_user_lifecycle",
     "mm_phash_dedup",
-    "t_tfidf_cosine_pairs",
+    # r9: the UNCAPPED t_tfidf_cosine_pairs left the headline set —
+    # it is the exact all-pairs baseline, fixture-scale only
+    # (measured 67x at 10x data); the capped form is the serving path.
+    "t_tfidf_cosine_pairs_capped",
     # r7/r8 families: iterative graph, semantic dedup, CMS sketch,
     # Bloom runtime pruning, DSIR selection, CDC retraction merge,
     # triangle/clustering, EWMA, MAD outliers, two-tier deletion.
