@@ -745,3 +745,134 @@ def st_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Sessionized CDC with retractions (VERDICT r8 #7): a time-ordered
+# changelog of event upserts + deletes streamed through the
+# event-granular session operator (streaming/stateful.py session_cdc)
+# — deletes retract their event from the open session that holds it
+# (shrinking, splitting, or erasing it); sessions emit exactly once
+# when the watermark passes session_end. Reference semantics:
+# listens/delete.py applies deletions to materialized listen history
+# before stats recompute; here the retraction happens IN the
+# streaming session aggregation instead of via batch rebuild.
+#
+# Fixture: every event is an upsert; events with event_id % 13 == 0
+# get a delete 15 minutes later (inside the 30-min gap, so the
+# retraction always lands while its session is still open — the
+# within-watermark policy is exercised, not raced). The changelog is
+# written as four ts-range files in mtime order (a real CDC feed is
+# time-ordered; the file source replays oldest-first) plus a far-
+# future flush sentinel that pushes the watermark past every session
+# end. Stream-drained output == batch sessionize of the surviving
+# events, which is exactly the oracle SQL (st_session_window's
+# LAG-break sessionization over event_id % 13 != 0).
+# --------------------------------------------------------------------------
+@register(
+    "st_session_cdc",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_id % 13 <> 0
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts >= LAG(ts) OVER w + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="sessionized CDC with retractions: U/D changelog -> "
+    "applyInPandasWithState session windows at EVENT granularity "
+    "(state = open-session events only, bounded by the watermark "
+    "horizon); a delete shrinks/splits/erases the open session "
+    "holding its event; sessions emit exactly once (append) when the "
+    "watermark passes session_end; stream-drained output == batch "
+    "sessionize of surviving events (the oracle)",
+)
+def st_session_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from listenbrainz_server_spark.streaming.jobs import (
+        read_parquet_stream,
+        state_partition_conf,
+    )
+    from listenbrainz_server_spark.streaming.stateful import session_cdc
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ups = ev.select("user_id", "event_id", "ts", F.lit("U").alias("op"))
+    dels = (
+        ev.where(F.col("event_id") % 13 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("ts"),
+            F.lit("D").alias("op"),
+        )
+    )
+    log = ups.unionByName(dels)
+
+    root = tempfile.mkdtemp(prefix="st_session_cdc_")
+    log_dir = root + "/log"
+    # Four sequential ts-range files (oldest mtime first == oldest ts
+    # first: the file source replays them in CDC order), then the
+    # watermark-flush sentinel as the newest file.
+    bounds = log.select(
+        *[
+            F.percentile_approx("ts", q, 10000).alias(f"q{i}")
+            for i, q in enumerate((0.25, 0.5, 0.75))
+        ],
+        F.max("ts").alias("mx"),
+    ).first()
+    cuts = [bounds[f"q{i}"] for i in range(3)]
+    lo = None
+    for i, hi in enumerate(cuts + [None]):
+        part = log
+        if lo is not None:
+            part = part.where(F.col("ts") > F.lit(lo))
+        if hi is not None:
+            part = part.where(F.col("ts") <= F.lit(hi))
+        part.coalesce(1).write.mode("append").parquet(log_dir)
+        lo = hi
+    sentinel = spark.createDataFrame(
+        [(0, 0, "F")], "user_id bigint, event_id bigint, op string"
+    ).select(
+        "user_id",
+        "event_id",
+        (F.lit(bounds["mx"]) + F.expr("INTERVAL 300 MINUTES")).alias("ts"),
+        "op",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(log_dir)
+
+    sink = "st_session_cdc_sink"
+    with state_partition_conf(spark, 8):
+        stream = read_parquet_stream(
+            spark, log_dir, spark.read.parquet(log_dir).schema, max_files=1
+        )
+        q = (
+            session_cdc(stream, watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(sink).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )

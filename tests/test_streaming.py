@@ -487,3 +487,58 @@ def test_st_cdc_merge_stream_equals_batch(spark):
     batch = [tuple(r) for r in reg["i_cdc_merge"].fn(spark, SF_SMOKE).collect()]
     stream = [tuple(r) for r in reg["st_cdc_merge"].fn(spark, SF_SMOKE).collect()]
     assert stream == batch
+
+
+def test_session_cdc_split_shrink_erase(spark, tmp_path):
+    """Delete-retraction semantics at event granularity: removing the
+    bridge event SPLITS a session in two, removing an edge event
+    SHRINKS it, removing the only event ERASES it — none of which
+    Spark's native session_window state (merged [start,end,agg]) can
+    express."""
+    from datetime import datetime
+
+    from listenbrainz_server_spark.streaming.jobs import read_parquet_stream
+    from listenbrainz_server_spark.streaming.stateful import session_cdc
+
+    t = lambda m: datetime(2024, 1, 1, m // 60, m % 60)  # noqa: E731
+    schema = "user_id bigint, event_id bigint, ts timestamp, op string"
+    # u1: 0/25/50-min chain bridged by eid=2 -> delete splits it.
+    # u2: two events, delete the later -> session shrinks to one.
+    # u3: single event deleted -> no session at all.
+    ups = [
+        (1, 1, t(0), "U"), (1, 2, t(25), "U"), (1, 3, t(50), "U"),
+        (2, 4, t(0), "U"), (2, 5, t(5), "U"),
+        (3, 6, t(0), "U"),
+    ]
+    dels = [(1, 2, t(40), "D"), (2, 5, t(20), "D"), (3, 6, t(10), "D")]
+    sentinel = [(0, 0, t(360), "F")]
+
+    log = str(tmp_path / "log")
+    for rows in (ups, dels, sentinel):  # sequential mtimes = replay order
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(log)
+
+    q = (
+        session_cdc(
+            read_parquet_stream(spark, log, spark.read.parquet(log).schema,
+                                max_files=1),
+            watermark="30 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("session_cdc_unit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("session_cdc_unit").collect()
+    }
+    assert got == {
+        (1, t(0), t(30), 1),   # split: left half of the broken chain
+        (1, t(50), t(80), 1),  # split: right half
+        (2, t(0), t(30), 1),   # shrink: survivor keeps the session
+    }  # u3 erased entirely
