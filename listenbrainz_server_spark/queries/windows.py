@@ -463,9 +463,10 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-row deviations) + one broadcast join back. Scale note: exact
 # per-group percentile buffers each group's values — the 100 TB path
 # swaps both passes for the histogram-CDF form the repo already uses
-# (t_quality_calibrated_hist) or percentile_approx
-# (x_approx_percentile); the exact form is kept here because groups
-# are few and the oracle contract is exact.
+# (t_quality_calibrated_hist), percentile_approx
+# (x_approx_percentile), or the t-digest tier (w_mad_tdigest — the
+# explicit mergeable-sketch form of THIS query); the exact form is
+# kept here because groups are few and the oracle contract is exact.
 # --------------------------------------------------------------------------
 @register(
     "w_mad_outliers",
@@ -645,4 +646,143 @@ def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cus > F.round(2 * F.col("mu") * 1e6).cast("bigint")).alias("alarm"),
         )
         .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# w_mad_tdigest: the 100 TB tier of w_mad_outliers — same robust
+# median+MAD outlier audit, but both percentile passes run on the
+# t-digest mergeable sketch (operators/tdigest.py) instead of the
+# exact buffering percentile: one mapInPandas pass builds O(delta)
+# centroids per (group, partition), only sketches shuffle, and the
+# persisted digests are re-queryable/unionable without rescanning
+# (the per-day rolling pattern x_hll_rolling_distinct uses for
+# distinct counts). Registered form is the bounded-error audit the
+# oracle reproduces (the x_approx_percentile idiom): digest estimates
+# are never hashed — instead each estimate's TRUE rank interval among
+# the exact values must touch the target quantile +/-0.01 (t-digest
+# delta=100 gives ~1e-3 rank error at the median; the interval form
+# is tie-robust), and the outlier share computed from digest
+# thresholds must sit within 0.005 + 1/n of the exact share. A digest
+# regression flips a boolean and fails the hash gate.
+# --------------------------------------------------------------------------
+@register(
+    "w_mad_tdigest",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS med_rank_ok,
+           TRUE AS mad_rank_ok,
+           TRUE AS share_close
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="t-digest tier of the median+MAD outlier audit: mergeable "
+    "sketch percentiles (delta=100, mapInPandas partial digests -> "
+    "sketch-only shuffle) with hash-gated bounded-error audit -- "
+    "rank interval of each estimate must touch its target quantile "
+    "+/-0.01, digest-thresholded outlier share within 0.005+1/n of "
+    "exact (the 1/n term is single-row discreteness at small groups)",
+)
+def w_mad_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.tdigest import (
+        group_tdigest_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    med_est = (
+        group_tdigest_quantiles(ev, "event_type", "value", qs=(0.5,))
+        .select("event_type", F.col("est").alias("med_est"))
+    )
+    dev = ev.join(F.broadcast(med_est), "event_type").select(
+        "event_type",
+        "value",
+        "med_est",
+        F.abs(F.col("value") - F.col("med_est")).alias("adev"),
+    )
+    mad_est = (
+        group_tdigest_quantiles(dev, "event_type", "adev", qs=(0.5,))
+        .select("event_type", F.col("est").alias("mad_est"))
+    )
+    scored = dev.join(F.broadcast(mad_est), "event_type")
+
+    # Exact references for the audit, computed in the same pass shape
+    # as w_mad_outliers (fixture-scale check of the scale path).
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .agg(F.percentile("value", F.lit(0.5)).alias("med_x"))
+    )
+    exact_dev = (
+        ev.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("value") - F.col("med_x")).alias("adev_x"),
+        )
+        .groupBy("event_type")
+        .agg(F.percentile("adev_x", F.lit(0.5)).alias("mad_x"))
+    )
+    exact_share = (
+        ev.join(F.broadcast(exact), "event_type")
+        .join(F.broadcast(exact_dev), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.count_if(
+                    F.abs(F.col("value") - F.col("med_x")) > 3 * F.col("mad_x")
+                )
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias("share_x")
+        )
+    )
+
+    # Rank-interval audit: under ties a correct estimate occupies a
+    # rank RANGE [|v<est|/n, |v<=est|/n]; it passes if that range
+    # touches [0.49, 0.51] (the tie-robust form — a single mid-rank
+    # misreads an exactly-right estimate sitting on a mass point).
+    audits = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.count_if(F.col("value") < F.col("med_est"))
+            / F.count(F.lit(1))
+        ).alias("med_lo"),
+        (
+            F.count_if(F.col("value") <= F.col("med_est"))
+            / F.count(F.lit(1))
+        ).alias("med_hi"),
+        (
+            F.count_if(F.col("adev") < F.col("mad_est"))
+            / F.count(F.lit(1))
+        ).alias("mad_lo"),
+        (
+            F.count_if(F.col("adev") <= F.col("mad_est"))
+            / F.count(F.lit(1))
+        ).alias("mad_hi"),
+        (
+            F.count_if(F.col("adev") > 3 * F.col("mad_est"))
+            * 1.0
+            / F.count(F.lit(1))
+        ).alias("share_est"),
+    )
+    return (
+        audits.join(F.broadcast(exact_share), "event_type")
+        .select(
+            "event_type",
+            "n",
+            ((F.col("med_lo") <= 0.51) & (F.col("med_hi") >= 0.49)).alias(
+                "med_rank_ok"
+            ),
+            ((F.col("mad_lo") <= 0.51) & (F.col("mad_hi") >= 0.49)).alias(
+                "mad_rank_ok"
+            ),
+            (
+                F.abs(F.col("share_est") - F.col("share_x"))
+                <= 0.005 + 1.0 / F.col("n")
+            ).alias("share_close"),
+        )
+        .orderBy("event_type")
     )

@@ -1137,3 +1137,178 @@ def test_cms_heavy_hitters_invariants(spark):
     assert all(r.overcount >= 0 for r in rows)
     assert all(r.cms_est == r.exact_n + r.overcount for r in rows)
     assert _CMS_D * _CMS_W < 10_000  # the bounded-state contract
+
+
+# --------------------------------------------------------------------------
+# t-digest (operators/tdigest.py)
+# --------------------------------------------------------------------------
+def test_tdigest_rank_accuracy_across_distributions():
+    """Pure-python digest: for uniform, lognormal (heavy tail),
+    bimodal, and near-constant data, the TRUE rank of each estimated
+    quantile must sit within 0.01 of the target (delta=100 is ~1e-3
+    at the median; tails are tighter by the scale function)."""
+    import numpy as np
+
+    from listenbrainz_server_spark.operators.tdigest import (
+        build_digest,
+        quantile_of,
+    )
+
+    rng = np.random.RandomState(7)
+    datasets = {
+        "uniform": rng.uniform(0, 1, 20000),
+        "lognormal": rng.lognormal(0, 2.0, 20000),
+        "bimodal": np.concatenate(
+            [rng.normal(-5, 1, 10000), rng.normal(5, 1, 10000)]
+        ),
+        "mostly_constant": np.concatenate(
+            [np.zeros(19000), rng.uniform(0, 1, 1000)]
+        ),
+    }
+    for name, vals in datasets.items():
+        m, w = build_digest(vals)
+        assert len(m) <= 120, f"{name}: digest exceeded O(delta) size"
+        s = np.sort(vals)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = quantile_of(m, w, q)
+            # Rank-interval audit: under ties a single correct value
+            # occupies a rank RANGE [lo, hi]; the estimate passes if
+            # that range touches [q-0.01, q+0.01].
+            lo = np.searchsorted(s, est, side="left") / len(s)
+            hi = np.searchsorted(s, est, side="right") / len(s)
+            assert lo <= q + 0.01 and hi >= q - 0.01, (
+                f"{name} q={q}: rank interval [{lo}, {hi}]"
+            )
+
+
+def test_tdigest_merge_equals_whole():
+    """Mergeability: digesting 8 shards then merging must estimate
+    the same quantiles (within rank tolerance) as one digest of the
+    whole — the property that makes per-day persisted sketches
+    unionable."""
+    import numpy as np
+
+    from listenbrainz_server_spark.operators.tdigest import (
+        build_digest,
+        merge_centroid_sets,
+        quantile_of,
+    )
+
+    rng = np.random.RandomState(11)
+    vals = rng.lognormal(1.0, 1.5, 16000)
+    shards = np.array_split(vals, 8)
+    parts = [build_digest(s) for s in shards]
+    mm, mw = merge_centroid_sets(
+        [p[0] for p in parts], [p[1] for p in parts]
+    )
+    assert sum(mw) == len(vals)  # no mass lost in the merge
+    s = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = quantile_of(mm, mw, q)
+        rank = (
+            np.searchsorted(s, est, side="left")
+            + np.searchsorted(s, est, side="right")
+        ) / (2 * len(s))
+        assert abs(rank - q) <= 0.01, f"merged q={q}: rank {rank}"
+
+
+def test_tdigest_spark_pipeline_and_union(spark):
+    """The Spark build->merge->quantile path agrees with the exact
+    percentile within rank tolerance, and union_digests over two
+    halves equals the merged whole (persist-then-union contract)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.operators.tdigest import (
+        group_tdigest_quantiles,
+        merge_digests,
+        partition_digests,
+        quantile_of,
+        union_digests,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [("a", float(v)) for v in rng.lognormal(0, 1, 4000)] + [
+        ("b", float(v)) for v in rng.uniform(-10, 10, 4000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+
+    est = {
+        (r.g, r.q): r.est
+        for r in group_tdigest_quantiles(
+            df, "g", "v", qs=(0.25, 0.5, 0.75)
+        ).collect()
+    }
+    vals = {"a": [], "b": []}
+    for g, v in rows:
+        vals[g].append(v)
+    for g in ("a", "b"):
+        s = np.sort(vals[g])
+        for q in (0.25, 0.5, 0.75):
+            rank = (
+                np.searchsorted(s, est[(g, q)], "left")
+                + np.searchsorted(s, est[(g, q)], "right")
+            ) / (2 * len(s))
+            assert abs(rank - q) <= 0.01, f"{g} q={q}"
+
+    # union of per-half digests == digest over the union, in estimate
+    h1 = df.where(F.col("v") >= 0)
+    h2 = df.where(F.col("v") < 0)
+    u = union_digests(
+        merge_digests(partition_digests(h1, "g", "v"), "g"),
+        merge_digests(partition_digests(h2, "g", "v"), "g"),
+        group_col="g",
+    ).collect()
+    for r in u:
+        s = np.sort(vals[r.g])
+        assert abs(sum(r.weights) - len(s)) < 1e-6
+        med = quantile_of(r.means, r.weights, 0.5)
+        rank = (
+            np.searchsorted(s, med, "left") + np.searchsorted(s, med, "right")
+        ) / (2 * len(s))
+        assert abs(rank - 0.5) <= 0.01
+
+
+def test_partitioned_running_sum_matches_global(spark):
+    """Distributed prefix sum == the single-task global window, for
+    multiple value columns, across range-partition boundaries and
+    equal-key ties (unique tiebreak in the order)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.operators.prefix import (
+        partitioned_running_sum,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (int(t), int(i), int(rng.randint(-3, 4)), float(rng.uniform(-1, 1)))
+        for i, t in enumerate(rng.randint(0, 50, 5000))
+    ]
+    df = spark.createDataFrame(
+        rows, "t int, k int, x int, y double"
+    ).repartition(16)
+
+    got = {
+        (r.t, r.k): (r.cum_x, r.cum_y)
+        for r in partitioned_running_sum(
+            df, order_cols=["t", "k"], value_cols=["x", "y"], n_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("t", "k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.t, r.k): (r.cx, r.cy)
+        for r in df.select(
+            "t", "k",
+            F.sum("x").over(w).alias("cx"),
+            F.sum("y").over(w).alias("cy"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for key, (cx, cy) in want.items():
+        gx, gy = got[key]
+        assert gx == cx, key
+        assert abs(gy - cy) < 1e-9, key
