@@ -393,6 +393,33 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "purch_value", "asof_ts")
 
 
+def _fulfillment_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order fulfillment windows [order date, last ship date]
+    (clamped well-formed) for the nation-0 / nation-1 cohorts —
+    shared by the exact pair join and the sweep census."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            F.broadcast(
+                cust.where(F.col("c_nationkey").isin(0, 1)).select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderkey").alias("k"), F.col("c_nationkey").alias("nat"))
+        .agg(
+            F.min("o_orderdate").alias("s"),
+            # the synthetic fixture does not guarantee ship >= order;
+            # clamp so the interval is well-formed (mirrored in SQL)
+            F.greatest(F.min("o_orderdate"), F.max("l_shipdate")).alias("e"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # j_interval_overlap (r8): interval × interval OVERLAP join — the
 # two-sided generalization of j_range_join (point-in-interval) and
@@ -448,30 +475,14 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation-1 cohorts) via month-bucket chop + equi candidates + "
     "exact in-candidate verify, pair emitted ONLY in the bucket of "
     "greatest(start)s so no distinct pass is needed; per-month "
-    "pair/overlap-day census, integer-exact",
+    "pair/overlap-day census, integer-exact. COST IS QUALIFYING-PAIR "
+    "BOUND (86x wall at 10x data, SCALING.md -- pairs grow "
+    "quadratically with cohort density): the exact lower bound when "
+    "the PAIRS are the output; when only the census is needed, "
+    "j_overlap_census_sweep computes it in O(n log n)",
 )
 def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    li = load_table(spark, sf_dir, "lineitem")
-    iv = (
-        orders.join(
-            F.broadcast(
-                cust.where(F.col("c_nationkey").isin(0, 1)).select(
-                    "c_custkey", "c_nationkey"
-                )
-            ),
-            F.col("c_custkey") == F.col("o_custkey"),
-        )
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(F.col("o_orderkey").alias("k"), F.col("c_nationkey").alias("nat"))
-        .agg(
-            F.min("o_orderdate").alias("s"),
-            # the synthetic fixture does not guarantee ship >= order;
-            # clamp so the interval is well-formed (mirrored in SQL)
-            F.greatest(F.min("o_orderdate"), F.max("l_shipdate")).alias("e"),
-        )
-    )
+    iv = _fulfillment_intervals(spark, sf_dir)
     # Chop each interval into covered month buckets; bounded explode
     # (fulfillment windows span a few months).
     chopped = iv.select(
@@ -512,4 +523,199 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("overlap_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# j_overlap_census_sweep (r9): the interval-overlap CENSUS computed
+# WITHOUT enumerating pairs — the sf1 smoke measured j_interval_
+# overlap at 86x wall for 10x data with its census output FIXED at
+# 80 rows (SCALING.md): qualifying pairs grow quadratically with
+# cohort density, and any pair-enumerating plan is bound by them.
+# When the deliverable is the census (not the pair list), sweep-line
+# does it in O(n log n):
+#
+#  * pairs starting per month — one global event sweep: order all
+#    starts/ends by (t, rank, k) with per-time rank (B-starts 0,
+#    A-starts 1, ends 2: the rank encodes inclusive-end overlap and
+#    the a.s==b.s tie counted exactly once, at the A probe); each
+#    START probe reads "how many opposite-cohort intervals are active
+#    here" off four running sums. Running sums are DISTRIBUTED
+#    (operators/prefix.py: range-partition + per-partition offsets),
+#    never a one-task global window.
+#  * overlap days per calendar month — the day-dimension sweep:
+#    activeA(d) * activeB(d) summed per month. The day dimension is
+#    bounded by the calendar horizon (~2.5k rows here), NOT by data
+#    volume, so its running sum is a legitimately tiny single window
+#    at any corpus scale.
+#
+# Census semantics differ deliberately from j_interval_overlap's
+# (which attributes a pair's TOTAL overlap days to the month the
+# overlap starts): this one reports overlap days IN each calendar
+# month — the per-month concurrent-load view a capacity planner
+# wants, and the decomposition that makes the sweep exact. The pair-
+# enumerating join remains the serving form when the pairs themselves
+# are the output.
+# --------------------------------------------------------------------------
+@register(
+    "j_overlap_census_sweep",
+    """
+    WITH iv AS (
+        SELECT o.o_orderkey AS k, c.c_nationkey AS nat,
+               MIN(o.o_orderdate) AS s,
+               GREATEST(MIN(o.o_orderdate), MAX(l.l_shipdate)) AS e
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_nationkey IN (0, 1)
+        GROUP BY 1, 2
+    ),
+    a AS (SELECT k, s, e FROM iv WHERE nat = 0),
+    b AS (SELECT k, s, e FROM iv WHERE nat = 1),
+    pairs AS (
+        SELECT GREATEST(a.s, b.s) AS os, LEAST(a.e, b.e) AS oe
+        FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+    ),
+    startc AS (
+        SELECT CAST(date_trunc('month', os) AS DATE) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs_starting
+        FROM pairs GROUP BY 1
+    ),
+    chop AS (
+        SELECT CAST(UNNEST(generate_series(
+                   date_trunc('month', os), date_trunc('month', oe),
+                   INTERVAL 1 MONTH)) AS DATE) AS m,
+               os, oe
+        FROM pairs
+    ),
+    dayc AS (
+        SELECT m,
+               CAST(SUM(date_diff('day', GREATEST(os, m),
+                                  LEAST(oe, last_day(m))) + 1) AS BIGINT)
+                   AS overlap_days
+        FROM chop GROUP BY m
+    )
+    SELECT COALESCE(s.m, d.m) AS month,
+           COALESCE(s.n_pairs_starting, 0) AS n_pairs_starting,
+           COALESCE(d.overlap_days, 0) AS overlap_days
+    FROM startc s FULL OUTER JOIN dayc d ON s.m = d.m
+    ORDER BY month
+    """,
+    doc="interval-overlap census via sweep-line, NO pair enumeration: "
+    "pairs-starting per month from distributed running sums over the "
+    "start/end event order (rank encodes inclusive ends + the equal-"
+    "start tie), overlap days per calendar month from the bounded "
+    "day-dimension concurrency product activeA(d)*activeB(d); the "
+    "O(n log n) scale path for the census j_interval_overlap pays "
+    "qualifying-pair cost for (86x at 10x data, SCALING.md); oracle "
+    "verifies against full pair enumeration",
+)
+def j_overlap_census_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.prefix import (
+        partitioned_running_sum,
+    )
+
+    iv = _fulfillment_intervals(spark, sf_dir)
+
+    # ---- Sweep 1: pairs starting per month (row-scale, distributed).
+    is_a = F.col("nat") == 0
+    starts = iv.select(
+        F.col("s").alias("t"),
+        F.when(is_a, F.lit(1)).otherwise(F.lit(0)).alias("rank"),
+        "k",
+        F.when(is_a, 1).otherwise(0).alias("da_s"),
+        F.when(is_a, 0).otherwise(1).alias("db_s"),
+        F.lit(0).alias("da_e"),
+        F.lit(0).alias("db_e"),
+    )
+    ends = iv.select(
+        F.col("e").alias("t"),
+        F.lit(2).alias("rank"),
+        "k",
+        F.lit(0).alias("da_s"),
+        F.lit(0).alias("db_s"),
+        F.when(is_a, 1).otherwise(0).alias("da_e"),
+        F.when(is_a, 0).otherwise(1).alias("db_e"),
+    )
+    events = starts.unionByName(ends)
+    swept = partitioned_running_sum(
+        events,
+        order_cols=["t", "rank", "k"],
+        value_cols=["da_s", "db_s", "da_e", "db_e"],
+    )
+    # A-start probe (rank 1) sees active B = started(<=row) - ended
+    # (<row: B-ends at the same t order at rank 2, after the probe, so
+    # inclusive ends are honored); B-start probe (rank 0) sees active
+    # A with strictly-earlier starts (A-starts at the same t rank 1).
+    new_pairs = swept.where(F.col("rank") < 2).select(
+        F.trunc("t", "month").alias("month"),
+        F.when(
+            F.col("rank") == 1, F.col("cum_db_s") - F.col("cum_db_e")
+        ).otherwise(F.col("cum_da_s") - F.col("cum_da_e")).alias("np"),
+    )
+    startc = new_pairs.groupBy("month").agg(
+        F.sum("np").cast("bigint").alias("n_pairs_starting")
+    ).where(F.col("n_pairs_starting") > 0)
+
+    # ---- Sweep 2: day-dimension concurrency (bounded by calendar).
+    span = iv.agg(F.min("s").alias("lo"), F.max("e").alias("hi"))
+    days = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    deltas = (
+        iv.select(
+            F.col("s").alias("d"),
+            F.when(is_a, 1).otherwise(0).alias("dda"),
+            F.when(is_a, 0).otherwise(1).alias("ddb"),
+        )
+        .unionByName(
+            iv.select(
+                F.date_add("e", 1).alias("d"),
+                F.when(is_a, -1).otherwise(0).alias("dda"),
+                F.when(is_a, 0).otherwise(-1).alias("ddb"),
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("dda").alias("dda"), F.sum("ddb").alias("ddb"))
+    )
+    from pyspark.sql import Window
+
+    w_day = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    conc = (
+        days.join(deltas, "d", "left")
+        .select(
+            "d",
+            F.coalesce("dda", F.lit(0)).alias("dda"),
+            F.coalesce("ddb", F.lit(0)).alias("ddb"),
+        )
+        .select(
+            "d",
+            F.sum("dda").over(w_day).alias("act_a"),
+            F.sum("ddb").over(w_day).alias("act_b"),
+        )
+    )
+    dayc = (
+        conc.groupBy(F.trunc("d", "month").alias("month"))
+        .agg(
+            F.sum(F.col("act_a") * F.col("act_b")).cast("bigint").alias(
+                "overlap_days"
+            )
+        )
+        .where(F.col("overlap_days") > 0)
+    )
+
+    return (
+        startc.join(dayc, "month", "full_outer")
+        .select(
+            "month",
+            F.coalesce("n_pairs_starting", F.lit(0)).cast("bigint").alias(
+                "n_pairs_starting"
+            ),
+            F.coalesce("overlap_days", F.lit(0)).cast("bigint").alias(
+                "overlap_days"
+            ),
+        )
+        .orderBy("month")
     )

@@ -2,9 +2,15 @@
 heavies at sf0.1 and at the derived sf1 (tools/gen_scale.py, 10× rows)
 and record the wall-time scaling factor. Near-linear (≲12×) validates
 the "plans survive a scale-up" claim; a superlinear factor names a
-fix task.
+fix task. Result-row counts are recorded alongside wall time so
+output-bound growth (the v_range_search adjudication: qualifying
+pairs ARE the answer) separates from plan-bound growth.
 
-Usage: python tools/scaling_smoke.py [--runs N]   (writes SCALING.md)
+Usage: python tools/scaling_smoke.py [--runs N] [name ...]
+
+With names, only those queries run and their rows MERGE into the
+committed SCALING.json (the per-addition path); without, the full
+HEAVIES list runs and SCALING.json is rewritten.
 """
 
 from __future__ import annotations
@@ -33,15 +39,29 @@ HEAVIES = [
     # the scale path for the quadratic t_tfidf_cosine_pairs — keep its
     # factor in the artifact next to the uncapped diagnosis.
     "t_tfidf_cosine_pairs_capped",
+    # r9 additions (VERDICT r8 #3): candidate-bound interval overlap
+    # (qualifying-pair growth vs wall), personalized PageRank
+    # (exchange-free iteration claim at 10×), streaming CDC merge
+    # (state growth vs trigger cost).
+    "j_interval_overlap",
+    "g_ppr",
+    "st_cdc_merge",
+    # the sweep census — the O(n log n) answer to j_interval_overlap's
+    # measured 86x; its factor proves the no-enumeration claim.
+    "j_overlap_census_sweep",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scale/sf1")
 
 
 def main() -> None:
+    args = sys.argv[1:]
     runs = 3
-    if "--runs" in sys.argv:
-        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i : i + 2]
+    subset = args  # remaining positionals = query names
 
     from listenbrainz_server_spark.queries import load_all
     from listenbrainz_server_spark.session import get_session
@@ -52,31 +72,53 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
 
+    names = subset or HEAVIES
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+
     results: dict[str, dict] = {}
-    for name in HEAVIES:
+    for name in names:
         fn = reg[name].fn
         fn(spark, "/root/testdata/sf0.01").count()  # warm code paths
         per_sf: dict[str, dict] = {}
         for label, sf in (("sf0.1", SF01), ("sf1", SF1)):
-            samples = []
+            samples, n_rows = [], None
             for _ in range(runs):
                 spark.catalog.clearCache()
                 t = time.time()
-                fn(spark, sf).count()
+                n_rows = fn(spark, sf).count()
                 samples.append(round(time.time() - t, 2))
             per_sf[label] = {
                 "median": statistics.median(samples),
                 "samples": samples,
+                "rows": n_rows,
             }
         factor = round(per_sf["sf1"]["median"] / per_sf["sf0.1"]["median"], 2)
-        results[name] = {**per_sf, "factor": factor}
+        row_f = (
+            round(per_sf["sf1"]["rows"] / per_sf["sf0.1"]["rows"], 2)
+            if per_sf["sf0.1"]["rows"]
+            else None
+        )
+        results[name] = {**per_sf, "factor": factor, "row_factor": row_f}
         print(
             f"{name}: sf0.1 {per_sf['sf0.1']['median']}s  "
-            f"sf1 {per_sf['sf1']['median']}s  factor {factor}x"
+            f"sf1 {per_sf['sf1']['median']}s  factor {factor}x  "
+            f"rows {per_sf['sf0.1']['rows']} -> {per_sf['sf1']['rows']}"
+            f" ({row_f}x)"
         )
 
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
-        json.dump({"runs": runs, "queries": results}, f, indent=1)
+    out_path = os.path.join(REPO, "SCALING.json")
+    if subset and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        merged = {**prior.get("queries", {}), **results}
+        payload = {"runs": runs, "queries": merged,
+                   "merged_subset": sorted(results)}
+    else:
+        payload = {"runs": runs, "queries": results}
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
     print("wrote SCALING.json — now edit SCALING.md with the analysis")
 
 
