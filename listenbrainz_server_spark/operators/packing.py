@@ -57,3 +57,63 @@ def pack_sequences(
         )
         .select(id_col, "shard", "seq_id", "start_offset", "n_tokens", "straddles")
     )
+
+
+def ffd_pack(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    budget: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """First-fit-decreasing bin packing: documents packed WHOLE into
+    ``budget``-token bins — the no-straddle alternative to
+    ``pack_sequences`` for pipelines that refuse cross-document
+    attention (each bin pads its tail instead). Documents longer than
+    the budget are flagged oversize (bin_id = -1; route them to the
+    chunker, t_chunk_documents' job).
+
+    FFD runs per hash shard (same sharding contract as
+    pack_sequences: deterministic by id, independent shards, shard
+    count scales with the cluster). Within a shard the classic
+    sequential algorithm runs in one Arrow pass — sort by
+    (n_tokens desc, id), place each doc in the first bin it fits.
+    Guarantees the audit relies on: no bin exceeds budget; at most
+    one bin is <= budget/2 full (any two such bins would have been
+    merged by first-fit); bins >= ceil(total_tokens / budget).
+    """
+    import pandas as pd
+
+    sized = df.select(
+        F.col(id_col).alias("_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        token_count_col.cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list = []  # running fill per open bin
+        bin_ids = []
+        for t in pdf["n_tokens"]:
+            if t > budget:
+                bin_ids.append(-1)
+                continue
+            for i, f in enumerate(fills):
+                if f + t <= budget:
+                    fills[i] = f + t
+                    bin_ids.append(i)
+                    break
+            else:
+                fills.append(t)
+                bin_ids.append(len(fills) - 1)
+        out = pdf.assign(bin_id=bin_ids)
+        return out[["_id", "shard", "bin_id", "n_tokens"]]
+
+    schema = "_id bigint, shard int, bin_id int, n_tokens bigint"
+    return (
+        sized.groupBy("shard")
+        .applyInPandas(pack, schema)
+        .withColumnRenamed("_id", id_col)
+    )

@@ -3472,3 +3472,70 @@ def x_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x_reservoir_sample (r9): EXACT-SIZE weighted sampling without
+# replacement, per stratum — Efraimidis & Spirakis (IPL 2006) A-Res:
+# each row draws key = -ln(u)/w (the exponential race; u uniform,
+# w the weight) and the k SMALLEST keys per stratum are the sample,
+# which is distributed exactly as sequential weighted draws without
+# replacement. Complements the sampling family: x_hash_sample /
+# t_weighted_sample are Bernoulli (variable size), x_stratified_sample
+# is exact-quota but unweighted; this is exact-quota AND weighted —
+# the "give me exactly 50 docs per source,长 docs proportionally more
+# likely" mix builder.
+#
+# Determinism & the oracle: u = (md5_32(doc_id) + 0.5) / 2^32 (never
+# 0 or 1, bit-identical in any engine with md5 — the repo's seeded-
+# uniform idiom); the race key is QUANTIZED to integer nanounits
+# (floor(1e9 * ln(u)/-w), ties by doc_id) so a last-ULP ln()
+# difference between engines cannot flip the rank-k boundary. One
+# top-k-per-group window (W1 shape: partial top-k per partition under
+# AQE, no global sort) — at 100 TB this is the same plan as
+# w1_topk_per_group.
+# --------------------------------------------------------------------------
+@register(
+    "x_reservoir_sample",
+    """
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               CAST(FLOOR(
+                   1e9 * LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                            / 4294967296.0)
+                   / -GREATEST(n_chars, 1)
+               ) AS BIGINT) AS race_key
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, rank FROM (
+        SELECT source, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY race_key, doc_id) AS BIGINT)
+                   AS rank
+        FROM keyed)
+    WHERE rank <= 10
+    """,
+    doc="weighted reservoir sample (Efraimidis-Spirakis A-Res): "
+    "exactly 10 docs per source, selection probability proportional "
+    "to n_chars, without replacement -- exponential race keys from "
+    "md5 uniforms, quantized to integer nanounits so the rank-k "
+    "boundary is engine-exact; one top-k-per-group window",
+)
+def x_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    race = F.floor(
+        F.lit(1e9) * F.log(u) / -F.greatest(F.col("n_chars"), F.lit(1))
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(race, "doc_id")
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select("source", "doc_id", "n_chars", "rank")
+    )

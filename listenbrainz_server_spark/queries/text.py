@@ -2349,3 +2349,92 @@ def t_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vocab").cast("bigint").alias("total_vocab"),
         F.max("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# t_pack_ffd (r9): first-fit-decreasing WHOLE-document bin packing —
+# the no-straddle sibling of t_sequence_pack for pipelines that
+# refuse cross-document attention (each budget-token bin pads its
+# tail; oversize docs are flagged for the chunker instead of split).
+# FFD is inherently sequential, so it runs per hash shard in one
+# Arrow pass (operators/packing.ffd_pack; shard count scales with the
+# cluster) and the REGISTERED form is the audit the oracle can
+# reproduce exactly: per-shard doc/oversize/token counts plus the
+# packing invariants as booleans — no bin over budget, bins >= the
+# ceil(tokens/budget) lower bound, and at most one bin half-or-less
+# full (first-fit would have merged two such bins; the theorem that
+# bounds FFD waste to ~2x optimal in the worst case). The per-doc
+# bin assignment itself is pinned against a pure-Python FFD in
+# tests/test_operators.py.
+# --------------------------------------------------------------------------
+@register(
+    "t_pack_ffd",
+    """
+    WITH sized AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT_IF(n_tokens <= 256) AS BIGINT) AS n_docs,
+           CAST(COUNT_IF(n_tokens > 256) AS BIGINT) AS n_oversize,
+           CAST(COALESCE(SUM(CASE WHEN n_tokens <= 256
+                                  THEN n_tokens END), 0) AS BIGINT)
+               AS total_tokens,
+           TRUE AS no_overflow,
+           TRUE AS lb_ok,
+           TRUE AS half_full_ok
+    FROM sized
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="first-fit-decreasing whole-doc bin packing (budget 256, "
+    "per-shard Arrow pass): audit form -- per-shard doc/oversize/"
+    "token counts + packing invariants (no bin over budget, bins >= "
+    "token lower bound, at most one bin <= half full); per-doc "
+    "assignment pinned vs a pure-Python FFD",
+)
+def t_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.packing import ffd_pack
+
+    budget = 256
+    docs = load_table(spark, sf_dir, "documents")
+    packed = ffd_pack(
+        docs, "doc_id", token_count(F.col("text")), budget=budget, n_shards=8
+    )
+    bins = (
+        packed.where(F.col("bin_id") >= 0)
+        .groupBy("shard", "bin_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+    )
+    bin_audit = bins.groupBy("shard").agg(
+        F.every(F.col("fill") <= budget).alias("no_overflow"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.count_if(F.col("fill") <= budget / 2).alias("n_half"),
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count_if(F.col("bin_id") >= 0).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("bin_id") < 0).cast("bigint").alias("n_oversize"),
+            F.coalesce(
+                F.sum(F.when(F.col("bin_id") >= 0, F.col("n_tokens"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+        .join(F.broadcast(bin_audit), "shard")
+        .select(
+            "shard",
+            "n_docs",
+            "n_oversize",
+            "total_tokens",
+            "no_overflow",
+            (F.col("n_bins") >= F.ceil(F.col("total_tokens") / budget)).alias(
+                "lb_ok"
+            ),
+            (F.col("n_half") <= 1).alias("half_full_ok"),
+        )
+        .orderBy("shard")
+    )

@@ -1312,3 +1312,79 @@ def test_partitioned_running_sum_matches_global(spark):
         gx, gy = got[key]
         assert gx == cx, key
         assert abs(gy - cy) < 1e-9, key
+
+
+def test_reservoir_sample_weighting_bias(spark):
+    """A-Res with w = n_chars must overrepresent long documents: the
+    sample's mean n_chars exceeds the corpus mean (size-biased
+    sampling pulls the mean toward E[X^2]/E[X] > E[X]), and per
+    source exactly 50 distinct docs are drawn."""
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.01"
+    sample = load_all()["x_reservoir_sample"].fn(spark, sf)
+    per_src = sample.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("nd"), F.count(F.lit(1)).alias("n")
+    )
+    src_sizes = {
+        r.source: r.c
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in per_src.collect():
+        want = min(10, src_sizes[r.source])  # reservoir of n < k = all n
+        assert r.nd == want and r.n == want, (r, want)
+    got_mean = sample.agg(F.avg("n_chars")).first()[0]
+    corpus_mean = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert got_mean > corpus_mean * 1.05, (got_mean, corpus_mean)
+
+
+def test_ffd_pack_matches_pure_python(spark):
+    """Per-doc FFD bin assignment == a pure-Python third
+    implementation of first-fit decreasing over the same shard order,
+    and no bin exceeds the budget."""
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.operators.packing import ffd_pack
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    got = {
+        (r.doc_id): (r.shard, r.bin_id)
+        for r in ffd_pack(docs, "doc_id", tok, budget=256, n_shards=8).collect()
+    }
+
+    rows = [
+        (r.doc_id, r.doc_id % 8, len(r.text.split(" ")))
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    by_shard: dict = {}
+    for did, sh, t in rows:
+        by_shard.setdefault(sh, []).append((t, did))
+    want = {}
+    for sh, items in by_shard.items():
+        items.sort(key=lambda x: (-x[0], x[1]))
+        fills: list = []
+        for t, did in items:
+            if t > 256:
+                want[did] = (sh, -1)
+                continue
+            for i in range(len(fills)):
+                if fills[i] + t <= 256:
+                    fills[i] += t
+                    want[did] = (sh, i)
+                    break
+            else:
+                fills.append(t)
+                want[did] = (sh, len(fills) - 1)
+        assert all(f <= 256 for f in fills)
+    assert got == want
