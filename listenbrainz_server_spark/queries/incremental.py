@@ -356,3 +356,94 @@ def i_deletion_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# i_time_travel (r9): snapshot-versioned table + as-of read
+# (sources/versioned.py — the Delta/Iceberg commit-log idea on plain
+# Parquet, mirroring the reference's side-by-side dump generations +
+# registry pointer, SURVEY §2.1 S2/S14). The lifecycle exercised end
+# to end: commit v1 = per-customer order counts BEFORE the 1997
+# cutoff, commit v2 = the full-history recompute, then TIME-TRAVEL
+# back to v1 while v2 is latest and diff the two reads. The oracle
+# recomputes both snapshots from base data — so the v1 read proves
+# the old version is still byte-faithful after a newer commit landed
+# (the reproducible-report guarantee), and the diff proves latest
+# resolution. Manifest/vacuum/rollback mechanics are pytest-pinned.
+# --------------------------------------------------------------------------
+@register(
+    "i_time_travel",
+    """
+    WITH v1 AS (
+        SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sp
+        FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        GROUP BY o_custkey
+    ),
+    v2 AS (
+        SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sp
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(v2.o_custkey, v1.o_custkey) AS custkey,
+           CAST(COALESCE(v1.n, 0) AS BIGINT) AS n_orders_v1,
+           CAST(COALESCE(v2.n, 0) AS BIGINT) AS n_orders_latest,
+           CAST(COALESCE(v2.n, 0) - COALESCE(v1.n, 0) AS BIGINT)
+               AS orders_added,
+           ROUND(COALESCE(v2.sp, 0) - COALESCE(v1.sp, 0), 2)
+               AS spend_added
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey
+    ORDER BY custkey
+    """,
+    doc="snapshot versioning + time travel on plain Parquet: commit "
+    "v1 (pre-1997 per-customer order aggregate), commit v2 (full "
+    "recompute), read v1 AS-OF while v2 is latest and diff -- the "
+    "old report stays reproducible after new data lands; manifest "
+    "swap/vacuum/rollback pytest-pinned",
+)
+def i_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from listenbrainz_server_spark.sources.versioned import (
+        commit_version,
+        read_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+
+    def snapshot(df):
+        return df.groupBy("custkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sp"),
+        )
+
+    root = tempfile.mkdtemp(prefix="i_time_travel_") + "/orders_agg"
+    v1 = commit_version(
+        snapshot(orders.where(F.col("o_orderdate") < F.lit("1997-01-01"))),
+        root,
+    )
+    commit_version(snapshot(orders), root)
+
+    asof = read_version(spark, root, version=v1).select(
+        F.col("custkey").alias("k1"),
+        F.col("n").alias("n1"),
+        F.col("sp").alias("sp1"),
+    )
+    latest = read_version(spark, root)  # resolves v2 via the manifest
+    return (
+        latest.join(asof, latest.custkey == F.col("k1"), "full_outer")
+        .select(
+            F.coalesce("custkey", "k1").alias("custkey"),
+            F.coalesce("n1", F.lit(0)).cast("bigint").alias("n_orders_v1"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders_latest"),
+            (F.coalesce("n", F.lit(0)) - F.coalesce("n1", F.lit(0)))
+            .cast("bigint")
+            .alias("orders_added"),
+            F.round(
+                F.coalesce("sp", F.lit(0.0)) - F.coalesce("sp1", F.lit(0.0)), 2
+            ).alias("spend_added"),
+        )
+        .orderBy("custkey")
+    )

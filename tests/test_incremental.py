@@ -146,3 +146,50 @@ def test_combine_double_counts_spanning_users(spark):
     # u1 spans both partials: exact distinct would be 3; the reference
     # (and we) report 2 + 2 = 4.
     assert row.total_user_count == 4
+
+
+def test_versioned_table_lifecycle(spark, tmp_path):
+    """Commit/as-of/vacuum mechanics of the snapshot-versioned table:
+    versions are immutable (v1 read identical after v2 lands), latest
+    follows the manifest, vacuum drops old data and as-of reads of
+    dropped versions fail loudly, orphan dirs from crashed commits
+    are reclaimed."""
+    import os
+
+    import pytest
+
+    from listenbrainz_server_spark.sources.versioned import (
+        commit_version,
+        read_version,
+        vacuum,
+    )
+
+    root = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    df2 = spark.createDataFrame([(1, "a2"), (3, "c")], "k int, v string")
+
+    assert commit_version(df1, root) == 1
+    snap1 = sorted(tuple(r) for r in read_version(spark, root).collect())
+    assert commit_version(df2, root) == 2
+    # time travel: v1 unchanged after v2
+    assert sorted(
+        tuple(r) for r in read_version(spark, root, version=1).collect()
+    ) == snap1
+    # latest resolves v2
+    assert sorted(
+        tuple(r) for r in read_version(spark, root).collect()
+    ) == sorted(tuple(r) for r in df2.collect())
+
+    # crashed commit leaves an orphan __tmp; next commit reclaims it
+    os.makedirs(os.path.join(root, "v=3__tmp"), exist_ok=True)
+    assert commit_version(df1, root) == 3
+
+    dropped = vacuum(root, keep_last=2)
+    assert dropped == [1]
+    assert not os.path.exists(os.path.join(root, "v=1"))
+    with pytest.raises(ValueError):
+        read_version(spark, root, version=1)
+    # survivors still read
+    assert read_version(spark, root, version=2).count() == 2
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, str(tmp_path / "empty"))
