@@ -3539,3 +3539,168 @@ def x_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("source", "doc_id", "n_chars", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# x_benford_audit (r9): first-significant-digit distribution vs
+# Benford's law per event type — the classic fabricated-data /
+# pipeline-bug screen for positive, scale-spanning measures (Benford
+# 1938; Nigrini's audit practice): organically generated magnitudes
+# put ~30.1% of leading digits at 1, falling to 4.6% at 9, while
+# uniform synthetics (like this fixture's purchase values — the audit
+# SHOWS that) and hand-typed numbers don't. One groupBy after a
+# column-expression digit extract; the expected shares are 6dp
+# LITERALS in both engines (computing log10(1+1/d) at runtime would
+# bet the hash on two libms agreeing in the last ULP).
+# --------------------------------------------------------------------------
+@register(
+    "x_benford_audit",
+    """
+    WITH digits AS (
+        SELECT event_type,
+               CAST(FLOOR(value / POWER(10, FLOOR(LOG10(value)))) AS INT)
+                   AS digit
+        FROM events WHERE value > 0
+    ),
+    expected(digit, exp_share) AS (VALUES
+        (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        (9, 0.045757)
+    ),
+    counts AS (
+        SELECT event_type, digit, COUNT(*) AS n_obs
+        FROM digits GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type, SUM(n_obs) AS total FROM counts GROUP BY 1
+    )
+    SELECT c.event_type, e.digit,
+           CAST(COALESCE(c2.n_obs, 0) AS BIGINT) AS n_obs,
+           ROUND(COALESCE(c2.n_obs, 0) * 1.0 / c.total, 6) AS obs_share,
+           CAST(e.exp_share AS DOUBLE) AS exp_share,
+           ROUND(ABS(COALESCE(c2.n_obs, 0) * 1.0 / c.total
+                     - CAST(e.exp_share AS DOUBLE)), 6) AS abs_dev
+    FROM totals c
+    CROSS JOIN expected e
+    LEFT JOIN counts c2
+      ON c2.event_type = c.event_type AND c2.digit = e.digit
+    ORDER BY c.event_type, e.digit
+    """,
+    doc="Benford first-digit audit per event type: observed leading-"
+    "digit shares vs the 6dp literal Benford expectation (dense 9-"
+    "digit grid per type, zero-count digits kept), absolute deviation "
+    "6dp -- the fabricated-data / unit-mixup screen for positive "
+    "scale-spanning measures",
+)
+def x_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    digits = ev.select(
+        "event_type",
+        F.floor(
+            F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    counts = digits.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("n_obs").alias("total"))
+    benford = spark.createDataFrame(
+        [
+            (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+            (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+            (9, 0.045757),
+        ],
+        "digit int, exp_share double",
+    )
+    grid = totals.crossJoin(F.broadcast(benford))
+    share = F.coalesce(F.col("n_obs"), F.lit(0)) * 1.0 / F.col("total")
+    return (
+        grid.join(counts, ["event_type", "digit"], "left")
+        .select(
+            "event_type",
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            F.round(share, 6).alias("obs_share"),
+            "exp_share",
+            F.round(F.abs(share - F.col("exp_share")), 6).alias("abs_dev"),
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# x_equidepth_bins (r9): equi-depth (equal-population) binning per
+# event type, cut points from the t-digest sketch — the feature-
+# engineering / zone-layout form of quantile bucketing (equi-WIDTH
+# histograms starve under skew; equi-depth keeps every bucket
+# informative). Cuts = digest deciles (operators/tdigest.py: one
+# mapInPandas sketch pass, sketch-only shuffle), assignment = a
+# broadcast of 9 cuts per type + one column-expression count — no
+# second percentile scan of the data. Registered form is the
+# bounded-error audit (the w_mad_tdigest idiom): every decile bin's
+# population share must sit within 0.02 + 10/n of the ideal 0.10
+# (digest rank error is ~1e-3; the slack absorbs ties at cut values
+# and small-group discreteness). The oracle reproduces counts and
+# the invariant booleans.
+# --------------------------------------------------------------------------
+@register(
+    "x_equidepth_bins",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(10 AS BIGINT) AS n_bins,
+           TRUE AS all_bins_present,
+           TRUE AS equi_depth_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="equi-depth decile binning per event type with t-digest cut "
+    "points (sketch pass + broadcast cuts, no second percentile "
+    "scan); hash-gated audit: all 10 bins populated and every bin "
+    "share within 0.02 + 10/n of 0.10",
+)
+def x_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.tdigest import (
+        group_tdigest_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cuts = (
+        group_tdigest_quantiles(
+            ev, "event_type", "value",
+            qs=tuple(i / 10 for i in range(1, 10)),
+        )
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("est")).alias("cuts"))
+    )
+    binned = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.size(F.filter("cuts", lambda c: c <= F.col("value"))).alias("bin"),
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    tol = lambda n: 0.02 + 10.0 / n  # noqa: E731 - digest error + ties
+    return (
+        per_bin.groupBy("event_type")
+        .agg(
+            F.sum("nb").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            (F.max("nb") * 1.0 / F.sum("nb")).alias("max_share"),
+            (F.min("nb") * 1.0 / F.sum("nb")).alias("min_share"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_bins",
+            (F.col("n_bins") == 10).alias("all_bins_present"),
+            (
+                (F.col("max_share") <= 0.1 + tol(F.col("n")))
+                & (F.col("min_share") >= 0.1 - tol(F.col("n")))
+            ).alias("equi_depth_ok"),
+        )
+        .orderBy("event_type")
+    )

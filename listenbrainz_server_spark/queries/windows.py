@@ -786,3 +786,85 @@ def w_mad_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# w_theil_sen (r9): Theil-Sen robust trend estimator on the daily
+# per-type count series — median of all pairwise slopes
+# (c_j - c_i)/(d_j - d_i), i < j. The robust-regression sibling of
+# w_mad_outliers (median-based, ~29% breakdown point vs OLS's 0%): a
+# single corrupted day cannot move the trend, where the t_zipf_fit /
+# t_heaps_law_fit OLS idiom would follow it. Exact-oracle-able
+# because the pair space is the DAY dimension squared — bounded by
+# the calendar horizon (~30 days -> <=435 pairs per type), never by
+# event volume; the event-scale work is one groupBy(type, day). Both
+# engines enumerate identical integer day pairs, divide in IEEE
+# doubles, and take the same interpolated median, so 6dp rounding is
+# engine-exact (the w_mad_outliers precedent).
+# --------------------------------------------------------------------------
+@register(
+    "w_theil_sen",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type, (b.n - a.n) / (b.di - a.di) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.di < b.di
+    )
+    SELECT s.event_type,
+           CAST(d.n_days AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(s.slope, 0.5), 6) AS slope_per_day
+    FROM slopes s
+    JOIN (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1) d
+      USING (event_type)
+    GROUP BY s.event_type, d.n_days
+    ORDER BY s.event_type
+    """,
+    doc="Theil-Sen robust trend per event type: median pairwise slope "
+    "of the daily count series (pair space = day dimension squared, "
+    "calendar-bounded -- the event-scale work is one day aggregate); "
+    "single bad day cannot move the estimate, unlike the OLS-fit "
+    "idiom; 6dp, engine-exact interpolated median",
+)
+def w_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("di"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = daily.select(
+        "event_type", F.col("di").alias("di_a"), F.col("n").alias("n_a")
+    )
+    b = daily.select(
+        "event_type", F.col("di").alias("di_b"), F.col("n").alias("n_b")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("di_a") < F.col("di_b"))
+        .select(
+            "event_type",
+            ((F.col("n_b") - F.col("n_a")) / (F.col("di_b") - F.col("di_a"))).alias(
+                "slope"
+            ),
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 6).alias("slope_per_day"),
+        )
+        .join(F.broadcast(n_days), "event_type")
+        .select("event_type", "n_days", "n_pairs", "slope_per_day")
+        .orderBy("event_type")
+    )
