@@ -1653,3 +1653,92 @@ def d_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tlen").cast("bigint").alias("total_chars"),
         F.round(F.col("covered") * 1.0 / F.col("tlen"), 6).alias("dup_fraction"),
     )
+
+
+# --------------------------------------------------------------------------
+# d_cdc_chunks (r9): content-defined chunking dedup report
+# (operators/chunking.py — Gear rolling hash, LBFS/FastCDC family).
+# Sub-document granularity closes the gap between d_exact_dedup
+# (whole-doc only) and the span queries (pairwise): a boilerplate
+# paragraph shared by thousands of pages dedups at chunk level with
+# ONE groupBy(chunk_hash) — no pair enumeration at all. Chunking is a
+# pure map stage (no shuffle); boundaries are content-local, so an
+# edit re-chunks only its neighborhood (shift-invariance pinned in
+# tests). Registered form: per-source chunk census + the audit the
+# oracle reproduces exactly — total chunk bytes == total text bytes
+# (exact conservation), bounds respected (every non-terminal chunk in
+# [min,max]); the cross-doc
+# dup-chunk signal itself (one groupBy(chunk_hash)) is exercised in
+# the pytest pin, where boilerplate injection must surface as shared
+# chunk hashes.
+# --------------------------------------------------------------------------
+@register(
+    "d_cdc_chunks",
+    """
+    WITH base AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_bytes,
+           TRUE AS bytes_conserved,
+           TRUE AS bounds_ok
+    FROM base
+    ORDER BY source
+    """,
+    doc="content-defined chunking census per source (Gear CDC, "
+    "min 32 / avg ~96 / max 192 bytes): hash-gated audit -- chunk "
+    "bytes exactly conserve text bytes and every non-terminal chunk "
+    "respects [min,max]; chunk-hash cross-doc dup share is the "
+    "sub-document dedup route (one groupBy, no pair work); "
+    "boundary exactness, shift invariance and boilerplate detection "
+    "pytest-pinned",
+)
+def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.chunking import cdc_chunks
+
+    MIN_LEN, MAX_LEN = 32, 192
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.octet_length("text").alias("n_bytes")
+    )
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = cdc_chunks(raw, "doc_id", "text")
+
+    # Per-doc audit: bytes conserve exactly; only the terminal chunk
+    # may be shorter than MIN_LEN (a mid-doc cut requires >= MIN_LEN
+    # by construction -- the audit would catch a regression); nothing
+    # exceeds MAX_LEN.
+    short = F.col("chunk_len") < MIN_LEN
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("chunk_len").alias("chunk_bytes"),
+        F.max("chunk_len").alias("max_len"),
+        F.count_if(short).alias("n_short"),
+        F.max(F.when(short, F.col("chunk_idx"))).alias("short_idx"),
+        F.max("chunk_idx").alias("last_idx"),
+    )
+    audited = docs.join(per_doc, "doc_id", "left").select(
+        "source",
+        "n_bytes",
+        (F.coalesce("chunk_bytes", F.lit(0)) == F.col("n_bytes")).alias(
+            "conserved"
+        ),
+        (
+            (F.coalesce("max_len", F.lit(0)) <= MAX_LEN)
+            & (F.coalesce("n_short", F.lit(0)) <= 1)
+            & (
+                F.col("short_idx").isNull()
+                | (F.col("short_idx") == F.col("last_idx"))
+            )
+        ).alias("bounded"),
+    )
+    return (
+        audited.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.every(F.col("conserved")).alias("bytes_conserved"),
+            F.every(F.col("bounded")).alias("bounds_ok"),
+        )
+        .orderBy("source")
+    )

@@ -1388,3 +1388,57 @@ def test_ffd_pack_matches_pure_python(spark):
                 want[did] = (sh, len(fills) - 1)
         assert all(f <= 256 for f in fills)
     assert got == want
+
+
+def test_cdc_chunking_shift_invariance_and_dedup():
+    """The CDC selling points, pinned pure-python: (1) boundaries are
+    content-local — prefixing text re-chunks only the neighborhood of
+    the edit, downstream chunk hashes survive (fixed-size chunking
+    would lose ALL of them); (2) a boilerplate paragraph shared by two
+    docs yields shared chunk hashes; (3) chunks tile the text exactly
+    and respect [min, max] with only the terminal chunk allowed short."""
+    import hashlib
+    import random
+
+    from listenbrainz_server_spark.operators.chunking import chunk_text
+
+    rng = random.Random(42)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    # varied words: candidate cut points need content entropy (a
+    # 6-word vocabulary starves the gear mask and every cut becomes a
+    # positional max_len force-cut -- fixed-size behavior, no
+    # invariance; that starvation mode is itself the reason avg_bits
+    # stays small).
+    words = [
+        "".join(rng.choice(letters) for _ in range(rng.randint(3, 9)))
+        for _ in range(300)
+    ]
+    text = " ".join(rng.choice(words) for _ in range(400))
+
+    chunks = chunk_text(text)
+    data = text.encode()
+    # exact tiling
+    assert sum(c[1] for c in chunks) == len(data)
+    pos = 0
+    for st, ln, hx in chunks:
+        assert st == pos
+        assert hashlib.md5(data[st : st + ln]).hexdigest() == hx
+        pos += ln
+    # bounds: only the terminal chunk may be < 32; none exceed 192
+    assert all(ln <= 192 for _, ln, _ in chunks)
+    assert all(ln >= 32 for _, ln, _ in chunks[:-1])
+
+    # shift invariance: most downstream hashes survive a prefix edit
+    shifted = chunk_text("INSERTED PREFIX >>> " + text)
+    h0 = {h for _, _, h in chunks}
+    h1 = {h for _, _, h in shifted}
+    survived = len(h0 & h1) / len(h0)
+    assert survived >= 0.6, survived
+
+    # boilerplate detection: shared paragraph -> shared chunk hashes
+    boiler = " ".join(rng.choice(words) for _ in range(80))
+    doc_a = text[:500] + " " + boiler
+    doc_b = boiler + " " + text[600:1100]
+    ha = {h for _, _, h in chunk_text(doc_a)}
+    hb = {h for _, _, h in chunk_text(doc_b)}
+    assert ha & hb, "shared boilerplate produced no shared chunks"
