@@ -169,3 +169,43 @@ class IncrementalEngine:
             self.create_partial(stat, full_df, from_date, to_date, created)
         delta_agg = self.delta_aggregate(stat, delta_df, created_col=created_col)
         return self.combine(stat, delta_agg, only_affected=only_affected)
+
+    def retract(
+        self,
+        stat: IncrementalStat,
+        deleted_agg: DataFrame,
+        count_col: str,
+        only_affected: bool = True,
+    ) -> DataFrame:
+        """Apply DELETIONS to the stored partial without rebuilding it:
+        the deleted rows' aggregate enters the ordinary combine with
+        NEGATED measures, and groups whose ``count_col`` reaches zero
+        drop out entirely. This is the aggregate-state form of the
+        reference's listen-deletion flow (listens/delete.py applies
+        tombstones, stats then recompute from scratch) — sums/counts
+        are abelian-group measures, so retraction is exact and the
+        full-history rescan is avoided. Requires deletions ⊆ the
+        partial's input (enforced upstream by the tombstone anti-join,
+        i_deletion_apply); measures must be exactly combinable
+        (integer-quantize money first — float sums are not associative
+        enough to survive subtract-then-compare).
+
+        ``only_affected`` prunes the combine to keys present in the
+        deletion delta (P8), so a small erasure batch touches a small
+        slice of state; the untouched remainder is unioned back
+        verbatim.
+        """
+        neg = deleted_agg.select(
+            *stat.keys,
+            *[(-F.col(c)).alias(c) for c in stat.sum_cols],
+        )
+        partial = self.load_partial(stat)
+        if only_affected:
+            affected = neg.select(*stat.keys).distinct()
+            touched = semi_join(partial, affected, stat.keys)
+            untouched = partial.join(affected, list(stat.keys), "left_anti")
+            merged = combine_aggregates(touched, neg, stat.keys, stat.sum_cols)
+            merged = merged.unionByName(untouched)
+        else:
+            merged = combine_aggregates(partial, neg, stat.keys, stat.sum_cols)
+        return merged.where(F.col(count_col) > 0)

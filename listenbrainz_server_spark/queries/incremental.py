@@ -447,3 +447,66 @@ def i_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# i_retraction_combine (r9): GDPR-style erasure applied to AGGREGATE
+# STATE — deletions enter the incremental engine's ordinary combine
+# with negated measures instead of forcing the reference's
+# full-history recompute (listens/delete.py tombstones + stats
+# rebuild): sums/counts form an abelian group, so subtract-then-drop-
+# zero-groups is exact. Money is integer-cent quantized BEFORE
+# summation (float sums are not associative enough to survive
+# subtract-then-compare — the repo's order-free-sum convention).
+# only_affected prunes the combine to erased keys (P8): a small
+# erasure batch touches a small state slice; the untouched remainder
+# unions back verbatim. Oracle = direct recompute over the surviving
+# rows, so the gate proves retraction == rebuild.
+# --------------------------------------------------------------------------
+@register(
+    "i_retraction_combine",
+    """
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS spend
+    FROM orders
+    WHERE o_orderkey % 9 <> 0
+    GROUP BY o_custkey
+    ORDER BY custkey
+    """,
+    doc="deletion applied to aggregate state, not base data: erased "
+    "orders (okey % 9 == 0) retract from the stored per-customer "
+    "partial as a negated-measure combine (groups at zero count drop "
+    "out; affected-key pruning); integer-cent exact; oracle proves "
+    "retraction == full recompute of survivors",
+)
+def i_retraction_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_dir = tempfile.mkdtemp(prefix="i_retract_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    stat = IncrementalStat(
+        name="cust_orders",
+        aggregate=lambda df: df.groupBy("custkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        ),
+        keys=("custkey",),
+        sum_cols=("n_orders", "cents"),
+    )
+    eng = IncrementalEngine(spark, state_dir)
+    eng.create_partial(stat, orders, "1992-01-01", "1998-12-31", "1999-01-01")
+
+    erased = orders.where(F.col("okey") % 9 == 0)
+    survived = eng.retract(
+        stat, stat.aggregate(erased), count_col="n_orders"
+    )
+    return survived.select(
+        "custkey",
+        "n_orders",
+        F.round(F.col("cents") / 100.0, 2).alias("spend"),
+    ).orderBy("custkey")

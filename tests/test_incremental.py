@@ -193,3 +193,37 @@ def test_versioned_table_lifecycle(spark, tmp_path):
     assert read_version(spark, root, version=2).count() == 2
     with pytest.raises(FileNotFoundError):
         read_version(spark, str(tmp_path / "empty"))
+
+
+def test_retract_full_group_erasure_and_pruning(spark, tmp_path):
+    """Retraction drops groups whose count reaches zero, leaves
+    untouched keys byte-identical, and never goes negative when the
+    deletion set equals the group's rows."""
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.incremental.engine import (
+        IncrementalEngine,
+        IncrementalStat,
+    )
+
+    stat = IncrementalStat(
+        name="t",
+        aggregate=lambda df: df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("v"),
+        ),
+        keys=("k",),
+        sum_cols=("n", "v"),
+    )
+    eng = IncrementalEngine(spark, str(tmp_path))
+    rows = [(1, 10), (1, 20), (2, 5), (3, 7)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    eng.create_partial(stat, df, "a", "b", "c")
+
+    # erase ALL of k=1 and part of nothing else
+    deleted = spark.createDataFrame([(1, 10), (1, 20)], "k int, v int")
+    out = {
+        r.k: (r.n, r.v)
+        for r in eng.retract(stat, stat.aggregate(deleted), "n").collect()
+    }
+    assert out == {2: (1, 5), 3: (1, 7)}  # k=1 gone, others verbatim
