@@ -109,6 +109,17 @@ HEADLINE_NEW = (
     "i_deletion_apply",
     "w_ewma",
     "w_mad_outliers",
+    # r9 families: sessionized CDC retraction, sweep-line overlap
+    # census (the 86x->2.8x fix), t-digest sketch quantiles, weighted
+    # reservoir, content-defined chunking, aggregate-state erasure,
+    # robust trend.
+    "st_session_cdc",
+    "j_overlap_census_sweep",
+    "w_mad_tdigest",
+    "x_reservoir_sample",
+    "d_cdc_chunks",
+    "i_retraction_combine",
+    "w_theil_sen",
 )
 
 

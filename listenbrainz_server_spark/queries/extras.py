@@ -3704,3 +3704,126 @@ def x_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x_tdigest_rolling (r9): rolling 7-day value quantiles (p50/p95)
+# from mergeable per-day t-digests — the quantile sibling of
+# x_hll_rolling_distinct's sketch algebra, and the third consumer of
+# operators/tdigest.py. Exact rolling percentiles need every (day,
+# value) re-buffered per window; the sketch form builds ONE fixed-size
+# digest per day (fact table touched once) and unions 7 digests per
+# window on the |days|-sized dim — the only shape that survives
+# 100 TB of history. Digest estimates aren't SQL-reproducible, so the
+# registered form is the self-auditing variant: the exact window
+# count (oracle-reproduced) plus rank-interval booleans — each
+# estimate's true rank interval among the window's exact values must
+# touch its target quantile +/-(0.01 + 1/n) (the w_mad_tdigest audit
+# with its small-window discreteness term; at
+# 100 TB the exact twin drops and the audit runs on a sample).
+# --------------------------------------------------------------------------
+@register(
+    "x_tdigest_rolling",
+    """
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, value FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ev)
+    SELECT d.day,
+           CAST(COUNT(*) AS BIGINT) AS n_7d,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM days d JOIN ev e
+      ON e.day <= d.day AND e.day >= d.day - INTERVAL 6 DAY
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+    doc="rolling 7-day p50/p95 of event value from mergeable per-day "
+    "t-digests (one digest per day, 7-way sketch union per window on "
+    "the days dim; fact table scanned once) -- self-auditing form: "
+    "exact window count + rank-interval booleans (+/-0.01+1/n) in "
+    "the hash gate",
+)
+def x_tdigest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from listenbrainz_server_spark.operators.tdigest import (
+        merge_centroid_sets,
+        merge_digests,
+        partition_digests,
+        quantile_of,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "value"
+    )
+    keyed = ev.select(
+        F.date_format("day", "yyyy-MM-dd").alias("dstr"), "value"
+    )
+    daily = merge_digests(
+        partition_digests(keyed, "dstr", "value"), "dstr"
+    ).withColumn("day", F.col("dstr").cast("date"))
+
+    win_cond = (F.col("e.day") <= F.col("d.day")) & (
+        F.col("e.day") >= F.date_sub(F.col("d.day"), 6)
+    )
+    windows = (
+        F.broadcast(daily.select("day").alias("d"))
+        .join(daily.alias("e"), win_cond)
+        .select(
+            F.col("d.day").alias("day"),
+            F.col("e.means").alias("means"),
+            F.col("e.weights").alias("weights"),
+        )
+    )
+
+    def est_quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = merge_centroid_sets(list(pdf["means"]), list(pdf["weights"]))
+        return pd.DataFrame(
+            {
+                "day": [pdf["day"].iloc[0]],
+                "est50": [quantile_of(m, w, 0.5)],
+                "est95": [quantile_of(m, w, 0.95)],
+            }
+        )
+
+    est = windows.groupBy("day").applyInPandas(
+        est_quantiles, "day date, est50 double, est95 double"
+    )
+
+    # Exact twin (fixture-affordable): window-joined raw values give
+    # the oracle-reproduced count and the rank intervals of the
+    # estimates.
+    wf = (
+        F.broadcast(daily.select("day").alias("d"))
+        .join(ev.alias("e"), win_cond)
+        .select(F.col("d.day").alias("day"), F.col("e.value").alias("value"))
+        .join(F.broadcast(est), "day")
+    )
+    n = F.count(F.lit(1))
+    return (
+        wf.groupBy("day")
+        .agg(
+            n.cast("bigint").alias("n_7d"),
+            (F.count_if(F.col("value") < F.col("est50")) / n).alias("lo50"),
+            (F.count_if(F.col("value") <= F.col("est50")) / n).alias("hi50"),
+            (F.count_if(F.col("value") < F.col("est95")) / n).alias("lo95"),
+            (F.count_if(F.col("value") <= F.col("est95")) / n).alias("hi95"),
+        )
+        .select(
+            "day",
+            "n_7d",
+            # tolerance 0.01 + 1/n: early windows hold few values, so
+            # a single rank step can exceed a fixed 1% (the
+            # w_mad_tdigest discreteness term)
+            (
+                (F.col("lo50") <= 0.51 + 1.0 / F.col("n_7d"))
+                & (F.col("hi50") >= 0.49 - 1.0 / F.col("n_7d"))
+            ).alias("p50_rank_ok"),
+            (
+                (F.col("lo95") <= 0.96 + 1.0 / F.col("n_7d"))
+                & (F.col("hi95") >= 0.94 - 1.0 / F.col("n_7d"))
+            ).alias("p95_rank_ok"),
+        )
+        .orderBy("day")
+    )
