@@ -724,3 +724,128 @@ def m_item_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_b").alias("item_b"),
         F.round("similarity_raw", 6).alias("similarity"),
     )
+
+
+# --------------------------------------------------------------------------
+# m_item_cf_topk (r9): item-item neighborhood CF — the classic
+# memory-based recommender (Sarwar et al. WWW'01 / the "customers
+# who bought X" shape), the neighbor-based sibling of the
+# model-based m_als_recommend and the ITEM-axis twin of
+# m_user_cosine: cosine between item playcount vectors over the
+# shared-user axis, top-3 neighbors per item. Candidate pairs come
+# only from users' baskets (user-keyed self-join — co-rated items
+# only, never |I|²); per-user basket cap bounds the quadratic basket
+# term exactly like m_user_cosine_capped's hot-item cap (a power
+# user's basket contributes |basket|² pairs; cap documented, not
+# silent). Integer dot products and norms make the cosine doubles
+# bit-identical cross-engine (mul/sqrt/div are IEEE-correctly-
+# rounded), so rank order is engine-exact.
+# --------------------------------------------------------------------------
+@register(
+    "m_item_cf_topk",
+    """
+    WITH pc AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id,
+               COUNT(*) AS playcount
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT user_id, item_id, playcount FROM (
+            SELECT user_id, item_id, playcount,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY playcount DESC, item_id)
+                       AS brk
+            FROM pc
+        ) WHERE brk <= 50
+    ),
+    norms AS (
+        SELECT item_id, SUM(playcount * playcount) AS nrm
+        FROM capped GROUP BY item_id
+    ),
+    dots AS (
+        SELECT a.item_id AS item_a, b.item_id AS item_b,
+               SUM(a.playcount * b.playcount) AS dot,
+               COUNT(*) AS n_common
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.item_id <> b.item_id
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_common, cosine, rank FROM (
+        SELECT d.item_a, d.item_b,
+               CAST(d.n_common AS BIGINT) AS n_common,
+               ROUND(d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY d.item_a
+                   ORDER BY d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)) DESC,
+                            d.item_b) AS BIGINT) AS rank
+        FROM dots d
+        JOIN norms na ON na.item_id = d.item_a
+        JOIN norms nb ON nb.item_id = d.item_b
+    ) WHERE rank <= 3
+    """,
+    doc="item-item CF top-3 neighbors: cosine over item playcount "
+    "vectors via the shared-user axis (co-rated pairs only, per-user "
+    "basket cap 50 bounds the quadratic term); integer dots/norms "
+    "make cosines bit-identical cross-engine; 6dp",
+)
+def m_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pc = _playcounts(spark, sf_dir)
+    wcap = Window.partitionBy("user_id").orderBy(
+        F.col("playcount").desc(), "item_id"
+    )
+    capped = (
+        pc.withColumn("brk", F.row_number().over(wcap))
+        .where(F.col("brk") <= 50)
+        .drop("brk")
+    )
+    norms = capped.groupBy("item_id").agg(
+        F.sum(F.col("playcount") * F.col("playcount")).alias("nrm")
+    )
+    a = capped.select(
+        "user_id", F.col("item_id").alias("item_a"), F.col("playcount").alias("pa")
+    )
+    b = capped.select(
+        "user_id", F.col("item_id").alias("item_b"), F.col("playcount").alias("pb")
+    )
+    dots = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum(F.col("pa") * F.col("pb")).alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        )
+    )
+    cos = (
+        dots.join(
+            F.broadcast(norms.select(F.col("item_id").alias("item_a"),
+                                     F.col("nrm").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("item_id").alias("item_b"),
+                                     F.col("nrm").alias("nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_common",
+            (F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))).alias("cos_raw"),
+        )
+    )
+    wr = Window.partitionBy("item_a").orderBy(F.col("cos_raw").desc(), "item_b")
+    return (
+        cos.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "item_a",
+            "item_b",
+            "n_common",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -153,13 +153,21 @@ def main() -> None:
     jitter.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     print(f"embeddings: x{REPLICAS} jittered")
 
-    # Small dims + events: straight copies (not scale-sensitive, but
+    # events: 10 key-offset replicas (r9 — the event-based heavies
+    # joined the smoke; a straight copy made their factors read ~1.0x
+    # and measured nothing). user_id and event_id offset per replica,
+    # ts/value kept verbatim: each replica is a disjoint user cohort
+    # with identical per-user time series, so sessionization and
+    # per-day volume scale exactly linearly — distribution-faithful.
+    replicate_keys("events", ["event_id", "user_id"])
+
+    # Small dims: straight copies (not scale-sensitive, but
     # load_table callers may expect them to exist).
-    for name in ("region", "nation", "part", "events"):
+    for name in ("region", "nation", "part"):
         load_table(spark, SRC, name).write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
-    print("dims + events copied")
+    print("dims copied")
 
 
 if __name__ == "__main__":

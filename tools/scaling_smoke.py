@@ -49,6 +49,12 @@ HEAVIES = [
     # the sweep census — the O(n log n) answer to j_interval_overlap's
     # measured 86x; its factor proves the no-enumeration claim.
     "j_overlap_census_sweep",
+    # r9 additions (second batch): map-only CDC chunking, per-day
+    # sketch union, event-granular streaming sessions, sketch MAD.
+    "d_cdc_chunks",
+    "x_tdigest_rolling",
+    "st_session_cdc",
+    "w_mad_tdigest",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scale/sf1")
