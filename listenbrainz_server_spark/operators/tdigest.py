@@ -148,7 +148,13 @@ def partition_digests(
 ) -> DataFrame:
     """Stage 1: one digest per (group, input partition), built in a
     single mapInPandas pass — zero shuffle; only O(δ) centroids per
-    group leave each partition."""
+    group LEAVE each partition. Build memory is bounded by the input
+    partition (values buffer per group before one sort+compress —
+    ≤ spark.sql.files.maxPartitionBytes, the same bound any in-task
+    sort pays); folding each Arrow batch into a running digest would
+    tighten that to O(δ) during the build at the cost of one
+    merge-compress per batch — the upgrade path if partition sizes
+    ever outgrow task memory."""
     schema = f"{group_col} string, means array<double>, weights array<double>"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
