@@ -885,3 +885,104 @@ def st_session_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+# --------------------------------------------------------------------------
+# st_replay_idempotent (r9): exactly-once-under-redelivery audit for
+# the LWW streaming MERGE sink. File-source + checkpoint already give
+# each batch exactly-once PROCESSING; what this pins is the stronger
+# operational property the sink's design claims (jobs.py
+# merge_latest_into_state: "monotone, hence idempotent under
+# replay"): after a CHECKPOINT LOSS the whole changelog redelivers,
+# and the state must come out byte-identical — argmax over
+# state ∪ batch cannot be moved by re-seeing any subset of history,
+# in any order. The fixture drains the same changelog TWICE (second
+# drain with a fresh checkpoint = total redelivery into warm state)
+# and compares states. Registered output is the live post-replay
+# state (the LWW compaction the oracle reproduces exactly) plus the
+# replay_idempotent boolean inside the hash gate.
+# --------------------------------------------------------------------------
+@register(
+    "st_replay_idempotent",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
+           ROUND(o_totalprice, 6) AS last_totalprice,
+           TRUE AS replay_idempotent
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    ) WHERE rn = 1
+    ORDER BY custkey
+    """,
+    doc="exactly-once-under-redelivery audit: the LWW foreachBatch "
+    "MERGE state after draining the same changelog TWICE (second "
+    "drain = fresh checkpoint, total redelivery into warm state) "
+    "must equal the first drain byte-for-byte -- argmax over state "
+    "and batch is replay-immune; output is the live state the oracle "
+    "reproduces + the idempotence boolean in the hash gate",
+)
+def st_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from listenbrainz_server_spark.streaming.jobs import (
+        merge_latest_into_state,
+        read_parquet_stream,
+        state_partition_conf,
+    )
+
+    cutoff = F.lit("1997-01-01").cast("date")
+    changes = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= cutoff)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("ck"),
+            F.col("o_orderdate").alias("od"),
+            F.col("o_orderkey").cast("bigint").alias("ok"),
+            F.col("o_totalprice").alias("tp"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="st_replay_")
+    log_dir, state = root + "/log", root + "/state"
+    changes.repartition(4).write.mode("overwrite").parquet(log_dir)
+    schema = spark.read.parquet(log_dir).schema
+
+    def drain(ckpt: str) -> None:
+        # foreach_batch_merge_latest pins its checkpoint next to the
+        # state; replay needs a FRESH one per drain, so start inline.
+        with state_partition_conf(spark, 8):
+            q = (
+                read_parquet_stream(spark, log_dir, schema, max_files=2)
+                .writeStream.foreachBatch(
+                    lambda b, _i: merge_latest_into_state(
+                        state, b, ["ck"], ["od", "ok"]
+                    )
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(180)
+
+    drain(root + "/ckpt1")
+    first = spark.read.parquet(state).localCheckpoint(eager=True)
+    # Total redelivery: fresh checkpoint, same log, warm state.
+    drain(root + "/ckpt2")
+    replayed = spark.read.parquet(state)
+
+    idem = (
+        replayed.exceptAll(first)
+        .unionByName(first.exceptAll(replayed))
+        .agg((F.count(F.lit(1)) == 0).alias("replay_idempotent"))
+    )
+    return (
+        replayed.crossJoin(F.broadcast(idem))
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("ok").alias("last_orderkey"),
+            F.round("tp", 6).alias("last_totalprice"),
+            "replay_idempotent",
+        )
+        .orderBy("custkey")
+    )
