@@ -304,6 +304,15 @@ def main() -> None:
                 "windows": merged_w,
                 "query_window": merged_qw,
             }
+            # The single-window normalization trio describes ONE
+            # sweep; a merged artifact mixes windows (per-query
+            # window ids above), so carrying the prior's values
+            # forward would pair a mixed-window total with one
+            # window's probe — drop them (readers normalize per
+            # query via query_window -> windows[...].factor).
+            for stale in ("value_normalized", "window_factor",
+                          "probe_secs", "probe_ref_secs"):
+                artifact.pop(stale, None)
             if merged_e:
                 artifact["errors"] = merged_e
             else:

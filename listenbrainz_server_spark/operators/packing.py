@@ -84,6 +84,12 @@ def ffd_pack(
     """
     import pandas as pd
 
+    # ids must be numeric and NON-NEGATIVE: pmod is always >= 0 while
+    # SQL's % follows the dividend's sign, so a negative id would land
+    # in different shards here vs an oracle using `%` (the fixture's
+    # ids are sequential non-negative bigints, as pack_sequences
+    # assumes too).
+    id_t = df.schema[id_col].dataType.simpleString()
     sized = df.select(
         F.col(id_col).alias("_id"),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
@@ -111,7 +117,7 @@ def ffd_pack(
         out = pdf.assign(bin_id=bin_ids)
         return out[["_id", "shard", "bin_id", "n_tokens"]]
 
-    schema = "_id bigint, shard int, bin_id int, n_tokens bigint"
+    schema = f"_id {id_t}, shard int, bin_id int, n_tokens bigint"
     return (
         sized.groupBy("shard")
         .applyInPandas(pack, schema)

@@ -155,7 +155,8 @@ def partition_digests(
     tighten that to O(δ) during the build at the cost of one
     merge-compress per batch — the upgrade path if partition sizes
     ever outgrow task memory."""
-    schema = f"{group_col} string, means array<double>, weights array<double>"
+    g_t = df.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {g_t}, means array<double>, weights array<double>"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict = {}
@@ -177,7 +178,8 @@ def merge_digests(
 ) -> DataFrame:
     """Stage 2: reduce each group's partition digests to one digest —
     the shuffle carries sketches, not rows."""
-    schema = f"{group_col} string, means array<double>, weights array<double>"
+    g_t = pdigests.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {g_t}, means array<double>, weights array<double>"
 
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
         m, w = merge_centroid_sets(
@@ -213,8 +215,9 @@ def group_tdigest_quantiles(
                 )
         return pd.DataFrame(rows, columns=[group_col, "q", "est"])
 
+    g_t = merged.schema[group_col].dataType.simpleString()
     return merged.groupBy(group_col).applyInPandas(
-        to_quantiles, f"{group_col} string, q double, est double"
+        to_quantiles, f"{group_col} {g_t}, q double, est double"
     )
 
 

@@ -519,7 +519,13 @@ def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     checks = grp.agg(
         F.every(F.col("n_keep") == 1).alias("one_keeper"),
-        F.every(F.col("kept") == F.col("best")).alias("keeper_rule_ok"),
+        # Compare the COSINE component only: the operator picks the
+        # keeper on unrounded cos_center but outputs 6dp-rounded
+        # values, so a rounding tie with inverted vid order would
+        # flip a full-struct equality on a correct result; the
+        # min-vid tie-break at true equality stays pytest-pinned on
+        # the operator.
+        F.every(F.col("kept.c") == F.col("best.c")).alias("keeper_rule_ok"),
         F.every(F.col("group_id") == F.col("min_id")).alias("groups_rooted"),
         F.sum("n_members").cast("bigint").alias("n_assigned"),
     )

@@ -784,7 +784,7 @@ def st_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS sid
         FROM flagged

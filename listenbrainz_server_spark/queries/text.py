@@ -2424,17 +2424,21 @@ def t_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("total_tokens"),
         )
-        .join(F.broadcast(bin_audit), "shard")
+        .join(F.broadcast(bin_audit), "shard", "left")
         .select(
             "shard",
             "n_docs",
             "n_oversize",
             "total_tokens",
-            "no_overflow",
-            (F.col("n_bins") >= F.ceil(F.col("total_tokens") / budget)).alias(
-                "lb_ok"
-            ),
-            (F.col("n_half") <= 1).alias("half_full_ok"),
+            # left join + defaults: a shard whose docs are ALL
+            # oversize has no bins at all — vacuously compliant, and
+            # the oracle still emits its row.
+            F.coalesce("no_overflow", F.lit(True)).alias("no_overflow"),
+            (
+                F.coalesce("n_bins", F.lit(0))
+                >= F.ceil(F.col("total_tokens") / budget)
+            ).alias("lb_ok"),
+            (F.coalesce("n_half", F.lit(0)) <= 1).alias("half_full_ok"),
         )
         .orderBy("shard")
     )

@@ -65,7 +65,10 @@ def commit_version(df: DataFrame, root: str) -> int:
     manifest naming missing data."""
     os.makedirs(root, exist_ok=True)
     m = _read_manifest(root)
-    version = (m["latest"] or 0) + 1
+    # max over ALL committed versions, not latest: after a manifest
+    # rollback (latest pointed back at an older version) latest+1
+    # would REUSE a committed number and destroy that snapshot.
+    version = max([m["latest"] or 0, *m["versions"]], default=0) + 1
     final = os.path.join(root, f"v={version}")
     tmp = final + "__tmp"
     df.write.mode("overwrite").parquet(tmp)

@@ -194,6 +194,26 @@ def test_versioned_table_lifecycle(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_version(spark, str(tmp_path / "empty"))
 
+    # rollback then commit must NOT reuse a committed version number
+    # (latest+1 would hit v=3 and destroy that snapshot; the r9
+    # review finding): point latest back at v=2, commit, and v=3's
+    # content must be intact under a NEW version 4.
+    import json
+
+    mpath = os.path.join(root, "_manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["latest"] = 2  # simulated rollback, versions still [2, 3]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    v3_before = sorted(
+        tuple(r) for r in read_version(spark, root, version=3).collect()
+    )
+    assert commit_version(df2, root) == 4
+    assert sorted(
+        tuple(r) for r in read_version(spark, root, version=3).collect()
+    ) == v3_before
+
 
 def test_retract_full_group_erasure_and_pruning(spark, tmp_path):
     """Retraction drops groups whose count reaches zero, leaves

@@ -1318,7 +1318,7 @@ def test_reservoir_sample_weighting_bias(spark):
     """A-Res with w = n_chars must overrepresent long documents: the
     sample's mean n_chars exceeds the corpus mean (size-biased
     sampling pulls the mean toward E[X^2]/E[X] > E[X]), and per
-    source exactly 50 distinct docs are drawn."""
+    source exactly min(10, source size) distinct docs are drawn."""
     from pyspark.sql import functions as F
 
     from listenbrainz_server_spark.queries import load_all
