@@ -776,7 +776,7 @@ def st_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, event_id FROM events WHERE event_id % 13 <> 0
     ),
     flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts >= LAG(ts) OVER w + INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS brk
         FROM ev
