@@ -48,11 +48,16 @@ _M64 = (1 << 64) - 1
 def chunk_text(
     text: str, min_len: int = 32, avg_bits: int = 6, max_len: int = 192
 ) -> list:
-    """Split ``text`` into content-defined chunks. A boundary fires
-    when the rolling gear hash has its low ``avg_bits`` bits zero and
-    the chunk has at least ``min_len`` chars; ``max_len`` force-cuts
-    pathological runs. Returns [(start, length, md5hex)] covering the
-    text exactly."""
+    """Split ``text`` into content-defined chunks. The algorithm runs
+    over the UTF-8 ENCODING of the text: ``min_len`` / ``max_len`` are
+    byte lengths, and the returned ``(start, length, md5hex)`` tuples
+    are byte offsets/lengths into that encoding (NOT character indexes
+    into the original string — they diverge for any non-ASCII text; to
+    recover a chunk, slice ``text.encode('utf-8', 'surrogatepass')``).
+    A boundary fires when the rolling gear hash has its low
+    ``avg_bits`` bits zero and the chunk holds at least ``min_len``
+    bytes; ``max_len`` force-cuts pathological runs. The chunks cover
+    the encoded text exactly."""
     gear, m64 = _GEAR, _M64
     mask = (1 << avg_bits) - 1
     chunks = []

@@ -39,8 +39,17 @@ def partitioned_running_sum(
     by ``order_cols`` — which must be a deterministic total order
     (include a unique tiebreak key; ties would otherwise make the
     row-level prefix non-deterministic)."""
-    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
-        "_rpid", F.spark_partition_id()
+    # Pin the ranged frame ONCE before both consumers below. The local
+    # window and the offsets groupBy both key on spark_partition_id();
+    # if the two branches re-executed the repartitionByRange separately
+    # (AQE recompute, fresh range-bound samples), _rpid could diverge
+    # between them and the offsets join would silently mis-assign
+    # running totals. localCheckpoint materializes one physical
+    # partitioning both branches read.
+    ranged = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("_rpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = (
         Window.partitionBy("_rpid")

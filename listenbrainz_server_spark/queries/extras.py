@@ -3483,7 +3483,7 @@ def x_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replacement. Complements the sampling family: x_hash_sample /
 # t_weighted_sample are Bernoulli (variable size), x_stratified_sample
 # is exact-quota but unweighted; this is exact-quota AND weighted —
-# the "give me exactly 50 docs per source,长 docs proportionally more
+# the "give me exactly 50 docs per source, long docs proportionally more
 # likely" mix builder.
 #
 # Determinism & the oracle: u = (md5_32(doc_id) + 0.5) / 2^32 (never

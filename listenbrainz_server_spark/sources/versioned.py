@@ -101,13 +101,18 @@ def read_version(
 def vacuum(root: str, keep_last: int = 2) -> list:
     """Drop all but the newest ``keep_last`` versions. Returns the
     dropped version numbers. Manifest updates first so no new reader
-    resolves a doomed version."""
+    resolves a doomed version. The version ``latest`` resolves to is
+    always kept, even when a rollback pointed it at an old snapshot —
+    otherwise vacuum would delete the directory every default read
+    names."""
     m = _read_manifest(root)
-    keep = m["versions"][-keep_last:] if keep_last > 0 else []
+    keep = set(m["versions"][-keep_last:]) if keep_last > 0 else set()
+    if m["latest"] is not None:
+        keep.add(m["latest"])
     dropped = [v for v in m["versions"] if v not in keep]
     if not dropped:
         return []
-    m["versions"] = keep
+    m["versions"] = [v for v in m["versions"] if v in keep]
     _swap_manifest(root, m)
     for v in dropped:
         d = os.path.join(root, f"v={v}")

@@ -135,9 +135,15 @@ def _make_session_cdc_update(gap_us: int):
                 ):
                     rows.append((int(ts_ns) // 1000, str(op), int(eid)))
             # Apply in event-time order: parquet row order within a
-            # trigger is arbitrary, but op timestamps are causal (a
-            # delete's ts follows its upsert's).
-            for ts_us, op, eid in sorted(rows):
+            # trigger is arbitrary. Ties on ts apply U before D ('D'
+            # sorts before 'U' lexicographically, which would let the
+            # event survive its own retraction when a CDC feed stamps
+            # the delete with the upsert's timestamp) — so a
+            # same-timestamp delete still wins.
+            _OP_RANK = {"U": 0, "D": 1, "F": 2}
+            for ts_us, op, eid in sorted(
+                rows, key=lambda r: (r[0], _OP_RANK.get(r[1], 3), r[2])
+            ):
                 if op == "U":
                     alive[eid] = ts_us
                 elif op == "D":

@@ -214,6 +214,20 @@ def test_versioned_table_lifecycle(spark, tmp_path):
         tuple(r) for r in read_version(spark, root, version=3).collect()
     ) == v3_before
 
+    # vacuum must never drop the version latest points at, even after
+    # a rollback aimed it at an old snapshot (r9 advisor finding):
+    # versions [2, 3, 4], latest rolled back to 2, keep_last=1 would
+    # naively keep only {4} and delete the active snapshot.
+    with open(mpath) as f:
+        m = json.load(f)
+    m["latest"] = 2
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    dropped = vacuum(root, keep_last=1)
+    assert dropped == [3]  # v2 protected by latest, v4 by keep_last
+    assert os.path.exists(os.path.join(root, "v=2"))
+    assert read_version(spark, root).count() == 2  # default read alive
+
 
 def test_retract_full_group_erasure_and_pruning(spark, tmp_path):
     """Retraction drops groups whose count reaches zero, leaves

@@ -542,3 +542,52 @@ def test_session_cdc_split_shrink_erase(spark, tmp_path):
         (1, t(50), t(80), 1),  # split: right half
         (2, t(0), t(30), 1),   # shrink: survivor keeps the session
     }  # u3 erased entirely
+
+
+def test_session_cdc_same_timestamp_delete_wins(spark, tmp_path):
+    """A delete stamped with the SAME timestamp as its upsert — common
+    when a CDC feed copies the source row's timestamp onto the
+    tombstone — must still retract the event. Lexicographic op order
+    ('D' < 'U') would apply the delete first and let the event survive
+    (r9 advisor finding); ops are rank-ordered U-before-D on ts ties."""
+    from datetime import datetime
+
+    from listenbrainz_server_spark.streaming.jobs import read_parquet_stream
+    from listenbrainz_server_spark.streaming.stateful import session_cdc
+
+    t = lambda m: datetime(2024, 1, 1, m // 60, m % 60)  # noqa: E731
+    schema = "user_id bigint, event_id bigint, ts timestamp, op string"
+    # u1: keeper at t0 plus a same-trigger same-timestamp U/D pair at
+    # t5 — the pair must cancel, leaving a 1-event session.
+    # u2: ONLY a same-timestamp U/D pair -> erased entirely.
+    batch = [
+        (1, 1, t(0), "U"), (1, 2, t(5), "U"), (1, 2, t(5), "D"),
+        (2, 3, t(0), "U"), (2, 3, t(0), "D"),
+    ]
+    sentinel = [(0, 0, t(360), "F")]
+
+    log = str(tmp_path / "log")
+    for rows in (batch, sentinel):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(log)
+
+    q = (
+        session_cdc(
+            read_parquet_stream(spark, log, spark.read.parquet(log).schema,
+                                max_files=1),
+            watermark="30 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("session_cdc_ts_tie")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("session_cdc_ts_tie").collect()
+    }
+    assert got == {(1, t(0), t(30), 1)}  # u2 erased, u1's t5 retracted
