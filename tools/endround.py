@@ -192,7 +192,65 @@ def _delta_steps(registry, check_path):
             ("plan audit", run_audit)]
 
 
+def assert_head() -> int:
+    """Round-closing invariant (VERDICT r9 #1 process fix): refuse to
+    conclude a round if HEAD moved past the newest CHECK artifact's
+    recorded git_head in any way that could change query results.
+
+    The r9 failure mode: a post-endround "snapshot" commit amended a
+    ``@register`` body, so the round ended with a green CHECK artifact
+    generated one commit earlier that never saw the breakage. This
+    check passes only when (a) a CHECK artifact exists with a recorded
+    head, and (b) ``git diff <that head>..HEAD`` touches NOTHING under
+    the query-affecting paths (package source, driver entry, bench,
+    check tooling) AND the working tree is clean for those paths.
+    Doc/markdown-only commits after endround stay legal.
+
+        python tools/endround.py --assert-head
+    """
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(REPO, "CHECK_full_r*.json")))
+    if not paths:
+        print("ASSERT-HEAD FAIL: no CHECK_full_r*.json artifact")
+        return 1
+    newest = paths[-1]
+    head = json.load(open(newest)).get("git_head")
+    if not head:
+        print(f"ASSERT-HEAD FAIL: {os.path.basename(newest)} has no git_head")
+        return 1
+    guarded = ["listenbrainz_server_spark", "__spark_entry__.py", "bench.py",
+               "tools/check.py"]
+    r = subprocess.run(
+        ["git", "diff", "--name-only", head, "HEAD", "--", *guarded],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        print(f"ASSERT-HEAD FAIL: git diff vs {head[:10]} failed: {r.stderr}")
+        return 1
+    committed = sorted(ln for ln in r.stdout.splitlines() if ln.strip())
+    w = subprocess.run(
+        ["git", "status", "--porcelain", "--", *guarded],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    dirty = sorted(ln for ln in w.stdout.splitlines() if ln.strip())
+    if committed or dirty:
+        print(f"ASSERT-HEAD FAIL: query-affecting tree moved past "
+              f"{os.path.basename(newest)} (git_head {head[:10]}):")
+        for ln in committed:
+            print("  committed:", ln)
+        for ln in dirty:
+            print("  working tree:", ln)
+        print("re-run tools/endround.py (or --delta) before closing the round")
+        return 1
+    print(f"ASSERT-HEAD OK: HEAD matches {os.path.basename(newest)} "
+          f"({head[:10]}) for {', '.join(guarded)}")
+    return 0
+
+
 def main() -> int:
+    if "--assert-head" in sys.argv[1:]:
+        return assert_head()
     args = [a for a in sys.argv[1:] if a != "--delta"]
     delta = "--delta" in sys.argv[1:]
     rnd = args[0] if args else "0"
