@@ -18,6 +18,9 @@ from listenbrainz_server_spark.streaming.jobs import (
     windowed_counts,
 )
 
+# st_session_cdc changelog slice count (trigger dial — see the query).
+_CDC_SLICES = 2
+
 
 # --------------------------------------------------------------------------
 # Sliding-window trending top-k — the overlapping-window rank report
@@ -824,51 +827,58 @@ def st_session_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("D").alias("op"),
         )
     )
-    # cache: the quantile-bounds job + four slice writes below would
-    # otherwise each rescan the union (measured 17.2 -> 12.9 s at
-    # sf0.1 together with the 2-files-per-trigger read).
-    log = ups.unionByName(dels).cache()
+    log = ups.unionByName(dels)
 
     root = tempfile.mkdtemp(prefix="st_session_cdc_")
     log_dir = root + "/log"
-    # Four sequential ts-range files (oldest mtime first == oldest ts
-    # first: the file source replays them in CDC order), then the
-    # watermark-flush sentinel as the newest file.
-    bounds = log.select(
-        *[
-            F.percentile_approx("ts", q, 10000).alias(f"q{i}")
-            for i, q in enumerate((0.25, 0.5, 0.75))
-        ],
-        F.max("ts").alias("mx"),
-    ).first()
-    cuts = [bounds[f"q{i}"] for i in range(3)]
-    lo = None
-    for i, hi in enumerate(cuts + [None]):
-        part = log
-        if lo is not None:
-            part = part.where(F.col("ts") > F.lit(lo))
-        if hi is not None:
-            part = part.where(F.col("ts") <= F.lit(hi))
-        part.coalesce(1).write.mode("append").parquet(log_dir)
-        lo = hi
+    # ts-range changelog files, oldest ts first: the file source
+    # replays in mtime order, so time-order across triggers is what
+    # makes this a CDC replay. r9 wrote each slice as its own
+    # sequential coalesce(1) job (quantile cuts + N single-task
+    # writes); r10 writes all slices in ONE distributed job —
+    # repartitionByRange(N, ts) assigns ascending ts ranges to
+    # ascending partition ids, so the part-file NAME order IS the ts
+    # order and an explicit os.utime stamp (2 s apart, safely above
+    # the source's mtime granularity) replaces write-order as the
+    # replay order. The quantile-bounds job disappears (the range
+    # partitioner samples its own cuts); only max(ts) remains, for
+    # the watermark-flush sentinel written last (newest mtime).
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    mx = log.select(F.max("ts").alias("mx")).first()["mx"]
+    log.repartitionByRange(_CDC_SLICES, "ts").write.mode("append").parquet(
+        log_dir
+    )
+    base = _time.time() - 60
+    for i, f in enumerate(sorted(_glob.glob(log_dir + "/part-*"))):
+        _os.utime(f, (base + 2 * i, base + 2 * i))
     sentinel = spark.createDataFrame(
         [(0, 0, "F")], "user_id bigint, event_id bigint, op string"
     ).select(
         "user_id",
         "event_id",
-        (F.lit(bounds["mx"]) + F.expr("INTERVAL 300 MINUTES")).alias("ts"),
+        (F.lit(mx) + F.expr("INTERVAL 300 MINUTES")).alias("ts"),
         "op",
     )
-    sentinel.coalesce(1).write.mode("append").parquet(log_dir)
-    log.unpersist()
+    # repartition(1), NOT coalesce(1): createDataFrame parallelizes
+    # the local row into defaultParallelism python-serialized slices,
+    # and coalesce folds all 32 into one task that pays a worker
+    # round-trip per slice (~4.5 s for ONE ROW, measured r10);
+    # repartition shuffles them down for ~0.5 s.
+    sentinel.repartition(1).write.mode("append").parquet(log_dir)
 
     sink = "st_session_cdc_sink"
     with state_partition_conf(spark, 8):
-        # max_files=2: slices stay time-ordered ACROSS triggers
-        # (files 1+2 both precede 3+4 in ts; within one trigger the
-        # update sorts rows by ts anyway), the sentinel lands alone in
-        # the final trigger -- 3 triggers instead of 5 at the same
-        # semantics (the st_trending_ranked trigger-batching A/B).
+        # max_files=2 with _CDC_SLICES=2: both data slices land in
+        # trigger 1 (within a trigger the update sorts ops by ts, so
+        # intra-trigger file order is irrelevant), the sentinel lands
+        # alone in trigger 2 -- 2 triggers (r10 A/B vs the r9
+        # 4-slice/3-trigger form: ~3 s faster same-session at sf0.1,
+        # identical stream==batch output). Cross-trigger retraction
+        # (a delete arriving a trigger AFTER its upsert entered
+        # state) stays pinned by the max_files=1 unit tests.
         stream = read_parquet_stream(
             spark, log_dir, spark.read.parquet(log_dir).schema, max_files=2
         )

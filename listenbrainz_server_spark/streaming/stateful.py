@@ -190,16 +190,122 @@ def _make_session_cdc_update(gap_us: int):
     return _update
 
 
+def _make_session_cdc_update_vec(gap_us: int):
+    """Vectorized form of ``_make_session_cdc_update`` — identical
+    semantics, numpy/pandas column ops instead of per-row Python. The
+    changelog fold "apply ops in (ts, U-before-D, eid) order" reduces
+    to: an event's fate is its LAST batch op in that order (stable
+    sort + drop_duplicates keep-last), with any batch op overriding
+    the event's state entry; sessionization is a diff/split over the
+    sorted alive timestamps. Same-session A/B at sf0.1 (r10): drain
+    time UNCHANGED (~4 s, lifecycle/state-store-bound at this per-key
+    density of ~10 events/user) — the point is the scale story: the
+    per-row form's Python cost grows with rows per key, this form's
+    with Arrow batches, so dense keys (hot users at 100 TB) stop
+    being a Python floor."""
+    import numpy as np
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            eids, tss = state.get
+            alive_e = np.asarray(eids, dtype=np.int64)
+            alive_t = np.asarray(tss, dtype=np.int64)
+        else:
+            alive_e = np.empty(0, dtype=np.int64)
+            alive_t = np.empty(0, dtype=np.int64)
+        if not state.hasTimedOut:
+            frames = [p for p in pdfs if len(p)]
+            if frames:
+                pdf = (
+                    pd.concat(frames, ignore_index=True)
+                    if len(frames) > 1
+                    else frames[0]
+                )
+                op = pdf["op"].to_numpy()
+                ud = (op == "U") | (op == "D")
+                if ud.any():
+                    b = pd.DataFrame(
+                        {
+                            "eid": pdf["event_id"].to_numpy(np.int64)[ud],
+                            "ts": pdf["ts"].astype("int64").to_numpy()[ud]
+                            // 1000,
+                            "d": op[ud] == "D",
+                        }
+                    )
+                    # U before D on ts ties (False < True), eid last.
+                    last = b.sort_values(
+                        ["ts", "d", "eid"], kind="stable"
+                    ).drop_duplicates("eid", keep="last")
+                    b_eids = last["eid"].to_numpy(np.int64)
+                    if alive_e.size:
+                        keep = ~np.isin(alive_e, b_eids)
+                        alive_e, alive_t = alive_e[keep], alive_t[keep]
+                    surv = ~last["d"].to_numpy()
+                    alive_e = np.concatenate([alive_e, b_eids[surv]])
+                    alive_t = np.concatenate(
+                        [alive_t, last["ts"].to_numpy(np.int64)[surv]]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out_rows = []
+        if alive_e.size:
+            o = np.lexsort((alive_e, alive_t))
+            e_s, ts_s = alive_e[o], alive_t[o]
+            brk = np.nonzero(np.diff(ts_s) >= gap_us)[0] + 1
+            starts = np.concatenate(([0], brk))
+            ends = np.concatenate((brk, [ts_s.size]))
+            last_us = ts_s[ends - 1]
+            closed = last_us + gap_us < wm_us
+            for s, e in zip(starts[closed], ends[closed]):
+                out_rows.append(
+                    (key[0], int(ts_s[s]), int(ts_s[e - 1]) + gap_us, e - s)
+                )
+            keep_elem = np.repeat(~closed, ends - starts)
+            alive_e, alive_t = e_s[keep_elem], ts_s[keep_elem]
+            if alive_e.size:
+                state.update((alive_e.tolist(), alive_t.tolist()))
+                open_close = int((last_us[~closed] + gap_us).min())
+                wake_ms = max(open_close // 1000 + 1, wm_us // 1000 + 1)
+                state.setTimeoutTimestamp(wake_ms)
+        if not alive_e.size and state.exists:
+            state.remove()
+        if out_rows:
+            uid, ss, se, n = zip(*out_rows)
+            yield pd.DataFrame(
+                {
+                    "user_id": uid,
+                    "session_start": pd.to_datetime(list(ss), unit="us"),
+                    "session_end": pd.to_datetime(list(se), unit="us"),
+                    "n_events": n,
+                }
+            )
+
+    return _update
+
+
+# Vectorized update is the production path; the per-row reference
+# implementation stays for the equivalence pin
+# (tests/test_streaming.py::test_session_cdc_vec_matches_reference).
+_SESSION_CDC_VEC = True
+
+
 def session_cdc(stream_df: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Session-window aggregation over a (user_id, event_id, ts, op)
     changelog stream with delete retractions. Emits each session
     exactly once (append) when the event-time watermark passes its
     end; state holds only open-session events per user."""
+    make = (
+        _make_session_cdc_update_vec
+        if _SESSION_CDC_VEC
+        else _make_session_cdc_update
+    )
     return (
         stream_df.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_session_cdc_update(_GAP_US),
+            make(_GAP_US),
             outputStructType=SESSION_CDC_OUT_SCHEMA,
             stateStructType=SESSION_CDC_STATE_SCHEMA,
             outputMode="append",

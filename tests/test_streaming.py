@@ -591,3 +591,77 @@ def test_session_cdc_same_timestamp_delete_wins(spark, tmp_path):
         for r in spark.table("session_cdc_ts_tie").collect()
     }
     assert got == {(1, t(0), t(30), 1)}  # u2 erased, u1's t5 retracted
+
+
+def test_session_cdc_vec_matches_reference(spark, tmp_path):
+    """The vectorized state update (production path) and the per-row
+    reference implementation produce identical session sets on a
+    mixed fixture: multi-session users, same-timestamp U/D ties,
+    re-inserts after delete, cross-trigger retractions (max_files=1
+    forces the delete file into a later trigger than its upsert)."""
+    from datetime import datetime
+
+    import listenbrainz_server_spark.streaming.stateful as stf
+    from listenbrainz_server_spark.streaming.jobs import read_parquet_stream
+
+    t = lambda m: datetime(2024, 1, 1, m // 60, m % 60)  # noqa: E731
+    schema = "user_id bigint, event_id bigint, ts timestamp, op string"
+    # File phases keep every op inside the watermark (wm after a file
+    # = its max ts - 30 min): first-session upserts, then the
+    # retraction batch, then second-session upserts 2 h later, then
+    # the flush sentinel. Distinct eids per session.
+    ups1 = [
+        (u, u * 100 + i, t(i * 5), "U") for u in (1, 2, 3) for i in range(4)
+    ]
+    dels = [
+        (1, 102, t(20), "D"),  # shrink u1's first session
+        (2, 200, t(0), "D"),   # same-ts-as-upsert delete (tie rule)
+        (3, 301, t(10), "D"),  # delete then re-insert below
+        (3, 301, t(12), "U"),  # re-insert shifts the event to 0:12
+    ]
+    ups2 = [
+        (u, u * 100 + 10 + i, t(120 + i * 5), "U")
+        for u in (1, 2, 3)
+        for i in range(4)
+    ]
+    sentinel = [(0, 0, t(600), "F")]
+
+    log = str(tmp_path / "log")
+    for rows in (ups1, dels, ups2, sentinel):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(log)
+
+    results = {}
+    for vec in (False, True):
+        stf._SESSION_CDC_VEC = vec
+        sink = f"cdc_eq_{int(vec)}"
+        q = (
+            stf.session_cdc(
+                read_parquet_stream(
+                    spark, log, spark.read.parquet(log).schema, max_files=1
+                ),
+                watermark="30 minutes",
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt{int(vec)}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        results[vec] = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.table(sink).collect()
+        }
+    stf._SESSION_CDC_VEC = True
+    assert results[True] == results[False]
+    assert results[True] == {
+        (1, t(0), t(45), 3),    # 102 deleted
+        (2, t(5), t(45), 3),    # 200's same-ts delete won
+        (3, t(0), t(45), 4),    # 301 deleted then re-inserted at 0:12
+        (1, t(120), t(165), 4),
+        (2, t(120), t(165), 4),
+        (3, t(120), t(165), 4),
+    }
