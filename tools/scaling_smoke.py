@@ -55,6 +55,15 @@ HEAVIES = [
     "x_tdigest_rolling",
     "st_session_cdc",
     "w_mad_tdigest",
+    # r10 additions (VERDICT r9 #4): the r9 tail — basket-capped
+    # item-item CF (pair volume under the top-50 cap), FFD packing,
+    # exact-size weighted reservoir, snapshot time travel (as-of read
+    # + vacuum under 10× versions... the version COUNT is fixed by
+    # the query, so this measures commit+read cost at 10× rows).
+    "m_item_cf_topk",
+    "t_pack_ffd",
+    "x_reservoir_sample",
+    "i_time_travel",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scale/sf1")
