@@ -598,7 +598,12 @@ def m_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expression the oracle mirrors, d_clean_corpus CTE) + model-vs-"
     "gate agreement >= 0.90 (measured 0.960-0.966 at both SFs; "
     "deterministic LBFGS fit); per-doc scores = "
-    "quality_classifier_scores; AUC stays test-pinned",
+    "quality_classifier_scores; AUC stays test-pinned. Adjudicated "
+    "r10 (VERDICT r9 #7): confusion-matrix CELLS (tp/fp/tn/fn) "
+    "cannot be value-oracled — they depend on the fitted "
+    "coefficients, which an independent SQL engine cannot recompute "
+    "(LBFGS is iterative); the label marginals the oracle CAN "
+    "recompute (n_docs, n_pos = tp+fn) are already exact here",
 )
 def m_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = quality_classifier_scores(spark, sf_dir)

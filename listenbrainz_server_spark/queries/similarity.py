@@ -1426,6 +1426,251 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Exact-candidate MMR with a full VALUE oracle (VERDICT r9 #7): the
+# same greedy objective as v_mmr_rerank, but over exact cosine top-20
+# candidates — which makes every number in the output independently
+# recomputable in SQL. The greedy loop has a FIXED depth (k=5), so it
+# unrolls into 5 (score -> argmax -> remove) stages, as DataFrame
+# stages on the Spark side and chained MATERIALIZED CTEs on the DuckDB
+# side (the t_bpe_train unrolling pattern). Arithmetic parity is
+# engineered, not hoped for: candidate scores come from
+# brute_force_topk (its 6dp parity with the DuckDB fold is gate-proven
+# by v_cosine_topk), pairwise sims use the same left-to-right
+# F.aggregate fold as list_sum, and the greedy objective is EXACT
+# INTEGER arithmetic in 1e-7 units — see _mmr_exact_oracle_sql's
+# docstring for why rounding lam*score instead diverges between
+# engines on systematic decimal half-boundaries. The Arrow mmr_rerank
+# operator is pinned
+# equivalent to this form on the same candidates
+# (tests/test_operators.py::test_mmr_arrow_matches_unrolled), which
+# value-verifies v_mmr_rerank's greedy math transitively.
+# --------------------------------------------------------------------------
+_MMR_K = 5
+_MMR_CANDS = 20
+_MMR_LAM = 0.7
+
+
+def _mmr_exact_oracle_sql(k: int = _MMR_K, n_cands: int = _MMR_CANDS) -> str:
+    """Greedy MMR replayed in SQL: exact top-n_cands per query, then k
+    unrolled argmax stages. The objective lives in EXACT INTEGER
+    micro-units — obj_u = 7*score_u - 3*pen_u where score_u/pen_u are
+    the 6dp-rounded cosines scaled to 1e6 (so obj_u is the objective
+    in 1e-7 units, lambda = 0.7) — because rounding lam*score to 6dp
+    lands on decimal half-boundaries systematically (0.7 x a 6dp value
+    has a 7th digit of exactly 5 half the time), where Spark's F.round
+    (HALF_UP on the shortest decimal string) and DuckDB's ROUND
+    (binary) disagree ~50/50. Integer arithmetic has no boundary at
+    all; the emitted mmr_score = obj_u / 1e7 is one correctly-rounded
+    IEEE division of identical integers, bit-equal across engines."""
+    parts = [
+        f"""{_NORM_CTE.replace("norms AS (", "norms AS MATERIALIZED (")},
+    scored AS MATERIALIZED (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND({_DOT} / (a.nrm * b.nrm), 6) AS score
+        FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+    ),
+    cands AS MATERIALIZED (
+        SELECT qid, nid, score,
+               CAST(ROUND(score * 1000000) AS BIGINT) AS score_u
+        FROM (
+            SELECT qid, nid, score, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY score DESC, nid) AS rn
+            FROM scored
+        ) WHERE rn <= {n_cands}
+    ),
+    sims AS MATERIALIZED (
+        SELECT c1.qid, c1.nid AS i, c2.nid AS j,
+               CAST(ROUND(({_DOT} / (a.nrm * b.nrm)) * 1000000) AS BIGINT)
+                   AS s_u
+        FROM cands c1
+        JOIN cands c2 ON c1.qid = c2.qid AND c1.nid <> c2.nid
+        JOIN norms a ON a.vec_id = c1.nid
+        JOIN norms b ON b.vec_id = c2.nid
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT qid, nid, score, obj_u, CAST(1 AS BIGINT) AS rank
+        FROM (
+            SELECT qid, nid, score, 7 * score_u AS obj_u,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY 7 * score_u DESC, nid) AS rn
+            FROM cands
+        ) WHERE rn = 1
+    ),
+    selall1 AS MATERIALIZED (SELECT * FROM sel1),
+    rem1 AS MATERIALIZED (
+        SELECT c.* FROM cands c ANTI JOIN sel1 s
+            ON c.qid = s.qid AND c.nid = s.nid
+    )"""
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"""
+    obj{j} AS MATERIALIZED (
+        SELECT r.qid, r.nid, r.score,
+               7 * r.score_u - 3 * MAX(s.s_u) AS obj_u
+        FROM rem{j - 1} r
+        JOIN sims s ON s.qid = r.qid AND s.i = r.nid
+        JOIN selall{j - 1} p ON p.qid = s.qid AND p.nid = s.j
+        GROUP BY r.qid, r.nid, r.score, r.score_u
+    ),
+    sel{j} AS MATERIALIZED (
+        SELECT o.qid, o.nid, o.score, o.obj_u, CAST({j} AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY obj_u DESC, nid) AS rn
+            FROM obj{j}
+        ) o WHERE rn = 1
+    ),
+    selall{j} AS MATERIALIZED (
+        SELECT qid, nid, score, obj_u, rank FROM selall{j - 1}
+        UNION ALL
+        SELECT qid, nid, score, obj_u, rank FROM sel{j}
+    ),
+    rem{j} AS MATERIALIZED (
+        SELECT r.* FROM (SELECT qid, nid, score, score_u
+                         FROM rem{j - 1}) r
+        ANTI JOIN sel{j} s ON r.qid = s.qid AND r.nid = s.nid
+    )"""
+        )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT qid, nid, score,
+           CAST(obj_u AS DOUBLE) / 10000000.0 AS mmr_score,
+           rank
+    FROM selall{k}
+    ORDER BY qid, rank
+    """
+    )
+
+
+def mmr_exact_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark form of the exact-candidate MMR: 5 unrolled
+    argmax/remove stages over pinned candidate + sim frames."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = (
+        brute_force_topk(emb, "vec_id", "embedding", k=_MMR_CANDS)
+        .select(
+            "qid",
+            "nid",
+            "score",
+            F.round(F.col("score") * 1000000).cast("bigint").alias("score_u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    norms = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    sims = (
+        cands.alias("c1")
+        .join(cands.alias("c2"), ["qid"])
+        .where(F.col("c1.nid") != F.col("c2.nid"))
+        .join(
+            norms.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+                         F.col("nrm").alias("na")),
+            F.col("c1.nid") == F.col("ia"),
+        )
+        .join(
+            norms.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+                         F.col("nrm").alias("nb")),
+            F.col("c2.nid") == F.col("ib"),
+        )
+        .select(
+            "qid",
+            F.col("c1.nid").alias("i"),
+            F.col("c2.nid").alias("j"),
+            F.round(
+                (
+                    F.aggregate(
+                        F.zip_with("va", "vb", lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("na") * F.col("nb"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("s_u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w = Window.partitionBy("qid")
+
+    def argmax(frame: DataFrame, rank: int) -> DataFrame:
+        ordered = w.orderBy(F.col("obj_u").desc(), "nid")
+        return (
+            frame.withColumn("rn", F.row_number().over(ordered))
+            .where(F.col("rn") == 1)
+            .select(
+                "qid", "nid", "score", "obj_u",
+                F.lit(rank).cast("bigint").alias("rank"),
+            )
+        )
+
+    sel = argmax(cands.withColumn("obj_u", F.lit(7) * F.col("score_u")), 1)
+    selall, rem = sel, cands.join(sel.select("qid", "nid"), ["qid", "nid"],
+                                  "left_anti")
+    for j in range(2, _MMR_K + 1):
+        scored_rem = (
+            rem.join(sims, (sims["qid"] == rem["qid"])
+                     & (sims["i"] == rem["nid"]))
+            .drop(sims["qid"])
+            .join(
+                selall.select(F.col("qid").alias("pq"),
+                              F.col("nid").alias("pj")),
+                (F.col("qid") == F.col("pq")) & (F.col("j") == F.col("pj")),
+            )
+            .groupBy("qid", "nid", "score", "score_u")
+            .agg(F.max("s_u").alias("pen_u"))
+            .withColumn(
+                "obj_u",
+                F.lit(7) * F.col("score_u") - F.lit(3) * F.col("pen_u"),
+            )
+        )
+        sel = argmax(scored_rem, j)
+        selall = selall.unionByName(sel)
+        rem = rem.join(sel.select("qid", "nid"), ["qid", "nid"], "left_anti")
+    return selall.select(
+        "qid",
+        "nid",
+        "score",
+        (F.col("obj_u").cast("double") / F.lit(10000000.0)).alias("mmr_score"),
+        "rank",
+    )
+
+
+@register(
+    "v_mmr_exact_rerank",
+    _mmr_exact_oracle_sql(),
+    doc="exact-candidate MMR (lambda=0.7, k=5 over exact cosine "
+    "top-20) with a FULL value oracle: the greedy loop unrolls into "
+    "5 argmax/remove stages replayed identically in SQL "
+    "(_mmr_exact_oracle_sql) — every qid/nid/score/mmr_score/rank is "
+    "independently recomputed by DuckDB. Value-verifies the MMR "
+    "greedy math that v_mmr_rerank's LSH pipeline audits by contract "
+    "(the Arrow operator is pinned equivalent to this unrolled form "
+    "in test_mmr_arrow_matches_unrolled)",
+)
+def v_mmr_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mmr_exact_unrolled(spark, sf_dir)
+
+
 def _mmr_lsh_parts(spark: SparkSession, sf_dir: str):
     """(pinned candidate frame, MMR selection) — shared by the
     registered audit and the raw serving form."""

@@ -1327,7 +1327,7 @@ def x_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t_bpe_merge_candidates",
     """
-    WITH wf AS (
+    WITH wf AS MATERIALIZED (
         SELECT w, COUNT(*) AS n
         FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
         WHERE w <> '' GROUP BY w
@@ -1379,68 +1379,120 @@ def t_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Full iterative BPE training (rows-only: driver-looped greedy argmax,
-# like ALS — no SQL oracle possible). Each iteration is a vocab-sized
-# keyed agg + a LIMIT-1 driver decision + a pure-expression merge
-# fold; the corpus is touched exactly once by the word-frequency agg.
-# t_bpe_merge_candidates (oracle-checked) pins the per-iteration pair
-# counting; the greedy sequence is pinned twice: hand-computed fixture
-# (tests/test_operators.py::test_bpe_train_greedy_sequence) and an
-# independent pure-Python oracle reproducing the FULL 8-merge sequence
-# on the sf0.001 corpus (test_t_bpe_train_matches_pure_python_oracle —
-# the MMR-numpy-oracle pattern, VERDICT r5 #8).
+# Full iterative BPE training. Each iteration is a vocab-sized keyed
+# agg + a LIMIT-1 driver decision + a pure-expression merge fold; the
+# corpus is touched exactly once by the word-frequency agg.
+#
+# VALUE oracle (VERDICT r9 #7 — was a first-merge + contract audit):
+# the full 8-merge greedy sequence IS SQL-expressible because the
+# merge count is a fixed constant — _bpe_train_oracle_sql unrolls 8
+# (pairs -> argmax -> apply) stages as chained CTEs. Merge application
+# uses a double-separator symbol encoding: a word's symbol sequence is
+# '<SS>s1<SS>s2<SS>' (S = chr(31), never in corpus text); the literal
+# pattern 'S<l>SS<r>S' -> 'S<lr>S' can only match whole adjacent
+# symbols (a single S inside the pattern must align with a boundary
+# run, and the flanking Ss pin l/r to full-symbol extents — suffix/
+# prefix false matches are impossible), and because replace() resumes
+# AFTER the matched region while the pattern leaves the right
+# boundary's second S unconsumed, consecutive-overlap semantics are
+# exactly BPE's left-to-right non-overlapping fold ('aaa' -> [aa, a],
+# 'a a a a' -> [aa, aa] — pinned against the Spark fold in
+# tests/test_operators.py::test_bpe_oracle_encoding_cases). The greedy
+# sequence is additionally pinned by an independent pure-Python oracle
+# (test_t_bpe_train_matches_pure_python_oracle, VERDICT r5 #8).
 # --------------------------------------------------------------------------
-@register(
-    "t_bpe_train",
-    """
-    WITH wf AS (
+_BPE_SEP = chr(31)
+
+
+def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled n-merge greedy BPE as a single DuckDB query. Early
+    stop (max pair count < 2) matches bpe_train: a stage whose argmax
+    is empty leaves the symbol table unchanged (the COALESCE no-op
+    pattern 'SSS' never occurs — separator runs are always length 2),
+    so every later stage is empty too and the union just has fewer
+    rows. Every CTE is MATERIALIZED: st{k} and pc{k} reference their
+    predecessor twice, and DuckDB's default CTE inlining makes the
+    8-stage chain exponential (measured: >400 s inlined, 0.08 s
+    materialized at sf0.01)."""
+    s = _BPE_SEP
+    parts = [
+        f"""
+    wf AS MATERIALIZED (
         SELECT w, COUNT(*) AS n
         FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
         WHERE w <> '' GROUP BY w
     ),
-    pairs AS (
-        SELECT UNNEST(list_transform(range(1, length(w)),
-                      i -> substr(w, i, 2))) AS pair,
+    st0 AS MATERIALIZED (
+        SELECT '{s}{s}' || regexp_replace(w, '(?s)(.)', '\\1{s}{s}', 'g')
+                   AS syms,
                n
-        FROM wf WHERE length(w) >= 2
+        FROM wf
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""
+    pc{k} AS MATERIALIZED (
+        SELECT p.l AS l, p.r AS r, CAST(SUM(n) AS BIGINT) AS c
+        FROM (
+            SELECT UNNEST(list_transform(range(1, len(y)),
+                          i -> {{'l': y[i], 'r': y[i + 1]}})) AS p,
+                   n
+            FROM (SELECT list_filter(string_split(syms, '{s}'),
+                                     x -> x <> '') AS y,
+                         n
+                  FROM st{k - 1})
+            WHERE len(y) >= 2
+        ) GROUP BY 1, 2
     ),
-    pc AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
-           FROM pairs GROUP BY pair),
-    top AS (SELECT pair, pair_count FROM pc
-            ORDER BY pair_count DESC, pair LIMIT 1)
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
-           CAST(8 AS BIGINT) AS n_merges,
-           pair AS first_merged,
-           pair_count AS first_count,
-           TRUE AS counts_nonincreasing
-    FROM top
-    """,
+    top{k} AS MATERIALIZED (SELECT l, r, c FROM pc{k}
+               WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+    st{k} AS MATERIALIZED (
+        SELECT replace(
+                   syms,
+                   COALESCE((SELECT '{s}' || l || '{s}{s}' || r || '{s}'
+                             FROM top{k}), '{s}{s}{s}'),
+                   COALESCE((SELECT '{s}' || l || r || '{s}'
+                             FROM top{k}), '')
+               ) AS syms,
+               n
+        FROM st{k - 1}
+    )"""
+        )
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, l AS lsym, r AS rsym, "
+        f"l || r AS merged, c AS pair_count FROM top{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH" + ",".join(parts) + f"""
+    SELECT * FROM (
+        {rows}
+    ) ORDER BY rank
+    """
+    )
+
+
+@register(
+    "t_bpe_train",
+    _bpe_train_oracle_sql(8),
     doc="iterative BPE training: 8 greedy merges over the corpus "
-    "word-frequency table (driver-looped argmax). Registered form is "
-    "the hash-gated audit: the FIRST merge is one exact BPE "
-    "iteration over single-char symbols, so the oracle reproduces "
-    "its pair + weighted count exactly (the t_bpe_merge_candidates "
-    "rank-1 row — for 1-char symbols the (count desc, left, right) "
-    "tie-break equals (count desc, pair)); greedy pick counts are "
-    "non-increasing across rounds (a created pair's count is bounded "
-    "by the pick that created it). The full 8-merge sequence stays "
-    "pinned by the pure-Python corpus oracle "
-    "(test_t_bpe_train_matches_pure_python_oracle); serving form = "
-    "bpe_train_corpus_raw",
+    "word-frequency table (driver-looped argmax; (count desc, left, "
+    "right) tie-breaks; left-to-right non-overlapping merge fold). "
+    "Registered output is the full merge table (rank, lsym, rsym, "
+    "merged, pair_count) and the oracle independently replays ALL 8 "
+    "greedy rounds in SQL via the unrolled double-separator-encoding "
+    "stages (_bpe_train_oracle_sql) — a value oracle, not a contract "
+    "audit. Also pinned by the pure-Python corpus oracle "
+    "(test_t_bpe_train_matches_pure_python_oracle)",
 )
 def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    merges = bpe_train_corpus(spark, sf_dir)
-    rank1 = merges[0]
-    noninc = all(
-        merges[i][4] >= merges[i + 1][4] for i in range(len(merges) - 1)
-    )
-    return docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
-        "n_docs",
-        F.lit(len(merges)).cast("bigint").alias("n_merges"),
-        F.lit(rank1[3]).alias("first_merged"),
-        F.lit(rank1[4]).cast("bigint").alias("first_count"),
-        F.lit(noninc).alias("counts_nonincreasing"),
+    return bpe_train_corpus_raw(spark, sf_dir).select(
+        "rank",
+        F.col("left").alias("lsym"),
+        F.col("right").alias("rsym"),
+        "merged",
+        "pair_count",
     )
 
 

@@ -757,6 +757,77 @@ def test_t_bpe_train_matches_pure_python_oracle(spark):
     assert got == sorted(expect) and len(got) == 8, (got, expect)
 
 
+def test_mmr_arrow_matches_unrolled(spark):
+    """The Arrow mmr_rerank operator (numpy greedy, 6dp-rounded
+    objective) and the unrolled DataFrame form behind
+    v_mmr_exact_rerank (exact integer-unit objective) must pick the
+    SAME (qid, rank) -> nid sequence on the same exact top-20
+    candidates — this is what lets the SQL value oracle transitively
+    verify the Arrow operator's greedy math."""
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+    from listenbrainz_server_spark.queries.similarity import (
+        _MMR_CANDS,
+        _MMR_K,
+        _MMR_LAM,
+        mmr_exact_unrolled,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cands = brute_force_topk(
+        emb, "vec_id", "embedding", k=_MMR_CANDS
+    ).select("qid", "nid", "score")
+    arrow = {
+        (r.qid, r.rank): r.nid
+        for r in mmr_rerank(
+            emb, cands, "vec_id", "embedding", k=_MMR_K, lam=_MMR_LAM
+        ).collect()
+    }
+    unrolled = {
+        (r.qid, r.rank): r.nid
+        for r in mmr_exact_unrolled(spark, sf).collect()
+    }
+    assert arrow == unrolled and len(arrow) > 0
+
+
+def test_bpe_oracle_encoding_cases(spark):
+    """The DuckDB value oracle's double-separator merge encoding must
+    reproduce the Spark merge_pair fold exactly on the adversarial
+    cases: consecutive overlaps ('aaa' -> [aa,a], 'a a a a' ->
+    [aa,aa]) and suffix/prefix false-match bait (symbol 'xa' next to
+    'aby' must NOT match merge (a, ab))."""
+    from listenbrainz_server_spark.operators.bpe import merge_pair
+    from listenbrainz_server_spark.queries.text import _BPE_SEP as S
+
+    def sql_apply(syms, left, right):
+        joined = S * 2 + (S * 2).join(syms) + S * 2
+        out = joined.replace(
+            S + left + S * 2 + right + S, S + left + right + S
+        )
+        return [x for x in out.split(S) if x]
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["xa", "aby"], "a", "ab"),
+        (["a", "ab"], "a", "ab"),
+        (["ab", "ab", "ab"], "ab", "ab"),
+        (["x", "a", "b", "y"], "a", "b"),
+    ]
+    for syms, left, right in cases:
+        spark_out = (
+            spark.createDataFrame([(syms,)], "s array<string>")
+            .select(merge_pair(F.col("s"), left, right).alias("m"))
+            .first()
+            .m
+        )
+        assert sql_apply(syms, left, right) == spark_out, (syms, left, right)
+
+
 def test_bpe_encode_roundtrip(spark):
     """bpe_encode applies trained merges in rank order: with merges
     [(a,a)->aa, (a,b)->ab], 'aaab aab c' tokenizes to
