@@ -170,6 +170,30 @@ class IncrementalEngine:
         delta_agg = self.delta_aggregate(stat, delta_df, created_col=created_col)
         return self.combine(stat, delta_agg, only_affected=only_affected)
 
+    def advance_partial(
+        self, stat: IncrementalStat, combined: DataFrame, created: str
+    ) -> DataFrame:
+        """Persist a combined aggregate as the NEW partial — the state
+        advance that lets incremental batches STACK (the reference's
+        dump-import flow: incremental dump N folds into the
+        materialized base that dump N+1 then builds on,
+        listenbrainz_spark/tests/__init__.py:69-72). Writes to a temp
+        directory and swaps, because ``combined``'s lazy plan READS
+        the current partial — overwriting it in place would pull the
+        input out from under the scan. Bumps the ``created``
+        high-water mark; the (from, to) range is unchanged."""
+        import shutil
+
+        meta = self._read_meta(stat) or {}
+        final = self._agg_path(stat)
+        tmp = final + "__next"
+        combined.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        self._write_meta(stat, {**meta, "created": created})
+        return self.load_partial(stat)
+
     def retract(
         self,
         stat: IncrementalStat,

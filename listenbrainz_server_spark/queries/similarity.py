@@ -1449,6 +1449,12 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_K = 5
 _MMR_CANDS = 20
 _MMR_LAM = 0.7
+# Pin each stage's 1-row-per-query pick frame: the lazy 5-stage chain
+# re-plans every prior window/anti-join into one 31-exchange DAG
+# (~10 s warm at sf0.1); eager per-stage checkpoints of the tiny sel
+# frame flatten it to ~7 s same-session. At scale sel stays one row
+# per query — the pin is never the volume term.
+_MMR_PIN_STAGES = True
 
 
 def _mmr_exact_oracle_sql(k: int = _MMR_K, n_cands: int = _MMR_CANDS) -> str:
@@ -1561,52 +1567,60 @@ def mmr_exact_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    norms = emb.select(
-        F.col("vec_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).select(
-        "vec_id",
-        "v",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("v"), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
+    # Candidate pairwise sims as one Arrow stage per query group. The
+    # join-and-fold formulation (760k interpreted HOF dot products at
+    # sf0.1) measured 4.9 s warm; this matmul-shaped pass is the same
+    # trade brute_force_topk documents. Parity with the SQL oracle is
+    # preserved EXACTLY, not statistically: the dot accumulates dim by
+    # dim, left to right, vectorized across the candidate matrix —
+    # identical operation order to list_sum's fold — and the division,
+    # the 1e6 scale, and the bigint round happen on bit-identical
+    # doubles (the .5-boundary rounding-mode difference needs an
+    # exactly-representable half, measure-zero for continuous
+    # cosines).
+    import pandas as pd
+
+    id_type = dict(emb.dtypes)["vec_id"]
+    cvecs = cands.select("qid", "nid").join(
+        emb.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        "nid",
     )
+
+    def sim_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        m, dims = V.shape
+        acc = np.zeros((m, m), dtype=np.float64)
+        for d in range(dims):  # left-to-right over dims == the SQL fold
+            acc += np.outer(V[:, d], V[:, d])
+        nrm = np.sqrt(acc.diagonal().copy())
+        nrm[nrm == 0] = 1.0
+        s_u = np.rint((acc / np.outer(nrm, nrm)) * 1000000).astype(np.int64)
+        ii, jj = np.nonzero(~np.eye(m, dtype=bool))
+        nids = pdf["nid"].to_numpy()
+        return pd.DataFrame(
+            {
+                "qid": [pdf["qid"].iloc[0]] * len(ii),
+                "i": nids[ii],
+                "j": nids[jj],
+                "s_u": s_u[ii, jj],
+            }
+        )
+
+    # sq, not qid: applyInPandas re-emits the grouping column under
+    # its original expression id, so a later rem-side join on qid
+    # would see an ambiguous reference (rem also descends from cands).
     sims = (
-        cands.alias("c1")
-        .join(cands.alias("c2"), ["qid"])
-        .where(F.col("c1.nid") != F.col("c2.nid"))
-        .join(
-            norms.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"),
-                         F.col("nrm").alias("na")),
-            F.col("c1.nid") == F.col("ia"),
+        cvecs.groupBy("qid")
+        .applyInPandas(
+            sim_group,
+            f"qid {id_type}, i {id_type}, j {id_type}, s_u bigint",
         )
-        .join(
-            norms.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
-                         F.col("nrm").alias("nb")),
-            F.col("c2.nid") == F.col("ib"),
-        )
-        .select(
-            "qid",
-            F.col("c1.nid").alias("i"),
-            F.col("c2.nid").alias("j"),
-            F.round(
-                (
-                    F.aggregate(
-                        F.zip_with("va", "vb", lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / (F.col("na") * F.col("nb"))
-                )
-                * 1000000
-            )
-            .cast("bigint")
-            .alias("s_u"),
-        )
+        .select(F.col("qid").alias("sq"), "i", "j", "s_u")
         .localCheckpoint(eager=True)
     )
 
@@ -1628,9 +1642,9 @@ def mmr_exact_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "left_anti")
     for j in range(2, _MMR_K + 1):
         scored_rem = (
-            rem.join(sims, (sims["qid"] == rem["qid"])
+            rem.join(sims, (sims["sq"] == rem["qid"])
                      & (sims["i"] == rem["nid"]))
-            .drop(sims["qid"])
+            .drop("sq")
             .join(
                 selall.select(F.col("qid").alias("pq"),
                               F.col("nid").alias("pj")),
@@ -1644,6 +1658,8 @@ def mmr_exact_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         sel = argmax(scored_rem, j)
+        if _MMR_PIN_STAGES:
+            sel = sel.localCheckpoint(eager=True)
         selall = selall.unionByName(sel)
         rem = rem.join(sel.select("qid", "nid"), ["qid", "nid"], "left_anti")
     return selall.select(

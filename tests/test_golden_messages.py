@@ -52,3 +52,32 @@ def test_handler_message_stream_matches_golden(
         f"{name}: streamed rows diverge from golden "
         f"({len(got['rows'])} vs {len(want['rows'])})"
     )
+
+
+def test_incremental_golden_equals_direct_recompute():
+    """The dumps-stacking invariant IN the goldens: the incremental
+    case's streamed rows (base partial + two stacked delta combines)
+    must equal the direct all-time handler's rows — the reference's
+    recompute-equivalence check on its own incremental test fixtures
+    (dumps 2/3 on top of 1 produce the same stats the full dump
+    would). The direct handler emits one extra enrichment column
+    (entity_count) the incremental provider doesn't; strip it before
+    comparing."""
+    with open(os.path.join(GOLDEN_DIR, "stats_user_entity_all_time.json")) as f:
+        direct = json.load(f)
+    with open(
+        os.path.join(GOLDEN_DIR, "stats_user_entity_incremental.json")
+    ) as f:
+        incr = json.load(f)
+
+    def strip(rows, drop=("entity_count",)):
+        out = []
+        for r in rows:
+            d = json.loads(r)
+            for c in drop:
+                d.pop(c, None)
+            out.append(json.dumps(d, sort_keys=True))
+        return sorted(out)
+
+    assert strip(direct["rows"]) == strip(incr["rows"])
+    assert direct["n_messages"] == incr["n_messages"]
