@@ -134,6 +134,154 @@ def t_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Per-source quality DRIFT monitor (VERDICT r9 #8's suggested
+# composition: the w_cusum_drift change-point machinery applied to the
+# t_quality_score family). The production question it answers: "did
+# source X's ingested quality LEVEL slide?" — a slow per-source decay
+# that the global calibration (t_quality_calibrated re-ranks within
+# source, so a uniformly-sinking source keeps passing) and pointwise
+# outlier checks both miss.
+#
+# Shape: docs batch per source in ingestion order (doc_id — the
+# declared arrival order of the synthetic corpus), B docs per batch;
+# per-batch mean quality; one-sided DOWNWARD CUSUM over the batch
+# series per source with the batch-0 mean as baseline. The recursion
+# unrolls exactly as in w_cusum_drift (running sum minus running min).
+# Every quantity cross-engine-exact by construction: per-doc quality
+# is 6dp-rounded (gate-proven parity), quantized to integer
+# micro-units; batch means / slack / threshold are deterministic
+# functions of IDENTICAL integers (FLOOR over one exact-int division),
+# so no fold-order or rounding-mode divergence is possible anywhere,
+# including the alarm boundary. Scale: the windows run over
+# batches-per-source (bounded), never doc volume; the only doc-scale
+# stages are the scan and one keyed agg.
+# --------------------------------------------------------------------------
+_DRIFT_BATCH = 5
+
+
+@register(
+    "t_quality_drift_cusum",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, {_QUALITY_EXPR} AS quality FROM toks
+    ),
+    qq AS (
+        SELECT source,
+               CAST(ROUND(quality * 1000000) AS BIGINT) AS qu,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rn
+        FROM q
+    ),
+    b AS (
+        SELECT source, CAST(FLOOR((rn - 1) / {_DRIFT_BATCH}) AS BIGINT)
+                   AS batch,
+               CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(qu) AS squ
+        FROM qq GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT source, batch, n_docs,
+               CAST(FLOOR(squ * 1.0 / n_docs) AS BIGINT) AS mean_u
+        FROM b
+    ),
+    base AS (
+        SELECT source, mean_u AS mu_u,
+               CAST(FLOOR(ABS(mean_u) * 0.05) AS BIGINT) AS k_u,
+               CAST(FLOOR(ABS(mean_u) * 0.25) AS BIGINT) AS h_u
+        FROM m WHERE batch = 0
+    ),
+    terms AS (
+        SELECT m.source, m.batch, m.n_docs, m.mean_u, w.mu_u, w.h_u,
+               w.mu_u - m.mean_u - w.k_u AS term
+        FROM m JOIN base w USING (source)
+    ),
+    runs AS (
+        SELECT *, SUM(term) OVER (PARTITION BY source ORDER BY batch
+                                  ROWS UNBOUNDED PRECEDING) AS s
+        FROM terms
+    ),
+    sums AS (
+        SELECT *, MIN(s) OVER (PARTITION BY source ORDER BY batch
+                               ROWS UNBOUNDED PRECEDING) AS mins
+        FROM runs
+    )
+    SELECT source, batch, n_docs,
+           CAST(mean_u AS DOUBLE) / 1000000.0 AS mean_quality,
+           CAST(s - LEAST(0, mins) AS DOUBLE) / 1000000.0 AS cusum,
+           (s - LEAST(0, mins)) > h_u AS alarm
+    FROM sums
+    ORDER BY source, batch
+    """,
+    doc="per-source quality drift monitor: ingestion-ordered batches "
+    f"of {_DRIFT_BATCH} docs, per-batch mean quality, one-sided "
+    "DOWNWARD CUSUM per source (baseline = batch-0 mean, slack "
+    "0.05|mu|, alarm at 0.25|mu|) via the w_cusum_drift "
+    "running-sum-minus-prefix-min unroll; integer-microunit terms "
+    "keep every sum and the alarm boundary cross-engine exact",
+)
+def t_quality_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    w_rn = Window.partitionBy("source").orderBy("doc_id")
+    qq = q.select(
+        "source",
+        F.round(F.col("quality") * 1000000).cast("bigint").alias("qu"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    b = (
+        qq.withColumn(
+            "batch",
+            F.floor((F.col("rn") - 1) / _DRIFT_BATCH).cast("bigint"),
+        )
+        .groupBy("source", "batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("qu").alias("squ"),
+        )
+    )
+    m = b.select(
+        "source",
+        "batch",
+        "n_docs",
+        F.floor(F.col("squ") * 1.0 / F.col("n_docs"))
+        .cast("bigint")
+        .alias("mean_u"),
+    )
+    base = m.where(F.col("batch") == 0).select(
+        "source",
+        F.col("mean_u").alias("mu_u"),
+        F.floor(F.abs("mean_u") * 0.05).cast("bigint").alias("k_u"),
+        F.floor(F.abs("mean_u") * 0.25).cast("bigint").alias("h_u"),
+    )
+    terms = m.join(F.broadcast(base), "source").withColumn(
+        "term", F.col("mu_u") - F.col("mean_u") - F.col("k_u")
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = terms.withColumn("s", F.sum("term").over(w_run))
+    sums = runs.withColumn("mins", F.min("s").over(w_run))
+    c = F.col("s") - F.least(F.lit(0).cast("bigint"), F.col("mins"))
+    return sums.select(
+        "source",
+        "batch",
+        "n_docs",
+        (F.col("mean_u").cast("double") / 1000000.0).alias("mean_quality"),
+        (c.cast("double") / 1000000.0).alias("cusum"),
+        (c > F.col("h_u")).alias("alarm"),
+    ).orderBy("source", "batch")
+
+
+# --------------------------------------------------------------------------
 # Language ID: stopword-vote argmax, lexicographic first-wins ties,
 # 'und' when no stopword hits. Confusion counts vs the labeled lang.
 # --------------------------------------------------------------------------

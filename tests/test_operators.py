@@ -757,6 +757,42 @@ def test_t_bpe_train_matches_pure_python_oracle(spark):
     assert got == sorted(expect) and len(got) == 8, (got, expect)
 
 
+def test_quality_drift_cusum_fires_on_decay(spark, tmp_path):
+    """The per-source CUSUM monitor must ALARM on a source whose
+    quality level slides after the baseline window and stay quiet on
+    a stable source. Synthetic corpus: 'stable' keeps clean prose in
+    every batch; 'decay' ships clean prose in batch 0 (the baseline)
+    then pure punctuation noise (strongly negative quality score)."""
+    from listenbrainz_server_spark.queries.text import (
+        _DRIFT_BATCH,
+        t_quality_drift_cusum,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog and runs home"
+    bad = "#### $$$$ !!!! %%%% ???? &&&& @@@@ ^^^^ **** ((((("
+    rows = []
+    did = 0
+    for batch in range(4):
+        for _ in range(_DRIFT_BATCH):
+            rows.append((did, good, "en", "stable", len(good)))
+            did += 1
+            text = good if batch == 0 else bad
+            rows.append((did, text, "en", "decay", len(text)))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        (r.source, r.batch): r.alarm
+        for r in t_quality_drift_cusum(spark, str(tmp_path)).collect()
+    }
+    assert not any(v for (s, _), v in out.items() if s == "stable")
+    assert not out[("decay", 0)]  # baseline batch can't alarm
+    assert out[("decay", 2)] and out[("decay", 3)]  # drift accumulates
+
+
 def test_mmr_arrow_matches_unrolled(spark):
     """The Arrow mmr_rerank operator (numpy greedy, 6dp-rounded
     objective) and the unrolled DataFrame form behind
