@@ -998,6 +998,125 @@ def pq_train_codebooks(
     return books
 
 
+def _fit_subspace_books(
+    data, m: int, k_sub: int, seed: int, max_iter: int, init=None
+):
+    """Per-subspace Lloyd's over an in-memory sample — the inner fit
+    shared by plain PQ (fresh seeded init) and OPQ (warm start from
+    the previous iteration's centroids, which is what makes each OPQ
+    alternation a descent step). Returns (m, k_sub, sub) ndarray."""
+    import numpy as np
+
+    dims = data.shape[1]
+    sub = dims // m
+    books = np.empty((m, k_sub, sub), dtype="float64")
+    for j in range(m):
+        x = data[:, j * sub : (j + 1) * sub]
+        if init is None:
+            rng = np.random.default_rng(seed + j)
+            centers = x[rng.choice(len(x), size=k_sub, replace=False)].copy()
+        else:
+            centers = init[j].copy()
+        for _ in range(max_iter):
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_sub):
+                mask = assign == c
+                if mask.any():
+                    centers[c] = x[mask].mean(axis=0)
+        books[j] = centers
+    return books
+
+
+def _pq_reconstruct(data, books, m: int):
+    """Quantize-and-reconstruct an in-memory sample: per subspace,
+    snap to the nearest centroid. Returns (X_hat, sq_err_per_row)."""
+    import numpy as np
+
+    sub = data.shape[1] // m
+    out = np.empty_like(data)
+    for j in range(m):
+        x = data[:, j * sub : (j + 1) * sub]
+        d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        out[:, j * sub : (j + 1) * sub] = books[j][d2.argmin(axis=1)]
+    return out, ((data - out) ** 2).sum(axis=1)
+
+
+def opq_train(
+    vectors: DataFrame,
+    vec_col: str,
+    dims: int,
+    m: int = 4,
+    k_sub: int = 16,
+    seed: int = 45,
+    max_iter: int = 10,
+    opq_iters: int = 8,
+    sample_cap: int = 4096,
+):
+    """OPQ-NP rotation training (Ge et al., "Optimized Product
+    Quantization", CVPR 2013): learn an orthonormal R so the PQ
+    subspace split stops cutting across the data's correlations —
+    plain PQ quantizes fixed coordinate blocks, which is arbitrarily
+    bad when variance concentrates across block boundaries.
+
+    Alternating minimization of the shared objective
+    E = ||X R - quantize(X R)||_F^2, driver-side over the same bounded
+    deterministic sample pq_train_codebooks uses:
+
+      init: R = I, codebooks = the plain PQ fit (so iteration 0's E
+            IS the plain-PQ training error);
+      loop: (a) re-assign codes (argmin given centroids — descent),
+            (b) Lloyd-update centroids WARM-STARTED from the previous
+            ones (descent), (c) R <- Procrustes argmin over orthogonal
+            matrices given the reconstruction (SVD of X^T X_hat,
+            R = U V^T — descent).
+
+    Every step minimizes E with the other blocks fixed, so the
+    training-MSE trace is monotonically non-increasing from the
+    plain-PQ starting point — the auditable contract the registered
+    query checks. Returns (R, codebooks, mse_trace) with R as an
+    orthonormal (dims, dims) list-of-lists and mse_trace[0] = the
+    plain-PQ training MSE.
+    """
+    import numpy as np
+
+    sub = dims // m
+    if sub * m != dims:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sample = (
+        vectors.select(as_double(F.col(vec_col)).alias("v"))
+        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
+        .orderBy("_h")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r.v for r in sample], dtype="float64")
+    if len(X) < k_sub:
+        raise ValueError(f"need >= {k_sub} vectors to train, got {len(X)}")
+
+    R = np.eye(dims)
+    books = _fit_subspace_books(X, m, k_sub, seed, max_iter)
+    _, err = _pq_reconstruct(X, books, m)
+    trace = [float(err.mean())]
+    for _ in range(opq_iters):
+        Xr = X @ R
+        books = _fit_subspace_books(
+            Xr, m, k_sub, seed, max_iter=2, init=books
+        )
+        Xhat, err = _pq_reconstruct(Xr, books, m)
+        # Procrustes: min_R ||X R - Xhat||_F over orthogonal R.
+        U, _s, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+        # E after the rotation step (codes/centroids fixed):
+        _, err = _pq_reconstruct(X @ R, books, m)
+        trace.append(float(err.mean()))
+    return (
+        [[float(v) for v in row] for row in R],
+        [[[float(v) for v in c] for c in b] for b in books],
+        trace,
+    )
+
+
 def _pq_index_builder(
     books: list[list[list[float]]], dims: int, m: int, k_sub: int, sig_bits: int
 ):

@@ -757,6 +757,41 @@ def test_t_bpe_train_matches_pure_python_oracle(spark):
     assert got == sorted(expect) and len(got) == 8, (got, expect)
 
 
+def test_opq_train_properties(spark):
+    """OPQ trainer invariants on the sf0.001 embeddings: R is
+    orthonormal, the training-MSE trace is monotonically
+    non-increasing (the alternation is blockwise descent of a shared
+    objective), trace[0] equals the plain-PQ training MSE (same
+    sample, same seeds), and the final MSE strictly improves on it —
+    the fixture embeddings are clustered, so the rotation has real
+    correlation structure to exploit."""
+    import numpy as np
+
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import (
+        _pq_reconstruct,
+        opq_train,
+        pq_train_codebooks,
+        unit_vectors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    unit = unit_vectors(emb, "vec_id", "embedding", pin=True)
+    R, books, trace = opq_train(unit, "vec", 64)
+    Rm = np.array(R)
+    assert np.abs(Rm.T @ Rm - np.eye(64)).max() < 1e-12
+    assert all(
+        trace[i] >= trace[i + 1] - 1e-12 for i in range(len(trace) - 1)
+    )
+    # trace[0] == plain PQ training MSE (identical fit path).
+    V = np.array([r.vec for r in unit.collect()])
+    pq_books = np.array(pq_train_codebooks(unit, "vec", 64))
+    _, e_pq = _pq_reconstruct(V, pq_books, 4)
+    assert abs(trace[0] - e_pq.mean()) < 1e-9
+    assert trace[-1] < trace[0] * 0.95  # real improvement, not noise
+
+
 def test_quality_drift_cusum_fires_on_decay(spark, tmp_path):
     """The per-source CUSUM monitor must ALARM on a source whose
     quality level slides after the baseline window and stay quiet on
