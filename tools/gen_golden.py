@@ -58,6 +58,20 @@ CASES = [
         CHUNK_USER_STATS,
         "year_in_music_top_genres",
     ),
+    (
+        "stats_user_listening_activity_all_time",
+        "stats.user.listening_activity",
+        {"stats_range": "all_time"},
+        CHUNK_USER_STATS,
+        "user_listening_activity",
+    ),
+    (
+        "year_in_music_day_of_week",
+        "year_in_music.day_of_week",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_day_of_week",
+    ),
     # The reference's INCREMENTAL golden pattern (VERDICT r9 #6;
     # listenbrainz_spark/tests/__init__.py:69-72 — incremental dumps
     # 2 and 3 stack onto imported dump 1 before the handler runs):
