@@ -1766,7 +1766,11 @@ def mmr_exact_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "independently recomputed by DuckDB. Value-verifies the MMR "
     "greedy math that v_mmr_rerank's LSH pipeline audits by contract "
     "(the Arrow operator is pinned equivalent to this unrolled form "
-    "in test_mmr_arrow_matches_unrolled)",
+    "in test_mmr_arrow_matches_unrolled). EXACT-CANDIDATE "
+    "VERIFICATION TIER — FIXTURE SCALE ONLY: candidate generation is "
+    "the quadratic brute-force baseline (one sf1 run exceeded 16 "
+    "min); the serving/scale path is v_mmr_rerank's LSH-bucketed "
+    "candidates",
 )
 def v_mmr_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_exact_unrolled(spark, sf_dir)

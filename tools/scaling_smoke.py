@@ -64,6 +64,16 @@ HEAVIES = [
     "t_pack_ffd",
     "x_reservoir_sample",
     "i_time_travel",
+    # r10 additions (second batch): per-source quality CUSUM (windows
+    # over batches-per-source), OPQ rotation audit (bounded trainer +
+    # one reconstruction map pass). v_mmr_exact_rerank is deliberately
+    # NOT here: its exact-candidate stage is the quadratic
+    # verification baseline (one sf1 run exceeded 16 min before being
+    # killed, r10) — the scale path is v_mmr_rerank's LSH candidates;
+    # the exact twin exists to value-verify the greedy math at fixture
+    # scale (the t_tfidf_cosine_pairs uncapped/capped split).
+    "t_quality_drift_cusum",
+    "v_opq_rotation",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scale/sf1")
