@@ -72,6 +72,34 @@ CASES = [
         CHUNK_USER_STATS,
         "year_in_music_day_of_week",
     ),
+    (
+        "stats_sitewide_listening_activity_all_time",
+        "stats.sitewide.listening_activity",
+        {"stats_range": "all_time"},
+        CHUNK_USER_STATS,
+        "sitewide_listening_activity",
+    ),
+    (
+        "year_in_music_listen_count",
+        "year_in_music.listen_count",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_listen_count",
+    ),
+    (
+        "year_in_music_most_listened_year",
+        "year_in_music.most_listened_year",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_most_listened_year",
+    ),
+    (
+        "stats_user_daily_activity_all_time",
+        "stats.user.daily_activity",
+        {"stats_range": "all_time"},
+        CHUNK_USER_STATS,
+        "user_daily_activity",
+    ),
     # The reference's INCREMENTAL golden pattern (VERDICT r9 #6;
     # listenbrainz_spark/tests/__init__.py:69-72 — incremental dumps
     # 2 and 3 stack onto imported dump 1 before the handler runs):
