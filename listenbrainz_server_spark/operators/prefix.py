@@ -16,6 +16,16 @@ The result equals the single-task global window exactly (pinned in
 tests/test_operators.py::test_partitioned_running_sum_matches_global)
 while every row-scale stage runs one task per range partition.
 
+Storage trade (r10): the ranged frame is pinned with an eager
+localCheckpoint before its two consumers — correctness requires both
+spark_partition_id() readings to see ONE physical partitioning (an
+AQE recompute could re-sample range bounds and silently mis-assign
+offsets). The pin materializes the row-scale frame once
+(MEMORY_AND_DISK blocks); measured cost ~1 s at sf1
+(j_overlap_census_sweep 7.2 -> 8.3 s, SCALING.md) — at cluster scale
+budget executor storage for one pass of the input, or substitute a
+scratch-parquet write where memory is tighter than disk.
+
 Used by the sweep-line interval census (queries/temporal.py
 j_overlap_census_sweep) — the O(n log n) alternative to enumerating
 qualifying interval pairs.
