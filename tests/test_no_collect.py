@@ -27,6 +27,10 @@ ALLOWED = {
     ("operators/similarity.py", "_iter_ref_blocks"),
     # PQ codebook fit: capped at 4096 sample rows (documented).
     ("operators/similarity.py", "pq_train_codebooks"),
+    # OPQ rotation fit: the same sample_cap-bounded pull as the PQ
+    # trainer (r10; alternating Procrustes/Lloyd runs driver-side on
+    # at most sample_cap rows regardless of corpus size).
+    ("operators/similarity.py", "opq_train"),
     # Refit trigger: one 1-row weighted-mean aggregate — the pull IS
     # the boolean decision (r8 delta-IVFPQ maintenance).
     ("operators/similarity.py", "ivfpq_should_refit"),
