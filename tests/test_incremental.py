@@ -229,6 +229,48 @@ def test_versioned_table_lifecycle(spark, tmp_path):
     assert read_version(spark, root).count() == 2  # default read alive
 
 
+def test_advance_partial_stacks_batches(spark, tmp_path):
+    """advance_partial persists a combined aggregate as the new
+    partial so incremental batches STACK: after advancing batch 2 into
+    state, combining batch 3 must equal a from-scratch aggregate over
+    all three batches; the created high-water mark bumps, the (from,
+    to) range survives, and a leftover __next dir from a crashed
+    advance is absorbed by the next one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.incremental.engine import (
+        IncrementalEngine,
+        IncrementalStat,
+    )
+
+    stat = IncrementalStat(
+        name="adv",
+        aggregate=lambda df: df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ),
+        keys=("k",),
+        sum_cols=("n",),
+    )
+    eng = IncrementalEngine(spark, str(tmp_path))
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v int")  # noqa: E731
+    b1, b2, b3 = mk([(1, 0), (2, 0)]), mk([(1, 0), (3, 0)]), mk([(3, 0)])
+
+    eng.create_partial(stat, b1, "2024-01-01", "2024-02-01", "2024-01-10")
+    c2 = eng.combine(stat, eng.delta_aggregate(stat, b2))
+    # simulate a crashed previous advance leaving a stale __next dir
+    os.makedirs(eng._agg_path(stat) + "__next", exist_ok=True)
+    eng.advance_partial(stat, c2, created="2024-01-20")
+    meta = eng._read_meta(stat)
+    assert meta["created"] == "2024-01-20"
+    assert meta["from_date"] == "2024-01-01"  # range survives
+    c3 = eng.combine(stat, eng.delta_aggregate(stat, b3))
+    got = {(r.k, r.n) for r in c3.collect()}
+    assert got == {(1, 2), (2, 1), (3, 2)}  # == aggregate over b1∪b2∪b3
+    assert not os.path.exists(eng._agg_path(stat) + "__next")
+
+
 def test_retract_full_group_erasure_and_pruning(spark, tmp_path):
     """Retraction drops groups whose count reaches zero, leaves
     untouched keys byte-identical, and never goes negative when the
