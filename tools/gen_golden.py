@@ -100,6 +100,20 @@ CASES = [
         CHUNK_USER_STATS,
         "user_daily_activity",
     ),
+    (
+        "stats_user_era_activity_all_time",
+        "stats.user.era_activity",
+        {"stats_range": "all_time"},
+        CHUNK_USER_STATS,
+        "user_era_activity",
+    ),
+    (
+        "year_in_music_listening_time",
+        "year_in_music.listening_time",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_listening_time",
+    ),
     # The reference's INCREMENTAL golden pattern (VERDICT r9 #6;
     # listenbrainz_spark/tests/__init__.py:69-72 — incremental dumps
     # 2 and 3 stack onto imported dump 1 before the handler runs):
