@@ -35,15 +35,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-verified tail closed in round 3, plain never-verified-first
 # degenerated to alphabetical — a regression in a late-alphabet query
 # (v_*/w_*/x_*) wouldn't be re-checked for ~3 rounds on a 50-name
-# sweep budget. Sorting by the LAST round each name got a verdict
+# sweep budget. Sorting by the LAST round each name got a PASS verdict
 # rotates the whole registry through the sweep every ~3 rounds, so any
 # regression surfaces within that window. Never-verified names (round
 # 0) still front the queue by construction.
+#
+# Round 11 (VERDICT r10 What's-wrong #1): only PASS verdicts count.
+# Previously a name's sort key was the last round it APPEARED in any
+# artifact — an error or a rows-only ("no_oracle") entry counted as
+# "verified", so a freshly-failed name (st_session_cdc, errored r9)
+# sorted to position ~260/292 and would not be re-driven for rounds.
+# Now an entry bumps the round only when err is falsy AND rows/schema/
+# hash all matched; failures and oracle-less checks sort as their last
+# true pass (or round 0, fronting the queue).
+
+
+def _is_pass(entry) -> bool:
+    """True only for a full gate pass: no error, all three comparisons
+    true. Errors, rows-only checks, and mismatches do NOT count as a
+    verification — they must front the sweep queue, not bury it."""
+    if not isinstance(entry, dict):
+        return False
+    if entry.get("err"):
+        return False
+    return all(
+        entry.get(k) is True
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
 
 
 def _last_verified_round() -> dict[str, int]:
-    """name → latest round number with a driver verdict, scanned from
-    the committed CORRECTNESS_r*.json artifacts."""
+    """name → latest round number with a PASSING driver verdict,
+    scanned from the committed CORRECTNESS_r*.json artifacts."""
     import glob
     import json
     import re
@@ -57,11 +80,14 @@ def _last_verified_round() -> dict[str, int]:
         rnum = int(m.group(1))
         try:
             with open(path) as f:
-                names = json.load(f).keys()
+                entries = json.load(f)
         except (OSError, ValueError):
             continue
-        for name in names:
-            last[name] = max(last.get(name, 0), rnum)
+        if not isinstance(entries, dict):
+            continue
+        for name, entry in entries.items():
+            if _is_pass(entry):
+                last[name] = max(last.get(name, 0), rnum)
     return last
 
 

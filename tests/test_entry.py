@@ -46,6 +46,29 @@ def test_sweep_order_is_least_recently_verified():
     assert len(order) == len(set(order)) == len(mod.queries())
 
 
+def test_failed_verdicts_front_the_sweep():
+    """VERDICT r10 What's-wrong #1: an error / rows-only / mismatch
+    verdict must NOT count as verified — only a full pass (no err,
+    rows+schema+hash all true) bumps a name's last-verified round, so
+    freshly-broken names front the queue instead of sorting to their
+    error round."""
+    mod = _load_entry()
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    assert mod._is_pass(ok)
+    assert not mod._is_pass({**ok, "err": "Traceback ..."})
+    assert not mod._is_pass({**ok, "err": "no_oracle"})
+    assert not mod._is_pass({**ok, "hash_match": False})
+    assert not mod._is_pass({**ok, "rows_match": None, "schema_match": None,
+                             "hash_match": None})
+    assert not mod._is_pass(None)
+    # Regression anchor: st_session_cdc errored in r9 and passed in r10,
+    # so its last-verified round must be its last PASS round, never 9.
+    last = mod._last_verified_round()
+    if "st_session_cdc" in last:
+        assert last["st_session_cdc"] != 9
+
+
 def test_smoke_all_queries_run_at_sf0001(spark):
     """Every registered query must execute at the smoke scale."""
     mod = _load_entry()
