@@ -982,20 +982,15 @@ def pq_train_codebooks(
     if len(data) < k_sub:
         raise ValueError(f"need >= {k_sub} vectors to train, got {len(data)}")
 
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        x = data[:, j * sub : (j + 1) * sub]
-        rng = np.random.default_rng(seed + j)
-        centers = x[rng.choice(len(x), size=k_sub, replace=False)].copy()
-        for _ in range(max_iter):
-            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k_sub):
-                mask = assign == c
-                if mask.any():
-                    centers[c] = x[mask].mean(axis=0)
-        books.append([[float(v) for v in c] for c in centers])
-    return books
+    # Single-sourced fit (ADVICE r10): delegate to the same per-subspace
+    # Lloyd's that OPQ warm-starts from — opq_train's "trace[0] equals
+    # plain-PQ MSE" contract depends on the two paths never drifting.
+    centers = _fit_subspace_books(
+        data, m=m, k_sub=k_sub, seed=seed, max_iter=max_iter, init=None
+    )
+    return [
+        [[float(v) for v in c] for c in centers[j]] for j in range(m)
+    ]
 
 
 def _fit_subspace_books(

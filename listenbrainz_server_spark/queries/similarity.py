@@ -312,8 +312,10 @@ def v_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall while the v_opq_rotation audit shows it cuts reconstruction
 # MSE ~10%. Registered as the recall audit (floor 0.42, above the
 # plain-IVFPQ tier's 0.40); the exact side of the audit runs on the
-# ROTATED frame, whose top-5 sets equal the unrotated ones
-# (rotation-invariant cosine), so the oracle's unrotated counts match.
+# ORIGINAL frame — rotation-invariant cosine makes its top-5 sets
+# equal the rotated ones, so comparing rotated-ANN ids against
+# unrotated-exact ids is exact, and the oracle's unrotated counts
+# match for free.
 # --------------------------------------------------------------------------
 @register(
     "v_opq_ivfpq_topk",
@@ -327,12 +329,14 @@ def v_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reconstruction MSE ~10%, see v_opq_rotation)",
 )
 def v_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import uuid
 
     import numpy as np
     import pandas as pd
 
     from listenbrainz_server_spark.operators.similarity import (
+        _hadoop_delete,
+        _scratch_root,
         ivfpq_topk,
         opq_train,
         unit_vectors,
@@ -363,21 +367,34 @@ def v_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame 8.1 s vs 2-3 s on parquet, same data). float32 matches the
     # source column type — the downstream quantizer re-normalizes and
     # re-rounds, so the cast costs nothing the PQ didn't already.
-    scratch = tempfile.mkdtemp(prefix="opq_rotated_") + "/rotated"
-    emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).mapInPandas(rot, "vec_id bigint, embedding array<float>").write.parquet(
-        scratch
+    # Scratch lives under _scratch_root (cluster-reachable URI) and is
+    # deleted in the finally — VERDICT r10 #3: the earlier
+    # tempfile.mkdtemp form stranded a corpus-sized parquet copy in
+    # /tmp per invocation. The audit result is a 1-row aggregate, so
+    # eagerly checkpointing it before the delete is free and the
+    # UnsafeRow-rescans trap above doesn't apply to the OUTPUT.
+    scratch = _scratch_root(spark).rstrip("/") + (
+        f"/opq_rotated_{uuid.uuid4().hex}"
     )
-    rotated = spark.read.parquet(scratch)
-    approx = ivfpq_topk(
-        rotated, "vec_id", "embedding", dims=_DIMS, k=5,
-        n_centroids=8, n_probe=2, m=8, k_sub=16, oversample=8,
-    )
-    # Exact side on the ORIGINAL frame: rotation preserves cosine
-    # ranking, so these are the true exact neighbors (and the parquet
-    # source scans faster than any re-derived frame).
-    return _recall_audit(emb, approx, floor=0.42)
+    try:
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).mapInPandas(rot, "vec_id bigint, embedding array<float>").write.parquet(
+            scratch
+        )
+        rotated = spark.read.parquet(scratch)
+        approx = ivfpq_topk(
+            rotated, "vec_id", "embedding", dims=_DIMS, k=5,
+            n_centroids=8, n_probe=2, m=8, k_sub=16, oversample=8,
+        )
+        # Exact side on the ORIGINAL frame: rotation preserves cosine
+        # ranking, so these are the true exact neighbors (and the
+        # parquet source scans faster than any re-derived frame).
+        return _recall_audit(emb, approx, floor=0.42).localCheckpoint(
+            eager=True
+        )
+    finally:
+        _hadoop_delete(spark, scratch)
 
 
 # --------------------------------------------------------------------------

@@ -852,7 +852,8 @@ def st_session_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         log_dir
     )
     base = _time.time() - 60
-    for i, f in enumerate(sorted(_glob.glob(log_dir + "/part-*"))):
+    data_parts = sorted(_glob.glob(log_dir + "/part-*"))
+    for i, f in enumerate(data_parts):
         _os.utime(f, (base + 2 * i, base + 2 * i))
     sentinel = spark.createDataFrame(
         [(0, 0, "F")], "user_id bigint, event_id bigint, op string"
@@ -868,6 +869,15 @@ def st_session_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trip per slice (~4.5 s for ONE ROW, measured r10);
     # repartition shuffles them down for ~0.5 s.
     sentinel.repartition(1).write.mode("append").parquet(log_dir)
+    # Stamp the sentinel's mtime EXPLICITLY past every data slice
+    # (ADVICE r10): its natural write-time mtime (~base + 60) only
+    # happens to exceed base + 2*i while _CDC_SLICES < ~30 — above
+    # that, later data slices would out-mtime the sentinel and the
+    # watermark flush would replay BEFORE them, silently dropping
+    # retractions. base + 2*n + 2 is ordered for ANY slice count.
+    sentinel_mtime = base + 2 * len(data_parts) + 2
+    for f in sorted(set(_glob.glob(log_dir + "/part-*")) - set(data_parts)):
+        _os.utime(f, (sentinel_mtime, sentinel_mtime))
 
     sink = "st_session_cdc_sink"
     with state_partition_conf(spark, 8):

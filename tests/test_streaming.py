@@ -633,29 +633,34 @@ def test_session_cdc_vec_matches_reference(spark, tmp_path):
         ).parquet(log)
 
     results = {}
-    for vec in (False, True):
-        stf._SESSION_CDC_VEC = vec
-        sink = f"cdc_eq_{int(vec)}"
-        q = (
-            stf.session_cdc(
-                read_parquet_stream(
-                    spark, log, spark.read.parquet(log).schema, max_files=1
-                ),
-                watermark="30 minutes",
+    # try/finally (ADVICE r10): a failure or timeout in the vec=False
+    # drain must not leave the per-row reference path active for every
+    # later test in the session.
+    try:
+        for vec in (False, True):
+            stf._SESSION_CDC_VEC = vec
+            sink = f"cdc_eq_{int(vec)}"
+            q = (
+                stf.session_cdc(
+                    read_parquet_stream(
+                        spark, log, spark.read.parquet(log).schema, max_files=1
+                    ),
+                    watermark="30 minutes",
+                )
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ckpt{int(vec)}"))
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", str(tmp_path / f"ckpt{int(vec)}"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        results[vec] = {
-            (r.user_id, r.session_start, r.session_end, r.n_events)
-            for r in spark.table(sink).collect()
-        }
-    stf._SESSION_CDC_VEC = True
+            q.awaitTermination(120)
+            results[vec] = {
+                (r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in spark.table(sink).collect()
+            }
+    finally:
+        stf._SESSION_CDC_VEC = True
     assert results[True] == results[False]
     assert results[True] == {
         (1, t(0), t(45), 3),    # 102 deleted
