@@ -3651,6 +3651,15 @@ def x_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(10 AS BIGINT) AS n_bins,
+           quantile_cont(value, 0.1) AS dec_1,
+           quantile_cont(value, 0.2) AS dec_2,
+           quantile_cont(value, 0.3) AS dec_3,
+           quantile_cont(value, 0.4) AS dec_4,
+           quantile_cont(value, 0.5) AS dec_5,
+           quantile_cont(value, 0.6) AS dec_6,
+           quantile_cont(value, 0.7) AS dec_7,
+           quantile_cont(value, 0.8) AS dec_8,
+           quantile_cont(value, 0.9) AS dec_9,
            TRUE AS all_bins_present,
            TRUE AS equi_depth_ok
     FROM events
@@ -3659,8 +3668,11 @@ def x_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="equi-depth decile binning per event type with t-digest cut "
     "points (sketch pass + broadcast cuts, no second percentile "
-    "scan); hash-gated audit: all 10 bins populated and every bin "
-    "share within 0.02 + 10/n of 0.10",
+    "scan in the serving shape); hash-gated audit: all 10 bins "
+    "populated and every bin share within 0.02 + 10/n of 0.10; "
+    "exact decile references dec_1..dec_9 are emitted and DuckDB-"
+    "recomputed (quantile_cont == F.percentile bit-exact — the "
+    "fixture-scale yardstick the digest cuts are audited against)",
 )
 def x_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.tdigest import (
@@ -3684,6 +3696,27 @@ def x_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nb")
     )
     tol = lambda n: 0.02 + 10.0 / n  # noqa: E731 - digest error + ties
+    # Value-oracle upgrade (VERDICT r10 #4): exact decile references,
+    # DuckDB-recomputable bit-exact (F.percentile == quantile_cont,
+    # both q*(n-1) linear interpolation on identical doubles, emitted
+    # unrounded). Fixture-scale audit columns only — the serving shape
+    # is digest cuts + broadcast, no exact percentile scan.
+    exact_decs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value", F.array(*[F.lit(i / 10) for i in range(1, 10)])
+            ).alias("dx")
+        )
+        .select(
+            "event_type",
+            *[
+                F.element_at("dx", i).alias(f"dec_{i}")
+                for i in range(1, 10)
+            ],
+        )
+    )
     return (
         per_bin.groupBy("event_type")
         .agg(
@@ -3692,10 +3725,12 @@ def x_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("nb") * 1.0 / F.sum("nb")).alias("max_share"),
             (F.min("nb") * 1.0 / F.sum("nb")).alias("min_share"),
         )
+        .join(F.broadcast(exact_decs), "event_type")
         .select(
             "event_type",
             "n",
             "n_bins",
+            *[f"dec_{i}" for i in range(1, 10)],
             (F.col("n_bins") == 10).alias("all_bins_present"),
             (
                 (F.col("max_share") <= 0.1 + tol(F.col("n")))

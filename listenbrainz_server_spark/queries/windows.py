@@ -669,21 +669,49 @@ def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w_mad_tdigest",
     """
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n,
+    WITH med AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(value, 0.5) AS med_x
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med_x), 0.5) AS mad_x
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    ),
+    outs AS (
+        SELECT e.event_type,
+               CAST(SUM(CASE WHEN abs(e.value - m.med_x) > 3 * d.mad_x
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_out_x
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d ON d.event_type = e.event_type
+        GROUP BY e.event_type
+    )
+    SELECT m.event_type,
+           m.n,
+           m.med_x AS med_exact,
+           d.mad_x AS mad_exact,
+           o.n_out_x AS n_out_exact,
            TRUE AS med_rank_ok,
            TRUE AS mad_rank_ok,
            TRUE AS share_close
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
+    FROM med m
+    JOIN mad d ON d.event_type = m.event_type
+    JOIN outs o ON o.event_type = m.event_type
+    ORDER BY m.event_type
     """,
     doc="t-digest tier of the median+MAD outlier audit: mergeable "
     "sketch percentiles (delta=100, mapInPandas partial digests -> "
     "sketch-only shuffle) with hash-gated bounded-error audit -- "
     "rank interval of each estimate must touch its target quantile "
     "+/-0.01, digest-thresholded outlier share within 0.005+1/n of "
-    "exact (the 1/n term is single-row discreteness at small groups)",
+    "exact (the 1/n term is single-row discreteness at small groups); "
+    "exact median/MAD/outlier-count references are emitted and "
+    "DuckDB-recomputed (quantile_cont == F.percentile bit-exact, "
+    "both q*(n-1) interpolation on identical doubles)",
 )
 def w_mad_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.tdigest import (
@@ -736,7 +764,14 @@ def w_mad_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 * 1.0
                 / F.count(F.lit(1))
-            ).alias("share_x")
+            ).alias("share_x"),
+            F.count_if(
+                F.abs(F.col("value") - F.col("med_x")) > 3 * F.col("mad_x")
+            )
+            .cast("bigint")
+            .alias("n_out_x"),
+            F.first("med_x").alias("med_x"),
+            F.first("mad_x").alias("mad_x"),
         )
     )
 
@@ -768,11 +803,21 @@ def w_mad_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("share_est"),
     )
+    # Value-oracle upgrade (VERDICT r10 #4): the exact references the
+    # audit slack is measured against are themselves emitted — DuckDB
+    # recomputes med/MAD via quantile_cont (bit-exact parity with
+    # F.percentile verified on the fixture: both are q*(n-1) linear
+    # interpolation over identical doubles, no rounding anywhere) and
+    # the outlier COUNT as an integer. Only the digest booleans stay
+    # hash-gated (digest estimates aren't SQL-reproducible).
     return (
         audits.join(F.broadcast(exact_share), "event_type")
         .select(
             "event_type",
             "n",
+            F.col("med_x").alias("med_exact"),
+            F.col("mad_x").alias("mad_exact"),
+            F.col("n_out_x").alias("n_out_exact"),
             ((F.col("med_lo") <= 0.51) & (F.col("med_hi") >= 0.49)).alias(
                 "med_rank_ok"
             ),

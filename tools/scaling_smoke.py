@@ -74,6 +74,14 @@ HEAVIES = [
     # scale (the t_tfidf_cosine_pairs uncapped/capped split).
     "t_quality_drift_cusum",
     "v_opq_rotation",
+    # r11 additions (VERDICT r10 #5): OPQ-rotated IVFPQ serving tier
+    # (rotation pass + scratch-parquet write + IVFPQ on rotated data)
+    # and the ANN kNN-classify agreement audit (IVF candidates + the
+    # exact baseline it's audited against — the exact side dominates
+    # at 10×, which is exactly why the ANN form is the serving path;
+    # the raw serving form is knn_classify_ann_raw).
+    "v_opq_ivfpq_topk",
+    "v_knn_classify_ann",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scale/sf1")
