@@ -21,14 +21,46 @@ CHUNK_USER_STATS = 25
 CHUNK_LISTENER_STATS = 5000
 CHUNK_SIMILARITY = 10000
 
+# Canonical float contract for the message stream (VERDICT r10 #6):
+# every float crossing the message boundary is rounded to this many
+# decimals. The stream is the public API surface, and unrounded
+# doubles leak plan-order-dependent last bits (partial-sum order
+# varies with partitioning/AQE), so a float-emitting handler could
+# produce two different "correct" streams for the same data. 6 dp
+# matches the engine-wide determinism rule (queries/__init__.py) and
+# the 6dp rounding the stat queries already apply — for pre-rounded
+# values this is the identity, so the contract costs nothing where
+# queries already comply and pins the stream where they don't.
+MESSAGE_FLOAT_DP = 6
+
+
+def _canon_floats(v, dp: int):
+    """Round every float in a row value tree (dicts/lists from
+    Row.asDict(recursive=True)); NaN passes through (round(nan)=nan),
+    ints/strings/dates untouched."""
+    if isinstance(v, float):
+        return round(v, dp)
+    if isinstance(v, dict):
+        return {k: _canon_floats(x, dp) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_canon_floats(x, dp) for x in v]
+    return v
+
 
 def iter_message_chunks(
-    df: DataFrame, chunk_size: int, message_type: str
+    df: DataFrame, chunk_size: int, message_type: str,
+    float_dp: int | None = MESSAGE_FLOAT_DP,
 ) -> Iterator[dict]:
-    """Yield {type, data: [row dicts]} messages of ≤chunk_size rows."""
+    """Yield {type, data: [row dicts]} messages of ≤chunk_size rows.
+
+    Floats are canonicalized to ``float_dp`` decimals at the message
+    boundary (pass ``float_dp=None`` for raw doubles)."""
     buf: list[dict] = []
     for row in df.toLocalIterator():
-        buf.append(row.asDict(recursive=True))
+        d = row.asDict(recursive=True)
+        if float_dp is not None:
+            d = _canon_floats(d, float_dp)
+        buf.append(d)
         if len(buf) >= chunk_size:
             yield {"type": message_type, "data": buf}
             buf = []

@@ -137,6 +137,29 @@ def test_message_chunking(spark):
     assert msgs[0]["data"][0] == {"v": 0}
 
 
+def test_message_float_rounding_contract(spark):
+    """VERDICT r10 #6: floats are canonicalized to MESSAGE_FLOAT_DP
+    decimals at the message boundary — including inside nested
+    structs/arrays — so a float-emitting handler's stream is stable
+    under plan/partial-sum-order changes. float_dp=None passes raw
+    doubles through; pre-rounded values are untouched (identity)."""
+    df = spark.createDataFrame(
+        [(1, 0.12345678901, [1.00000049, 2.0], {"s": 0.9999996})],
+        "k int, x double, arr array<double>, st struct<s: double>",
+    )
+    msg = next(iter_message_chunks(df, chunk_size=10, message_type="t"))
+    row = msg["data"][0]
+    assert row["x"] == 0.123457
+    assert row["arr"] == [1.0, 2.0]
+    assert row["st"]["s"] == 1.0
+    raw = next(
+        iter_message_chunks(df, chunk_size=10, message_type="t", float_dp=None)
+    )["data"][0]
+    assert raw["x"] == 0.12345678901
+    pre = spark.createDataFrame([(0.33617,)], "y double")
+    assert next(iter_message_chunks(pre, 10, "t"))["data"][0]["y"] == 0.33617
+
+
 def test_mlhd_csv_ingest(spark, tmp_path):
     """S7: tab-separated per-user files -> one schema'd DataFrame with
     user_id from the file name, round-tripped through Parquet."""

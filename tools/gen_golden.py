@@ -29,7 +29,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from listenbrainz_server_spark.messages import CHUNK_USER_STATS, iter_message_chunks
+from listenbrainz_server_spark.messages import (
+    CHUNK_LISTENER_STATS,
+    CHUNK_SIMILARITY,
+    CHUNK_USER_STATS,
+    iter_message_chunks,
+)
 from listenbrainz_server_spark.plans.api import dispatch
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -113,6 +118,36 @@ CASES = [
         {},
         CHUNK_USER_STATS,
         "year_in_music_listening_time",
+    ),
+    # r11 widening (VERDICT r10 #6/#7): a LISTENER-family handler, a
+    # popularity variant, and the FLOAT-emitting similar-users handler
+    # — the float case pins the chunker's canonical rounding contract
+    # (messages.MESSAGE_FLOAT_DP): similarity scores cross the message
+    # boundary 6dp-rounded, so the golden is stable under plan /
+    # partial-sum-order changes. Chunk sizes follow the reference's
+    # per-family constants (SURVEY §4.3: 25 user stats / 5000 listener
+    # stats / 10000 similarity — similarity/user.py:14
+    # USERS_PER_MESSAGE, message type "similar_users").
+    (
+        "stats_entity_listeners_all_time",
+        "stats.entity.listeners",
+        {"stats_range": "all_time"},
+        CHUNK_LISTENER_STATS,
+        "entity_listener",
+    ),
+    (
+        "popularity_popularity",
+        "popularity.popularity",
+        {},
+        CHUNK_LISTENER_STATS,
+        "popularity",
+    ),
+    (
+        "similarity_similar_users",
+        "similarity.similar_users",
+        {},
+        CHUNK_SIMILARITY,
+        "similar_users",
     ),
     # The reference's INCREMENTAL golden pattern (VERDICT r9 #6;
     # listenbrainz_spark/tests/__init__.py:69-72 — incremental dumps
