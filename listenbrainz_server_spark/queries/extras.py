@@ -547,12 +547,17 @@ def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(o_totalprice, 0.5) AS p50_exact,
+           quantile_cont(o_totalprice, 0.9) AS p90_exact,
+           quantile_cont(o_totalprice, 0.99) AS p99_exact,
            TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
     FROM orders GROUP BY o_orderpriority
     """,
     doc="approx_percentile quantile sketch per order priority, "
     "self-auditing form: true-rank-of-estimate within 1% of target "
-    "rank, inside the driver hash gate (mergeable sketch)",
+    "rank, inside the driver hash gate (mergeable sketch); exact "
+    "p50/p90/p99 references emitted and DuckDB-recomputed "
+    "(quantile_cont == F.percentile bit-exact on identical doubles)",
 )
 def x_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -577,6 +582,11 @@ def x_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
+        # Exact references for the oracle (VERDICT r10 #4 pattern) —
+        # bit-exact with DuckDB's quantile_cont on identical doubles.
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_exact"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99_exact"),
         rank_ok("p50", 0.5).alias("p50_rank_ok"),
         rank_ok("p90", 0.9).alias("p90_rank_ok"),
         rank_ok("p99", 0.99).alias("p99_rank_ok"),
@@ -3766,6 +3776,8 @@ def x_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     days AS (SELECT DISTINCT day FROM ev)
     SELECT d.day,
            CAST(COUNT(*) AS BIGINT) AS n_7d,
+           quantile_cont(e.value, 0.5) AS p50_exact,
+           quantile_cont(e.value, 0.95) AS p95_exact,
            TRUE AS p50_rank_ok,
            TRUE AS p95_rank_ok
     FROM days d JOIN ev e
@@ -3776,8 +3788,9 @@ def x_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="rolling 7-day p50/p95 of event value from mergeable per-day "
     "t-digests (one digest per day, 7-way sketch union per window on "
     "the days dim; fact table scanned once) -- self-auditing form: "
-    "exact window count + rank-interval booleans (+/-0.01+1/n) in "
-    "the hash gate",
+    "exact window count + EXACT window p50/p95 references (DuckDB-"
+    "recomputed via quantile_cont, bit-exact with F.percentile) + "
+    "rank-interval booleans (+/-0.01+1/n) in the hash gate",
 )
 def x_tdigest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -3840,6 +3853,12 @@ def x_tdigest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         wf.groupBy("day")
         .agg(
             n.cast("bigint").alias("n_7d"),
+            # Value-oracle upgrade (VERDICT r10 #4 pattern): the exact
+            # window percentiles the digest is audited against are
+            # emitted and DuckDB-recomputed (quantile_cont ==
+            # F.percentile bit-exact over the identical window join).
+            F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+            F.percentile("value", F.lit(0.95)).alias("p95_exact"),
             (F.count_if(F.col("value") < F.col("est50")) / n).alias("lo50"),
             (F.count_if(F.col("value") <= F.col("est50")) / n).alias("hi50"),
             (F.count_if(F.col("value") < F.col("est95")) / n).alias("lo95"),
@@ -3848,6 +3867,8 @@ def x_tdigest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             "n_7d",
+            "p50_exact",
+            "p95_exact",
             # tolerance 0.01 + 1/n: early windows hold few values, so
             # a single rank step can exceed a fixed 1% (the
             # w_mad_tdigest discreteness term)
