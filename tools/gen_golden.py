@@ -149,6 +149,42 @@ CASES = [
         CHUNK_SIMILARITY,
         "similar_users",
     ),
+    # r11 second batch — four more reference-corpus handlers, two of
+    # them float-emitting (releases.fresh's score, tags.default's
+    # percent → exercised through the rounding contract). Chunk sizes
+    # and message types from the reference: fresh_releases.py:14
+    # USERS_PER_MESSAGE=5 / type "fresh_releases", tags/tags.py:7
+    # RECORDINGS_PER_MESSAGE=10000 / type "tags_dataset",
+    # stats/user/genre_activity.py:17 "user_genre_activity",
+    # year_in_music top_stats.py:16 "year_in_music_top_stats".
+    (
+        "stats_user_genre_activity_all_time",
+        "stats.user.genre_activity",
+        {"stats_range": "all_time"},
+        CHUNK_USER_STATS,
+        "user_genre_activity",
+    ),
+    (
+        "year_in_music_top_stats",
+        "year_in_music.top_stats",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_top_stats",
+    ),
+    (
+        "releases_fresh",
+        "releases.fresh",
+        {},
+        5,
+        "fresh_releases",
+    ),
+    (
+        "tags_default",
+        "tags.default",
+        {},
+        CHUNK_SIMILARITY,
+        "tags_dataset",
+    ),
     # The reference's INCREMENTAL golden pattern (VERDICT r9 #6;
     # listenbrainz_spark/tests/__init__.py:69-72 — incremental dumps
     # 2 and 3 stack onto imported dump 1 before the handler runs):
