@@ -1664,36 +1664,81 @@ def d_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE groupBy(chunk_hash) — no pair enumeration at all. Chunking is a
 # pure map stage (no shuffle); boundaries are content-local, so an
 # edit re-chunks only its neighborhood (shift-invariance pinned in
-# tests). Registered form: per-source chunk census + the audit the
-# oracle reproduces exactly — total chunk bytes == total text bytes
-# (exact conservation), bounds respected (every non-terminal chunk in
-# [min,max]); the cross-doc
-# dup-chunk signal itself (one groupBy(chunk_hash)) is exercised in
-# the pytest pin, where boilerplate injection must surface as shared
+# tests). Registered form (r11 value-oracle upgrade): per-source
+# chunk census where n_chunks is an EXACTLY RECOMPUTED value — the
+# oracle REPLAYS the full Gear rolling hash in SQL: the 127-entry
+# gear table is derived in-query (gear[b] = first 16 hex chars of
+# md5(byte b), the same derivation as operators/chunking._GEAR —
+# DuckDB's md5 only takes VARCHAR, which is sufficient because the
+# fixture corpus is pure ASCII at every scale, strlen ==
+# octet_length, so chr(b) round-trips the byte), and a recursive CTE
+# advances every document one byte per iteration carrying
+# (h, chunk_start, n_chunks) state with h tracked in HUGEINT mod
+# 2^64. Cut rule identical to chunk_text: low-6-bits-zero at
+# length >= 32, force-cut at 192, trailing remainder chunk. The
+# conservation/bounds audits stay as booleans; the cross-doc
+# dup-chunk signal (one groupBy(chunk_hash)) is exercised in the
+# pytest pin, where boilerplate injection must surface as shared
 # chunk hashes.
 # --------------------------------------------------------------------------
 @register(
     "d_cdc_chunks",
     """
-    WITH base AS (
-        SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
-        FROM documents GROUP BY source
+    WITH RECURSIVE gear AS (
+        SELECT list(
+            CAST(CAST(concat('0x', substr(md5(chr(CAST(b AS INT))), 1, 16))
+                      AS UBIGINT) AS HUGEINT) ORDER BY b) AS g
+        FROM range(1, 128) t(b)
+    ),
+    docs_b AS (
+        SELECT doc_id, strlen(text) AS n, text FROM documents
+    ),
+    steps AS (
+        SELECT doc_id, n, text, 1 AS i, CAST(0 AS HUGEINT) AS h,
+               0 AS start, 0 AS n_chunks
+        FROM docs_b
+        UNION ALL
+        SELECT doc_id, n, text, i + 1,
+               CASE WHEN cut THEN CAST(0 AS HUGEINT) ELSE h2 END,
+               CASE WHEN cut THEN i ELSE start END,
+               n_chunks + CASE WHEN cut THEN 1 ELSE 0 END
+        FROM (
+            SELECT doc_id, n, text, i, start, n_chunks, h2,
+                   ((i - start >= 32) AND (h2 % 64 = 0))
+                   OR (i - start >= 192) AS cut
+            FROM (
+                SELECT s.*,
+                       (h * 2 + g[ascii(s.text[i])])
+                           % CAST(18446744073709551616 AS HUGEINT) AS h2
+                FROM steps s, gear
+                WHERE i <= n
+            ) q
+        ) q2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               n_chunks + CASE WHEN start < n THEN 1 ELSE 0 END AS nc
+        FROM steps WHERE i = n + 1
     )
-    SELECT source, n_docs, total_bytes,
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(d.text)) AS BIGINT) AS total_bytes,
+           CAST(SUM(p.nc) AS BIGINT) AS n_chunks,
            TRUE AS bytes_conserved,
            TRUE AS bounds_ok
-    FROM base
-    ORDER BY source
+    FROM documents d JOIN per_doc p USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
     """,
     doc="content-defined chunking census per source (Gear CDC, "
-    "min 32 / avg ~96 / max 192 bytes): hash-gated audit -- chunk "
-    "bytes exactly conserve text bytes and every non-terminal chunk "
-    "respects [min,max]; chunk-hash cross-doc dup share is the "
-    "sub-document dedup route (one groupBy, no pair work); "
-    "boundary exactness, shift invariance and boilerplate detection "
-    "pytest-pinned",
+    "min 32 / avg ~96 / max 192 bytes): n_chunks is a full value "
+    "oracle -- DuckDB replays the entire Gear rolling hash (in-query "
+    "md5-derived gear table, recursive CTE one byte per iteration, "
+    "HUGEINT mod-2^64 state) and recounts every boundary; hash-gated "
+    "booleans audit byte conservation and [min,max] bounds; "
+    "chunk-hash cross-doc dup share is the sub-document dedup route "
+    "(one groupBy, no pair work); boundary exactness, shift "
+    "invariance and boilerplate detection pytest-pinned",
 )
 def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.chunking import cdc_chunks
@@ -1712,6 +1757,7 @@ def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = F.col("chunk_len") < MIN_LEN
     per_doc = chunks.groupBy("doc_id").agg(
         F.sum("chunk_len").alias("chunk_bytes"),
+        F.count(F.lit(1)).alias("nc"),
         F.max("chunk_len").alias("max_len"),
         F.count_if(short).alias("n_short"),
         F.max(F.when(short, F.col("chunk_idx"))).alias("short_idx"),
@@ -1720,6 +1766,7 @@ def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited = docs.join(per_doc, "doc_id", "left").select(
         "source",
         "n_bytes",
+        F.coalesce("nc", F.lit(0)).alias("nc"),
         (F.coalesce("chunk_bytes", F.lit(0)) == F.col("n_bytes")).alias(
             "conserved"
         ),
@@ -1737,6 +1784,9 @@ def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            # Exact boundary count — the oracle replays the full Gear
+            # rolling hash in SQL and recounts it (r11 upgrade).
+            F.sum("nc").cast("bigint").alias("n_chunks"),
             F.every(F.col("conserved")).alias("bytes_conserved"),
             F.every(F.col("bounded")).alias("bounds_ok"),
         )

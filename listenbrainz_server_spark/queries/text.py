@@ -2558,39 +2558,82 @@ def t_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tail; oversize docs are flagged for the chunker instead of split).
 # FFD is inherently sequential, so it runs per hash shard in one
 # Arrow pass (operators/packing.ffd_pack; shard count scales with the
-# cluster) and the REGISTERED form is the audit the oracle can
-# reproduce exactly: per-shard doc/oversize/token counts plus the
-# packing invariants as booleans — no bin over budget, bins >= the
-# ceil(tokens/budget) lower bound, and at most one bin half-or-less
-# full (first-fit would have merged two such bins; the theorem that
-# bounds FFD waste to ~2x optimal in the worst case). The per-doc
-# bin assignment itself is pinned against a pure-Python FFD in
-# tests/test_operators.py.
+# cluster). The REGISTERED form is a full VALUE oracle (r11 — the
+# t_bpe_train pattern generalized to unbounded iteration counts): the
+# oracle REPLAYS the entire first-fit-decreasing algorithm in SQL via
+# a recursive CTE whose state row carries the open-bin loads as a
+# LIST — one iteration per document, first fitting bin found with a
+# list comprehension + list_position, the load bumped with an indexed
+# list_transform lambda. n_bins per shard is therefore an exactly
+# recomputed value, alongside the doc/oversize/token counts; the
+# packing invariants (no bin over budget, >= ceil(tokens/budget)
+# bins, at most one bin half-or-less full) stay as booleans. DuckDB
+# trap recorded: list_position returns 0 — not NULL — when no element
+# matches, so the new-bin branch must test both. The per-doc bin
+# assignment itself is additionally pinned against a pure-Python FFD
+# in tests/test_operators.py.
 # --------------------------------------------------------------------------
 @register(
     "t_pack_ffd",
     """
-    WITH sized AS (
+    WITH RECURSIVE sized AS (
         SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM documents
+    ),
+    eligible AS (
+        SELECT shard,
+               list(n_tokens ORDER BY n_tokens DESC, doc_id ASC) AS toks
+        FROM sized WHERE n_tokens <= 256 GROUP BY shard
+    ),
+    ffd AS (
+        SELECT shard, toks, 1 AS i, CAST([] AS BIGINT[]) AS loads
+        FROM eligible
+        UNION ALL
+        SELECT shard, toks, i + 1,
+               CASE WHEN pos IS NULL OR pos = 0
+                    THEN list_append(loads, t)
+                    ELSE list_transform(
+                        loads,
+                        (x, j) -> CASE WHEN j = pos THEN x + t ELSE x END)
+               END AS loads
+        FROM (
+            SELECT shard, toks, i, loads, toks[i] AS t,
+                   list_position(
+                       [x + toks[i] <= 256 for x in loads], true) AS pos
+            FROM ffd WHERE i <= len(toks)
+        ) s
+    ),
+    packed AS (
+        SELECT shard, len(loads) AS n_bins
+        FROM ffd WHERE i = len(toks) + 1
     )
-    SELECT shard,
-           CAST(COUNT_IF(n_tokens <= 256) AS BIGINT) AS n_docs,
-           CAST(COUNT_IF(n_tokens > 256) AS BIGINT) AS n_oversize,
-           CAST(COALESCE(SUM(CASE WHEN n_tokens <= 256
-                                  THEN n_tokens END), 0) AS BIGINT)
-               AS total_tokens,
+    SELECT c.shard,
+           c.n_docs,
+           c.n_oversize,
+           c.total_tokens,
+           CAST(COALESCE(p.n_bins, 0) AS BIGINT) AS n_bins,
            TRUE AS no_overflow,
            TRUE AS lb_ok,
            TRUE AS half_full_ok
-    FROM sized
-    GROUP BY shard
-    ORDER BY shard
+    FROM (
+        SELECT shard,
+               CAST(COUNT_IF(n_tokens <= 256) AS BIGINT) AS n_docs,
+               CAST(COUNT_IF(n_tokens > 256) AS BIGINT) AS n_oversize,
+               CAST(COALESCE(SUM(CASE WHEN n_tokens <= 256
+                                      THEN n_tokens END), 0) AS BIGINT)
+                   AS total_tokens
+        FROM sized
+        GROUP BY shard
+    ) c
+    LEFT JOIN packed p ON p.shard = c.shard
+    ORDER BY c.shard
     """,
     doc="first-fit-decreasing whole-doc bin packing (budget 256, "
     "per-shard Arrow pass): audit form -- per-shard doc/oversize/"
-    "token counts + packing invariants (no bin over budget, bins >= "
+    "token counts + EXACT n_bins (the oracle replays the full FFD "
+    "in SQL: recursive CTE, bin loads as list state, one iteration "
+    "per doc) + packing invariants (no bin over budget, bins >= "
     "token lower bound, at most one bin <= half full); per-doc "
     "assignment pinned vs a pure-Python FFD",
 )
@@ -2630,6 +2673,9 @@ def t_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_oversize",
             "total_tokens",
+            # Exact bin count — the oracle recomputes it by replaying
+            # FFD in a recursive CTE (r11 value-oracle upgrade).
+            F.coalesce("n_bins", F.lit(0)).cast("bigint").alias("n_bins"),
             # left join + defaults: a shard whose docs are ALL
             # oversize has no bins at all — vacuously compliant, and
             # the oracle still emits its row.
