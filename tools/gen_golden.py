@@ -185,6 +185,43 @@ CASES = [
         CHUNK_SIMILARITY,
         "tags_dataset",
     ),
+    # r11 third batch — the remaining stat families toward the
+    # reference's ~20-handler golden corpus: a sitewide era pin, the
+    # artist-evolution family, and two more YIM stats. Types from the
+    # reference (stats/incremental/sitewide/era_activity.py:74
+    # "sitewide_era_activity", stats/user/artist_evolution_activity
+    # .py:21 "user_artist_evolution_activity", year_in_music/
+    # listens_per_day.py:10 "year_in_music_listens_per_day",
+    # new_artists_discovered.py:16
+    # "year_in_music_new_artists_discovered_count").
+    (
+        "stats_sitewide_era_activity_all_time",
+        "stats.sitewide.era_activity",
+        {"stats_range": "all_time"},
+        CHUNK_USER_STATS,
+        "sitewide_era_activity",
+    ),
+    (
+        "stats_user_artist_evolution_all_time",
+        "stats.user.artist_evolution_activity",
+        {"stats_range": "all_time"},
+        CHUNK_USER_STATS,
+        "user_artist_evolution_activity",
+    ),
+    (
+        "year_in_music_listens_per_day",
+        "year_in_music.listens_per_day",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_listens_per_day",
+    ),
+    (
+        "year_in_music_new_artists_discovered_count",
+        "year_in_music.new_artists_discovered_count",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_new_artists_discovered_count",
+    ),
     # The reference's INCREMENTAL golden pattern (VERDICT r9 #6;
     # listenbrainz_spark/tests/__init__.py:69-72 — incremental dumps
     # 2 and 3 stack onto imported dump 1 before the handler runs):
