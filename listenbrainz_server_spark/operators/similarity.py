@@ -105,6 +105,24 @@ def unit_vectors(
 DEFAULT_BLOCK_ROWS = 100_000
 
 
+def resolve_n_centroids(n_centroids, vectors: DataFrame) -> int:
+    """Resolve the IVF coarse-quantizer list count.
+
+    ``"auto"`` → ``max(8, round(sqrt(n)))`` — the measured scale dial
+    (SCALING.md r11): with nlist FIXED, per-bucket population grows
+    O(n/nlist) and probe-candidate volume O(n²/nlist); growing nlist
+    with √n (FAISS practice) keeps bucket population √n-bounded —
+    re-measured at sf1, 132.7 s → 44.4 s for the OPQ-IVFPQ serving
+    composition. Costs one count() job; integer values pass through
+    untouched (the fixture-pinned audit tiers stay at their tuned
+    recall floors)."""
+    if n_centroids == "auto":
+        import math
+
+        return max(8, int(round(math.sqrt(vectors.count()))))
+    return int(n_centroids)
+
+
 def _scratch_root(spark) -> str:
     """Resolve the staging location for multi-stage operators.
 
@@ -640,7 +658,7 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_probe: int = 2,
     round_dp: int = 6,
     seed: int = 45,
@@ -685,6 +703,7 @@ def ivf_topk(
         as_double(F.col(vec_col)).alias("qv"),
     ).withColumn("features", array_to_vector("qv"))
 
+    n_centroids = resolve_n_centroids(n_centroids, vectors)
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
     members = model.transform(feats).select(
         F.col("qid").alias("nid"),
@@ -1291,7 +1310,7 @@ def ivfpq_topk(
     vec_col: str,
     dims: int,
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | str = 8,
     n_probe: int = 2,
     m: int = 4,
     k_sub: int = 16,
@@ -1352,6 +1371,7 @@ def ivfpq_topk(
     # not a converged clustering (FAISS trains its coarse quantizer
     # the same way — few iterations on a sample); MLlib's default 20
     # iterations double the fit cost for no measurable recall change.
+    n_centroids = resolve_n_centroids(n_centroids, vectors)
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="features", maxIter=8
     ).fit(feats)
@@ -1476,7 +1496,7 @@ def ivfpq_train_artifacts(
     id_col: str,
     vec_col: str,
     dims: int,
-    n_centroids: int = 8,
+    n_centroids: int | str = 8,
     m: int = 4,
     k_sub: int = 16,
     seed: int = 45,
@@ -1504,6 +1524,7 @@ def ivfpq_train_artifacts(
     feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
         eager=True
     )
+    n_centroids = resolve_n_centroids(n_centroids, vectors)
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="features", maxIter=8
     ).fit(feats)

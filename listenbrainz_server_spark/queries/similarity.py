@@ -1423,12 +1423,16 @@ def knn_classify_ann_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     (KMeans coarse buckets, n_probe=2 — per-bucket population, not
     corpus size, bounds the quadratic term) feed the same majority
     vote as the exact tier. This is the 100 TB path: no all-pairs
-    stage anywhere; every shuffle is keyed by bucket or query id."""
+    stage anywhere; every shuffle is keyed by bucket or query id.
+    nlist follows the measured scale dial (n_centroids="auto" =
+    max(8, √n), SCALING.md r11); the registered v_knn_classify_ann
+    audit pins the pipeline at the fixture dial (8) where its
+    agreement floor was tuned."""
     from listenbrainz_server_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     ann = ivf_topk(
-        emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2
+        emb, "vec_id", "embedding", k=5, n_centroids="auto", n_probe=2
     ).select("qid", "nid")
     pred = _knn_vote_pred(emb, ann)
     truth = emb.select(

@@ -530,3 +530,52 @@ def test_semdedup_properties_vs_numpy(spark):
     # value so a clustering regression (seed/featurization drift)
     # still shows up.
     assert len(captured) >= 0.4 * len(exact), (len(captured), len(exact))
+
+
+def test_n_centroids_auto_scale_dial(spark):
+    """SCALING.md r11: with nlist fixed, IVF candidate volume grows
+    O(n²/nlist); the measured dial is nlist ∝ √n. "auto" resolves to
+    max(8, round(√n)) and the IVF pipeline runs with it; integers
+    pass through untouched so the fixture-pinned audit tiers keep
+    their tuned recall floors."""
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import (
+        ivf_topk,
+        resolve_n_centroids,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    auto = resolve_n_centroids("auto", emb)
+    assert auto == max(8, int(round(n**0.5)))
+    assert resolve_n_centroids(8, emb) == 8
+    topk = ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids="auto",
+                    n_probe=2)
+    got = topk.groupBy("qid").count().agg({"count": "max"}).first()[0]
+    assert got <= 5
+
+
+def test_knn_classify_ann_serving_form(spark):
+    """The serving form classifies every vector (one prediction per
+    vec_id, labels from the table's domain) and differs from the
+    registered audit only in skipping the exact yardstick."""
+    from listenbrainz_server_spark.queries.similarity import (
+        knn_classify_ann_raw,
+    )
+
+    out = knn_classify_ann_raw(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    n = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    labels = {
+        r.label
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("label").distinct().collect()
+    }
+    assert {r.pred_label for r in rows} <= labels
+    for r in rows:
+        assert r.correct == (r.true_label == r.pred_label)
