@@ -222,6 +222,43 @@ CASES = [
         CHUNK_USER_STATS,
         "year_in_music_new_artists_discovered_count",
     ),
+    # r11 fourth batch — the similarity family and the YIM playlist
+    # stats. similarity.artist's type is the reference's literal
+    # (similarity/artist.py:151 "similarity_artist"); recording
+    # similarity's reference type is the dynamic
+    # f"{name}_similarity_{entity}" (similarity/recording/common.py:
+    # 217) — "session_similarity_recording" for our session-based CF
+    # tier; both top_discoveries and top_missed_recordings stream as
+    # "year_in_music_playlists" in the reference (top_discoveries.py:
+    # 60, top_missed_recordings.py:114).
+    (
+        "similarity_artist",
+        "similarity.artist",
+        {},
+        CHUNK_SIMILARITY,
+        "similarity_artist",
+    ),
+    (
+        "similarity_recording",
+        "similarity.recording",
+        {},
+        CHUNK_SIMILARITY,
+        "session_similarity_recording",
+    ),
+    (
+        "year_in_music_top_discoveries",
+        "year_in_music.top_discoveries",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_playlists",
+    ),
+    (
+        "year_in_music_top_missed_recordings",
+        "year_in_music.top_missed_recordings",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_playlists",
+    ),
     # The reference's INCREMENTAL golden pattern (VERDICT r9 #6;
     # listenbrainz_spark/tests/__init__.py:69-72 — incremental dumps
     # 2 and 3 stack onto imported dump 1 before the handler runs):
