@@ -197,10 +197,24 @@ def main() -> None:
     # heavies). Per-run samples land in the artifact either way.
     runs = 1 if run_all else 3
     HEAVY_SECS = 2.0
+    # Intra-sweep drift trace (r11): the start/end probe pair can
+    # only FLAG an unstable window after the fact (the r11 first
+    # sweep inflated its mid-alphabet tail ~2x while both probes
+    # looked merely mediocre). A 1-sample probe every PROBE_EVERY
+    # queries records WHEN the window moved, so a reader can
+    # segment-normalize or discard a sweep whose trace is bimodal.
+    PROBE_EVERY = 50
+    probe_trace: list[list] = []
     timings: dict[str, float] = {}
     samples_by_query: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if run_all and qi % PROBE_EVERY == 0:
+            t0 = time.time()
+            registry[PROBE_QUERY].fn(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            probe_trace.append([qi, round(time.time() - t0, 3)])
         samples: list[float] = []
 
         def one_run() -> None:
@@ -271,7 +285,8 @@ def main() -> None:
         # and window_factor makes the numbers comparable anyway).
         window_id = time.strftime("%Y-%m-%dT%H:%M:%S")
         window_meta = {"window_id": window_id, "window_factor": window_factor,
-                       "probe_secs": [probe_start, probe_end]}
+                       "probe_secs": [probe_start, probe_end],
+                       "probe_trace": probe_trace}
         artifact = {
             **out,
             "samples": samples_by_query,
