@@ -70,3 +70,42 @@ def test_plan_audit_covers_registry():
         f"PLAN_AUDIT.md missing {len(missing)} queries ({missing[:5]}…) — "
         "run tools/endround.py before the snapshot commit"
     )
+
+
+def test_ladder_names_exist():
+    """LADDER.md (the verification→serving map) may only cite real
+    names: every backticked registry-shaped identifier must be a
+    registered query, and every cited serving-form callable must
+    resolve — a doc-drift guard in the test_plan_audit mold."""
+    reg = _registry_names()
+    path = os.path.join(REPO, "LADDER.md")
+    assert os.path.exists(path)
+    text = open(path).read()
+    prefixes = (
+        "d_", "v_", "x_", "t_", "j_", "w_", "g_", "m_", "st_", "mm_", "i_"
+    )
+    cited = {
+        m.group(1)
+        for m in re.finditer(r"`([a-z][a-z0-9_]+)`", text)
+        if m.group(1).startswith(prefixes)
+    }
+    serving = {"knn_classify_ann_raw", "mmr_rerank_lsh_raw"}
+    missing = sorted(cited - reg - serving)
+    assert not missing, f"LADDER.md cites unregistered names: {missing}"
+
+    from listenbrainz_server_spark.queries import similarity as qsim
+
+    for fn in sorted(serving):
+        assert hasattr(qsim, fn) or _resolves_in_package(fn), fn
+
+
+def _resolves_in_package(fn: str) -> bool:
+    import importlib
+
+    for mod in (
+        "listenbrainz_server_spark.queries.similarity",
+        "listenbrainz_server_spark.operators.similarity",
+    ):
+        if hasattr(importlib.import_module(mod), fn):
+            return True
+    return False

@@ -336,10 +336,18 @@ def test_band_join_bucketization_complete(spark, vals, eps_cents):
         .where((F.col("ua") < F.col("ub")) & (F.abs(F.col("sa") - F.col("sb")) <= eps))
         .collect()
     }
+    # The oracle must use the SAME IEEE-double predicate the join does:
+    # at the boundary (cent diff == eps_cents) exact integer arithmetic
+    # and double arithmetic disagree (e.g. 10.88 - 5.91 =
+    # 4.970000000000001 > 4.97), and that's a property of the
+    # predicate, not of the bucketization. An exhaustive scan of the
+    # whole strategy domain (eps 1..500, cents 0..2000) confirms the
+    # ±1 probe is complete under double arithmetic: no pair passing
+    # the double predicate ever lands 2 buckets apart.
     want = {
         (a, b)
         for a, ca in vals
         for b, cb in vals
-        if a < b and abs(ca - cb) <= eps_cents
+        if a < b and abs(ca / 100.0 - cb / 100.0) <= eps
     }
     assert got == want, (sorted(got ^ want), eps)

@@ -259,6 +259,67 @@ CASES = [
         CHUNK_USER_STATS,
         "year_in_music_playlists",
     ),
+    # r11 fifth batch — toward full coverage of the deterministic
+    # dispatch surface: the troi playlist stream, the remaining YIM
+    # activity stats, the sitewide artist-evolution tier, the CF
+    # missing-data feed, and the YIM alias of similar-users. Types and
+    # chunk sizes from the reference: troi/periodic_jams.py:10,84
+    # (USERS_PER_MESSAGE=100, "troi_playlists"); year_in_music/
+    # new_releases_of_top_artists.py:33, genre_activity.py:24,
+    # artist_evolution.py:20, similar_users.py:23 (one dict message —
+    # chunked here at the similarity width); stats/sitewide/
+    # artist_evolution_activity.py + spark/background.py:163
+    # ("sitewide_artist_evolution_activity"); missing_mb_data/
+    # missing_mb_data.py:79 (one message PER USER ROW → chunk 1).
+    (
+        "troi_playlists",
+        "troi.playlists",
+        {},
+        100,
+        "troi_playlists",
+    ),
+    (
+        "year_in_music_new_releases_of_top_artists",
+        "year_in_music.new_releases_of_top_artists",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_new_releases_of_top_artists",
+    ),
+    (
+        "year_in_music_genre_activity",
+        "year_in_music.genre_activity",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_genre_activity",
+    ),
+    (
+        "year_in_music_artist_evolution",
+        "year_in_music.artist_evolution_activity",
+        {},
+        CHUNK_USER_STATS,
+        "year_in_music_artist_evolution_activity",
+    ),
+    (
+        "stats_sitewide_artist_evolution_all_time",
+        "stats.sitewide.artist_evolution_activity",
+        {"stats_range": "all_time"},
+        CHUNK_USER_STATS,
+        "sitewide_artist_evolution_activity",
+    ),
+    (
+        "cf_missing_mb_data",
+        "cf.missing_mb_data",
+        {},
+        1,
+        "missing_musicbrainz_data",
+    ),
+    (
+        "year_in_music_similar_users",
+        "year_in_music.similar_users",
+        {},
+        CHUNK_SIMILARITY,
+        "year_in_music_similar_users",
+    ),
     # The reference's INCREMENTAL golden pattern (VERDICT r9 #6;
     # listenbrainz_spark/tests/__init__.py:69-72 — incremental dumps
     # 2 and 3 stack onto imported dump 1 before the handler runs):
