@@ -667,10 +667,12 @@ def ivf_topk(
 
     The classic IVF execution shape on Spark:
 
-    1. TRAIN: seeded KMeans fits ``n_centroids`` cluster centers
-       (MLlib, iterative — the one non-SQL step).
-    2. ASSIGN: every vector gets its nearest-centroid bucket via
-       ``model.transform`` (JVM-side).
+    1. TRAIN: ``coarse_train_centroids`` — seeded driver-side Lloyd's
+       on a bounded content-hash sample (FAISS practice; one sample
+       pull instead of a full corpus pass per MLlib iteration).
+    2. ASSIGN: every vector gets its nearest-centroid bucket via one
+       Arrow argmin pass against the broadcast center matrix (a
+       narrow map — no shuffle, the ``ivfpq_encode`` shape).
     3. PROBE: every query row computes distances to all centroids —
        a broadcast cross join against the tiny centroid table with a
        pure-expression squared-distance fold — and keeps its
@@ -694,25 +696,47 @@ def ivf_topk(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     feats = vectors.select(
         F.col(id_col).alias("qid"),
         as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("features", array_to_vector("qv"))
+    )
+
+    # Output id columns keep the INPUT id column's type (ADVICE r3: a
+    # hardcoded bigint narrowed the operator to 64-bit integer ids;
+    # string or other id types must survive the pandas path too).
+    id_spark_t = vectors.schema[id_col].dataType.simpleString()
 
     n_centroids = resolve_n_centroids(n_centroids, vectors)
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
-    members = model.transform(feats).select(
-        F.col("qid").alias("nid"),
-        F.col("qv").alias("nv"),
-        F.col(model.getPredictionCol()).alias("bucket"),
+    centers = coarse_train_centroids(
+        feats, "qv", n_centroids, seed=seed, max_iter=8
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf["qv"].to_numpy()).astype("float64")
+            d = (
+                (v**2).sum(axis=1, keepdims=True)
+                - 2.0 * (v @ centers.T)
+                + (centers**2).sum(axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "nid": pdf["qid"].to_numpy(),
+                    "nv": pdf["qv"].to_numpy(),
+                    "bucket": d.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    members = feats.mapInPandas(
+        assign, schema=f"nid {id_spark_t}, nv array<double>, bucket int"
     )
 
     centroids = vectors.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "bucket int, center array<double>",
     )
     sq_dist = F.aggregate(
@@ -730,10 +754,6 @@ def ivf_topk(
         .select("qid", "qv", "bucket")
     )
 
-    # Output id columns keep the INPUT id column's type (ADVICE r3: a
-    # hardcoded bigint narrowed the operator to 64-bit integer ids;
-    # string or other id types must survive the pandas path too).
-    id_spark_t = vectors.schema[id_col].dataType.simpleString()
     id_pd_dtype = {
         "tinyint": "int64",
         "smallint": "int64",
@@ -955,6 +975,75 @@ def lsh_multiprobe_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "score", "rank")
     )
+
+
+def lloyd_kmeans(data, k: int, seed: int, max_iter: int = 8):
+    """Seeded full-dimension Lloyd's over an in-memory sample:
+    greedy D²-weighted (k-means++-style) init, vectorized assignment
+    via the |x|² − 2x·cᵀ + |c|² expansion, empty clusters keep their
+    previous center. Deterministic given (data order, k, seed).
+    Returns a (k', dims) float64 ndarray with k' = min(k, len(data)).
+
+    This is the coarse-quantizer twin of ``_fit_subspace_books``: the
+    model is at most (k × dims) doubles and saturates on a few
+    thousand samples, so fitting belongs on the driver — a
+    distributed MLlib KMeans fit costs max_iter FULL CORPUS PASSES
+    (plus the k-means|| init's own passes) to compute the same tiny
+    matrix. At 100 TB that is the difference between one bounded
+    sample pull and ~10 scans of the corpus.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(data)
+    k = min(k, n)
+    centers = np.empty((k, data.shape[1]), dtype="float64")
+    centers[0] = data[int(rng.integers(n))]
+    d2 = ((data - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        tot = d2.sum()
+        idx = int(rng.choice(n, p=d2 / tot)) if tot > 0 else int(rng.integers(n))
+        centers[i] = data[idx]
+        d2 = np.minimum(d2, ((data - centers[i]) ** 2).sum(axis=1))
+    sq = (data**2).sum(axis=1, keepdims=True)
+    for _ in range(max_iter):
+        d = sq - 2.0 * (data @ centers.T) + (centers**2).sum(axis=1)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                centers[c] = data[mask].mean(axis=0)
+    return centers
+
+
+def coarse_train_centroids(
+    vectors: DataFrame,
+    vec_col: str,
+    k: int,
+    seed: int = 45,
+    max_iter: int = 8,
+    sample_cap: int = 4096,
+):
+    """Train an IVF coarse quantizer FAISS-style: one distributed
+    TakeOrdered pulls ``sample_cap`` rows (ordered by content hash —
+    partitioning-independent, same discipline as
+    ``pq_train_codebooks``), then ``lloyd_kmeans`` fits driver-side.
+    Driver memory is bounded by the cap, never the corpus; the ONLY
+    distributed work is the single sample pull, where the previous
+    MLlib KMeans fit re-scanned the corpus every iteration.
+    Returns a (k', dims) float64 ndarray.
+    """
+    import numpy as np
+
+    sample = (
+        vectors.select(as_double(F.col(vec_col)).alias("v"))
+        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
+        .orderBy("_h")
+        .limit(sample_cap)
+        .collect()
+    )
+    data = np.array([r.v for r in sample], dtype="float64")
+    return lloyd_kmeans(data, k, seed, max_iter=max_iter)
 
 
 def pq_train_codebooks(
@@ -1327,12 +1416,18 @@ def ivfpq_topk(
     magnitudes, so the same codebook budget quantizes far finer).
 
     Execution shape, per stage:
-    1. COARSE: seeded MLlib KMeans on unit vectors → bucket per
-       vector; centers become closure literals (tiny).
-    2. ENCODE: one Arrow mapInPandas pass codes each vector's
-       residual with per-subspace seeded-Lloyd's codebooks trained on
-       a bounded residual sample. The persisted index row is
-       (bucket, m codes) — bytes, not floats.
+    1. TRAIN: ONE bounded content-hash sample pull powers BOTH
+       trainers driver-side — ``lloyd_kmeans`` fits the coarse
+       centers, then the sample's own residuals feed
+       ``_fit_subspace_books`` (FAISS trains exactly this way: both
+       models saturate on a few thousand samples, so the only
+       distributed work in training is the single sample pull — the
+       previous MLlib fit re-scanned the corpus every iteration).
+    2. ENCODE: one Arrow mapInPandas pass assigns each vector's
+       bucket (argmin vs the broadcast center matrix) AND codes its
+       residual — assignment and encoding fused into a single narrow
+       map. The persisted index row is (bucket, m codes) — bytes,
+       not floats.
     3. PROBE + ADC: probes cogroup with bucket members on the bucket
        id (the only shuffle key); inside each group one numpy pass
        builds the query-vs-codebook LUT for THIS bucket's residual
@@ -1347,8 +1442,6 @@ def ivfpq_topk(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     sub = dims // m
@@ -1356,54 +1449,53 @@ def ivfpq_topk(
         raise ValueError(f"dims={dims} not divisible by m={m}")
 
     # Zero vectors dropped before normalizing (same rule as pq_topk:
-    # no cosine exists; NaN rows would poison KMeans and the residual
-    # codebooks).
-    unit = unit_vectors(vectors, id_col, vec_col)
-    # Pin the featurized frame ONCE: the KMeans fit iterates over it,
-    # the assignment transform reads it, and the probe side reuses the
-    # unit vectors — without a cut the scan+normalize lineage
-    # re-executes per consumer (and per fit iteration).
-    feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
-        eager=True
-    )
-    unit = feats.select("vid", "vec")
-    # maxIter=8: the coarse quantizer only needs stable-enough lists,
-    # not a converged clustering (FAISS trains its coarse quantizer
-    # the same way — few iterations on a sample); MLlib's default 20
-    # iterations double the fit cost for no measurable recall change.
+    # no cosine exists; NaN rows would poison the trainers).
+    # Pin the unit frame ONCE: the sample pull, the encode pass, the
+    # probe side, and the re-rank re-fetch all read it — without a
+    # cut the scan+normalize lineage re-executes per consumer.
+    unit = unit_vectors(vectors, id_col, vec_col).localCheckpoint(eager=True)
     n_centroids = resolve_n_centroids(n_centroids, vectors)
-    model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="features", maxIter=8
-    ).fit(feats)
-    assigned = model.transform(feats).select(
-        "vid", "vec", F.col(model.getPredictionCol()).alias("bucket")
-    )
-    centers = np.array(
-        [[float(x) for x in c] for c in model.clusterCenters()], dtype="float64"
-    )
 
-    # Residual codebooks: bounded deterministic sample of residuals
-    # (same practice + caps as pq_train_codebooks, trained on v - c).
+    # ONE bounded content-hash sample powers BOTH trainers (max_iter=8
+    # for the coarse fit: stable-enough lists, not convergence — FAISS
+    # practice; the residual codebooks train on the SAME sample's own
+    # residuals, same caps as pq_train_codebooks).
+    sample = (
+        unit.select(F.col("vec").alias("v"))
+        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
+        .orderBy("_h")
+        .limit(4096)
+        .collect()
+    )
+    data = np.array([r.v for r in sample], dtype="float64")
+    centers = lloyd_kmeans(data, n_centroids, seed, max_iter=8)
+    d2s = (
+        (data**2).sum(axis=1, keepdims=True)
+        - 2.0 * (data @ centers.T)
+        + (centers**2).sum(axis=1)
+    )
+    resid_sample = data - centers[d2s.argmin(axis=1)]
+    cb = _fit_subspace_books(
+        resid_sample, m=m, k_sub=k_sub, seed=seed, max_iter=10
+    )  # (m, k_sub, sub)
+
     center_df = vectors.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "bucket int, center array<double>",
     )
-    resid = (
-        assigned.join(F.broadcast(center_df), "bucket")
-        .select(
-            "vid",
-            F.zip_with("vec", "center", lambda x, y: x - y).alias("vec"),
-        )
-    )
-    books = pq_train_codebooks(resid, "vec", dims, m=m, k_sub=k_sub, seed=seed)
-    cb = np.array(books, dtype="float64")  # (m, k_sub, sub)
 
     def encode(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
-            r = v - centers[pdf["bucket"].to_numpy()]
+            d = (
+                (v**2).sum(axis=1, keepdims=True)
+                - 2.0 * (v @ centers.T)
+                + (centers**2).sum(axis=1)
+            )
+            buckets = d.argmin(axis=1)
+            r = v - centers[buckets]
             codes = np.empty((len(v), m), dtype="int32")
             for j in range(m):
                 x = r[:, j * sub : (j + 1) * sub]
@@ -1412,12 +1504,12 @@ def ivfpq_topk(
             yield pd.DataFrame(
                 {
                     "nid": pdf["vid"].to_numpy(),
-                    "bucket": pdf["bucket"].to_numpy(),
+                    "bucket": buckets.astype("int32"),
                     "codes": list(codes),
                 }
             )
 
-    members = assigned.mapInPandas(
+    members = unit.mapInPandas(
         encode, schema="nid bigint, bucket int, codes array<int>"
     )
 
@@ -1507,40 +1599,41 @@ def ivfpq_train_artifacts(
     against FROZEN artifacts by ``ivfpq_encode`` (pure per-row work, no
     refit), and a refit replaces the artifacts + re-encodes.
 
-    Same trainers and parameters as ``ivfpq_topk`` (seeded MLlib
-    KMeans, maxIter=8, on the checkpointed unit frame;
-    ``pq_train_codebooks`` on residuals). Returns
-    ``(centers, codebooks)`` as nested Python floats — small enough to
-    persist as JSON next to the index and to ship as closure literals.
+    Same trainers and parameters as ``ivfpq_topk``: ONE bounded
+    content-hash sample pull, then ``lloyd_kmeans`` (maxIter=8) and
+    ``_fit_subspace_books`` on the sample's own residuals run
+    driver-side — training launches exactly one distributed job.
+    Returns ``(centers, codebooks)`` as nested Python floats — small
+    enough to persist as JSON next to the index and to ship as
+    closure literals.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     sub = dims // m
     if sub * m != dims:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     unit = unit_vectors(vectors, id_col, vec_col)
-    feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
-        eager=True
-    )
     n_centroids = resolve_n_centroids(n_centroids, vectors)
-    model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="features", maxIter=8
-    ).fit(feats)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    center_df = vectors.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
-        "bucket int, center array<double>",
+    sample = (
+        unit.select(F.col("vec").alias("v"))
+        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
+        .orderBy("_h")
+        .limit(4096)
+        .collect()
     )
-    assigned = model.transform(feats).select(
-        "vec", F.col(model.getPredictionCol()).alias("bucket")
+    data = np.array([r.v for r in sample], dtype="float64")
+    centers_np = lloyd_kmeans(data, n_centroids, seed, max_iter=8)
+    d2s = (
+        (data**2).sum(axis=1, keepdims=True)
+        - 2.0 * (data @ centers_np.T)
+        + (centers_np**2).sum(axis=1)
     )
-    resid = assigned.join(F.broadcast(center_df), "bucket").select(
-        F.zip_with("vec", "center", lambda x, y: x - y).alias("vec")
+    resid_sample = data - centers_np[d2s.argmin(axis=1)]
+    cb = _fit_subspace_books(
+        resid_sample, m=m, k_sub=k_sub, seed=seed, max_iter=10
     )
-    books = pq_train_codebooks(resid, "vec", dims, m=m, k_sub=k_sub, seed=seed)
-    feats.unpersist()
+    centers = [[float(x) for x in c] for c in centers_np]
+    books = [[[float(v) for v in c] for c in cb[j]] for j in range(m)]
     return centers, books
 
 
@@ -1808,36 +1901,51 @@ def semdedup(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     # ONE shared repartitioned frame feeds both branches (zero lazy —
-    # materialized only in the final union as a parallel pass; unit
-    # unpinned because feats pins the whole normalize+vectorize
-    # lineage next). Calling unit_vectors here would rebuild and
-    # re-shuffle the same projection a second time.
+    # materialized only in the final union as a parallel pass). The
+    # unit frame is pinned because THREE consumers read it: the
+    # trainer's sample pull, the Arrow assign pass, and nothing
+    # downstream (members re-pins after assignment).
     raw = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
     ).repartition(32)
     zero = raw.where(norm(F.col("raw")) == 0)
     unit = raw.where(norm(F.col("raw")) != 0).select(
         "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")
+    ).localCheckpoint(eager=True)
+    centers = coarse_train_centroids(
+        unit, "vec", n_clusters, seed=seed, max_iter=8
     )
-    feats = unit.withColumn("features", array_to_vector("vec")).localCheckpoint(
-        eager=True
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+            d = (
+                (v**2).sum(axis=1, keepdims=True)
+                - 2.0 * (v @ centers.T)
+                + (centers**2).sum(axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(),
+                    "vec": pdf["vec"].to_numpy(),
+                    "cluster": d.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    id_t_assign = vectors.schema[id_col].dataType.simpleString()
+    assigned = unit.mapInPandas(
+        assign, schema=f"vid {id_t_assign}, vec array<double>, cluster int"
     )
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="features", maxIter=8
-    ).fit(feats)
     centroids = vectors.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cluster int, center array<double>",
     )
     members = (
-        model.transform(feats)
-        .select(
-            "vid", "vec", F.col(model.getPredictionCol()).alias("cluster")
-        )
+        assigned
         .join(F.broadcast(centroids), "cluster")
         .select(
             "cluster",

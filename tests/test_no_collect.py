@@ -27,6 +27,14 @@ ALLOWED = {
     ("operators/similarity.py", "_iter_ref_blocks"),
     # PQ codebook fit: capped at 4096 sample rows (documented).
     ("operators/similarity.py", "pq_train_codebooks"),
+    # Coarse-quantizer fit: the same sample_cap-bounded pull (r11 —
+    # lloyd_kmeans on the driver replaced MLlib's per-iteration
+    # full-corpus passes; the model is (k × dims) doubles).
+    ("operators/similarity.py", "coarse_train_centroids"),
+    # IVFPQ trainers: ONE 4096-capped sample powers both the coarse
+    # Lloyd fit and the residual codebooks (r11).
+    ("operators/similarity.py", "ivfpq_topk"),
+    ("operators/similarity.py", "ivfpq_train_artifacts"),
     # OPQ rotation fit: the same sample_cap-bounded pull as the PQ
     # trainer (r10; alternating Procrustes/Lloyd runs driver-side on
     # at most sample_cap rows regardless of corpus size).
