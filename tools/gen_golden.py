@@ -320,6 +320,52 @@ CASES = [
         CHUNK_SIMILARITY,
         "year_in_music_similar_users",
     ),
+    # r11 sixth batch — every remaining DETERMINISTIC dispatch name,
+    # leaving only the ALS-ML pair (cf.train_model /
+    # cf.recommendations — iterative trainers, pinned by their own
+    # hash-gated contract queries instead) and the four
+    # transport-parameterized imports (full/incremental/mlhd/compact
+    # + pg: archive/path plumbing, pinned by the S6 dump tests)
+    # without a golden. Types from the reference: echo/echo.py:4
+    # ("echo"); spark/background.py:168
+    # ("cf_recommendations_recording_dataframes"); discovery.py has
+    # no message (parquet sink) — the compute's rows stream under a
+    # descriptive type; sample/deleted likewise return the dataset.
+    (
+        "echo_echo",
+        "echo.echo",
+        {},
+        1,
+        "echo",
+    ),
+    (
+        "import_dump_sample",
+        "import.dump.sample",
+        {},
+        CHUNK_SIMILARITY,
+        "import_sample_dump",
+    ),
+    (
+        "import_deleted_listens",
+        "import.deleted_listens",
+        {},
+        CHUNK_SIMILARITY,
+        "import_deleted_listens",
+    ),
+    (
+        "cf_create_dataframes",
+        "cf.recommendations.recording.create_dataframes",
+        {},
+        CHUNK_SIMILARITY,
+        "cf_recommendations_recording_dataframes",
+    ),
+    (
+        "cf_discovery",
+        "cf.recommendations.recording.discovery",
+        {},
+        CHUNK_SIMILARITY,
+        "recording_discovery",
+    ),
     # The reference's INCREMENTAL golden pattern (VERDICT r9 #6;
     # listenbrainz_spark/tests/__init__.py:69-72 — incremental dumps
     # 2 and 3 stack onto imported dump 1 before the handler runs):
