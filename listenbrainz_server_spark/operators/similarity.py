@@ -713,6 +713,14 @@ def ivf_topk(
         feats, "qv", n_centroids, seed=seed, max_iter=8
     )
 
+    # ONE Arrow pass computes the nearest bucket (assignment) AND the
+    # n_probe closest buckets (probe list) per vector — previously the
+    # probe side materialized n×k rows through a broadcast cross join
+    # and ranked them with a per-query window (a full shuffle); now
+    # both sides are narrow maps over the same frame and the ONLY
+    # shuffle left in the search is the bucket-keyed cogroup.
+    # Tie-break matches the old window's (dist asc, bucket asc) via a
+    # stable argsort over (dist, bucket).
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
@@ -723,35 +731,28 @@ def ivf_topk(
                 - 2.0 * (v @ centers.T)
                 + (centers**2).sum(axis=1)
             )
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame(
                 {
                     "nid": pdf["qid"].to_numpy(),
                     "nv": pdf["qv"].to_numpy(),
-                    "bucket": d.argmin(axis=1).astype("int32"),
+                    "bucket": order[:, 0].astype("int32"),
+                    "probes": list(order.astype("int32")),
                 }
             )
 
-    members = feats.mapInPandas(
-        assign, schema=f"nid {id_spark_t}, nv array<double>, bucket int"
+    assigned = feats.mapInPandas(
+        assign,
+        schema=(
+            f"nid {id_spark_t}, nv array<double>, bucket int, "
+            "probes array<int>"
+        ),
     )
-
-    centroids = vectors.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "bucket int, center array<double>",
-    )
-    sq_dist = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("center"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_probe = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("bucket"))
-    probes = (
-        feats.select("qid", "qv")
-        .join(F.broadcast(centroids))
-        .withColumn("dist", sq_dist)
-        .withColumn("_pr", F.row_number().over(w_probe))
-        .where(F.col("_pr") <= n_probe)
-        .select("qid", "qv", "bucket")
+    members = assigned.select("nid", "nv", "bucket")
+    probes = assigned.select(
+        F.col("nid").alias("qid"),
+        F.col("nv").alias("qv"),
+        F.explode("probes").alias("bucket"),
     )
 
     id_pd_dtype = {
@@ -1479,11 +1480,6 @@ def ivfpq_topk(
         resid_sample, m=m, k_sub=k_sub, seed=seed, max_iter=10
     )  # (m, k_sub, sub)
 
-    center_df = vectors.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "bucket int, center array<double>",
-    )
-
     def encode(batches):
         for pdf in batches:
             if not len(pdf):
@@ -1513,19 +1509,33 @@ def ivfpq_topk(
         encode, schema="nid bigint, bucket int, codes array<int>"
     )
 
-    sq_dist = F.aggregate(
-        F.zip_with(F.col("vec"), F.col("center"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_probe = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("bucket"))
-    probes = (
-        unit.select(F.col("vid").alias("qid"), "vec")
-        .join(F.broadcast(center_df))
-        .withColumn("dist", sq_dist)
-        .withColumn("_pr", F.row_number().over(w_probe))
-        .where(F.col("_pr") <= n_probe)
-        .select("qid", F.col("vec").alias("qv"), "bucket")
+    # Probe side: its own narrow Arrow pass (argsort top-n_probe vs
+    # the broadcast center matrix) — previously a broadcast cross join
+    # materialized n×k rows and a per-query window ranked them (a full
+    # shuffle); kept separate from encode so this pass never computes
+    # codes. Tie-break matches the old window's (dist asc, bucket asc)
+    # via a stable argsort.
+    def probe_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+            d = (
+                (v**2).sum(axis=1, keepdims=True)
+                - 2.0 * (v @ centers.T)
+                + (centers**2).sum(axis=1)
+            )
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["vid"].to_numpy(), order.shape[1]),
+                    "qv": np.repeat(pdf["vec"].to_numpy(), order.shape[1]),
+                    "bucket": order.ravel().astype("int32"),
+                }
+            )
+
+    probes = unit.mapInPandas(
+        probe_fn, schema="qid bigint, qv array<double>, bucket int"
     )
 
     def adc_bucket(probe_pdf: "pd.DataFrame", member_pdf: "pd.DataFrame"):
