@@ -579,3 +579,41 @@ def test_knn_classify_ann_serving_form(spark):
     assert {r.pred_label for r in rows} <= labels
     for r in rows:
         assert r.correct == (r.true_label == r.pred_label)
+
+
+def test_lloyd_kmeans_contract():
+    """The driver-side coarse-quantizer fit (r11 — replaced the four
+    MLlib KMeans sites): determinism given (data, k, seed), k >= n
+    clamp, every center finite, and the fit actually descends — the
+    within-cluster SSE after 8 iterations must not exceed the SSE of
+    the k-means++ init it started from."""
+    import numpy as np
+
+    from listenbrainz_server_spark.operators.similarity import lloyd_kmeans
+
+    rng = np.random.default_rng(7)
+    X = np.concatenate(
+        [rng.normal(c, 0.3, size=(200, 16)) for c in (-2.0, 0.0, 2.0)]
+    )
+
+    def sse(data, centers):
+        d = (
+            (data**2).sum(axis=1, keepdims=True)
+            - 2.0 * (data @ centers.T)
+            + (centers**2).sum(axis=1)
+        )
+        return d.min(axis=1).sum()
+
+    c1 = lloyd_kmeans(X, 8, seed=45)
+    c2 = lloyd_kmeans(X, 8, seed=45)
+    assert np.array_equal(c1, c2), "seeded fit must be deterministic"
+    assert c1.shape == (8, 16) and np.isfinite(c1).all()
+
+    init_only = lloyd_kmeans(X, 8, seed=45, max_iter=0)
+    assert sse(X, c1) <= sse(X, init_only) + 1e-9, "Lloyd must descend"
+
+    # k >= n clamps to n centers; duplicate rows can't crash the
+    # D²-weighted init (total distance mass goes to 0 -> uniform pick).
+    tiny = np.ones((3, 4))
+    c3 = lloyd_kmeans(tiny, 10, seed=1)
+    assert c3.shape == (3, 4) and np.isfinite(c3).all()
