@@ -673,10 +673,9 @@ def ivf_topk(
     2. ASSIGN: every vector gets its nearest-centroid bucket via one
        Arrow argmin pass against the broadcast center matrix (a
        narrow map — no shuffle, the ``ivfpq_encode`` shape).
-    3. PROBE: every query row computes distances to all centroids —
-       a broadcast cross join against the tiny centroid table with a
-       pure-expression squared-distance fold — and keeps its
-       ``n_probe`` closest buckets (recall/cost dial).
+    3. PROBE: the same Arrow pass emits each vector's ``n_probe``
+       closest buckets (stable argsort over the center distances —
+       the recall/cost dial); no n×k intermediate ever materializes.
     4. SEARCH: probe assignments equi-join bucket members on the
        bucket id (the ONLY shuffle key), exact cosine re-ranks inside
        — per-bucket population, not corpus size, bounds the quadratic
@@ -713,11 +712,17 @@ def ivf_topk(
         feats, "qv", n_centroids, seed=seed, max_iter=8
     )
 
-    # ONE Arrow pass computes the nearest bucket (assignment) AND the
-    # n_probe closest buckets (probe list) per vector — previously the
-    # probe side materialized n×k rows through a broadcast cross join
-    # and ranked them with a per-query window (a full shuffle); now
-    # both sides are narrow maps over the same frame and the ONLY
+    # The Arrow assign pass computes the nearest bucket (assignment)
+    # AND the n_probe closest buckets (probe list) per vector —
+    # previously the probe side materialized n×k rows through a
+    # broadcast cross join and ranked them with a per-query window (a
+    # full shuffle). The cogroup consumes members and probes as two
+    # subtrees, so this UNPINNED lineage executes twice — a deliberate
+    # trade: two columnar pruned scans + two vectorized matmuls cost
+    # less than materializing a corpus-sized checkpoint (the
+    # UnsafeRow-rescans trap), and the old code also scanned twice
+    # (transform pass + probe cross join). Both sides stay narrow
+    # maps over the same frame and the ONLY
     # shuffle left in the search is the bucket-keyed cogroup.
     # Tie-break matches the old window's (dist asc, bucket asc) via a
     # stable argsort over (dist, bucket).
@@ -726,11 +731,7 @@ def ivf_topk(
             if not len(pdf):
                 continue
             v = np.vstack(pdf["qv"].to_numpy()).astype("float64")
-            d = (
-                (v**2).sum(axis=1, keepdims=True)
-                - 2.0 * (v @ centers.T)
-                + (centers**2).sum(axis=1)
-            )
+            d = bucket_distances(v, centers)
             order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame(
                 {
@@ -978,6 +979,28 @@ def lsh_multiprobe_topk(
     )
 
 
+def bucket_distances(v, centers):
+    """Squared distances of each row of ``v`` to every center via the
+    |x|² − 2x·cᵀ + |c|² expansion (one BLAS matmul, no (n, k, dims)
+    temporary). Returns an (n, k) float64 matrix."""
+    return (
+        (v**2).sum(axis=1, keepdims=True)
+        - 2.0 * (v @ centers.T)
+        + (centers**2).sum(axis=1)
+    )
+
+
+def assign_buckets(v, centers):
+    """Nearest-center bucket per row (first-index tie-break). This is
+    THE bucket assignment — every coarse-quantizer consumer
+    (ivf_topk, ivfpq_topk's index pass, ivfpq_encode's
+    frozen-artifact path, semdedup) shares it so near-tie rows can
+    never bucket differently between a full index build and a delta
+    encode (the two floating-point formulations of squared distance
+    do not agree at ties)."""
+    return bucket_distances(v, centers).argmin(axis=1)
+
+
 def lloyd_kmeans(data, k: int, seed: int, max_iter: int = 8):
     """Seeded full-dimension Lloyd's over an in-memory sample:
     greedy D²-weighted (k-means++-style) init, vectorized assignment
@@ -995,6 +1018,10 @@ def lloyd_kmeans(data, k: int, seed: int, max_iter: int = 8):
     """
     import numpy as np
 
+    if len(data) == 0:
+        raise ValueError(
+            "lloyd_kmeans: empty training sample (no nonzero vectors?)"
+        )
     rng = np.random.default_rng(seed)
     n = len(data)
     k = min(k, n)
@@ -1026,25 +1053,89 @@ def coarse_train_centroids(
     sample_cap: int = 4096,
 ):
     """Train an IVF coarse quantizer FAISS-style: one distributed
-    TakeOrdered pulls ``sample_cap`` rows (ordered by content hash —
+    TakeOrdered pulls the training sample (ordered by content hash —
     partitioning-independent, same discipline as
     ``pq_train_codebooks``), then ``lloyd_kmeans`` fits driver-side.
-    Driver memory is bounded by the cap, never the corpus; the ONLY
-    distributed work is the single sample pull, where the previous
-    MLlib KMeans fit re-scanned the corpus every iteration.
+    The ONLY distributed work is the single sample pull, where the
+    previous MLlib KMeans fit re-scanned the corpus every iteration.
     Returns a (k', dims) float64 ndarray.
+
+    The effective sample is ``max(sample_cap, 40·k)`` — the FAISS
+    floor of ~40 training points per centroid — so a large
+    ``n_centroids='auto'`` dial (nlist ≈ √n) can never be silently
+    clamped to the sample size with one training point per center.
+    Driver memory stays model-bounded, not corpus-bounded: at the
+    dial's own √n growth, 40·√n rows (e.g. n=10⁸ → nlist 10⁴ →
+    400k × 64-dim doubles ≈ 200 MB on the driver, once, at a corpus
+    size where an MLlib fit would be ~10 full 100-TB-class passes).
+    Raises if the frame has no rows (e.g. an all-zero-vector corpus
+    after the unit-norm filter) rather than failing inside numpy.
     """
     import numpy as np
 
+    n_pull = max(sample_cap, 40 * k)
     sample = (
         vectors.select(as_double(F.col(vec_col)).alias("v"))
         .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
         .orderBy("_h")
-        .limit(sample_cap)
+        .limit(n_pull)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "coarse_train_centroids: no training vectors "
+            "(empty frame or all vectors filtered out)"
+        )
     data = np.array([r.v for r in sample], dtype="float64")
     return lloyd_kmeans(data, k, seed, max_iter=max_iter)
+
+
+def _ivfpq_train_from_unit(
+    unit: DataFrame,
+    n_centroids: int,
+    m: int,
+    k_sub: int,
+    seed: int,
+    sample_cap: int = 4096,
+):
+    """The single IVFPQ trainer (shared by ``ivfpq_topk`` and
+    ``ivfpq_train_artifacts`` — the frozen-artifact maintenance
+    contract depends on these never drifting): ONE bounded
+    content-hash sample pull powers BOTH fits driver-side —
+    ``lloyd_kmeans`` (maxIter=8, FAISS-style stable-enough lists) for
+    the coarse centers, then the SAME sample's own residuals feed
+    ``_fit_subspace_books``. Sample size follows
+    ``coarse_train_centroids``' 40-points-per-centroid floor.
+    Returns ``(centers, codebooks)`` as float64 ndarrays
+    ((k', dims) and (m, k_sub, dims//m)).
+    """
+    import numpy as np
+
+    n_pull = max(sample_cap, 40 * n_centroids)
+    sample = (
+        unit.select(F.col("vec").alias("v"))
+        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
+        .orderBy("_h")
+        .limit(n_pull)
+        .collect()
+    )
+    if not sample:
+        raise ValueError(
+            "ivfpq trainer: no training vectors "
+            "(empty frame or all vectors filtered out)"
+        )
+    data = np.array([r.v for r in sample], dtype="float64")
+    if len(data) < k_sub:
+        raise ValueError(
+            f"ivfpq trainer: need >= {k_sub} vectors to train the "
+            f"residual codebooks, got {len(data)}"
+        )
+    centers = lloyd_kmeans(data, n_centroids, seed, max_iter=8)
+    resid_sample = data - centers[assign_buckets(data, centers)]
+    cb = _fit_subspace_books(
+        resid_sample, m=m, k_sub=k_sub, seed=seed, max_iter=10
+    )
+    return centers, cb
 
 
 def pq_train_codebooks(
@@ -1456,41 +1547,16 @@ def ivfpq_topk(
     # cut the scan+normalize lineage re-executes per consumer.
     unit = unit_vectors(vectors, id_col, vec_col).localCheckpoint(eager=True)
     n_centroids = resolve_n_centroids(n_centroids, vectors)
-
-    # ONE bounded content-hash sample powers BOTH trainers (max_iter=8
-    # for the coarse fit: stable-enough lists, not convergence — FAISS
-    # practice; the residual codebooks train on the SAME sample's own
-    # residuals, same caps as pq_train_codebooks).
-    sample = (
-        unit.select(F.col("vec").alias("v"))
-        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
-        .orderBy("_h")
-        .limit(4096)
-        .collect()
+    centers, cb = _ivfpq_train_from_unit(
+        unit, n_centroids, m=m, k_sub=k_sub, seed=seed
     )
-    data = np.array([r.v for r in sample], dtype="float64")
-    centers = lloyd_kmeans(data, n_centroids, seed, max_iter=8)
-    d2s = (
-        (data**2).sum(axis=1, keepdims=True)
-        - 2.0 * (data @ centers.T)
-        + (centers**2).sum(axis=1)
-    )
-    resid_sample = data - centers[d2s.argmin(axis=1)]
-    cb = _fit_subspace_books(
-        resid_sample, m=m, k_sub=k_sub, seed=seed, max_iter=10
-    )  # (m, k_sub, sub)
 
     def encode(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
-            d = (
-                (v**2).sum(axis=1, keepdims=True)
-                - 2.0 * (v @ centers.T)
-                + (centers**2).sum(axis=1)
-            )
-            buckets = d.argmin(axis=1)
+            buckets = assign_buckets(v, centers)
             r = v - centers[buckets]
             codes = np.empty((len(v), m), dtype="int32")
             for j in range(m):
@@ -1520,11 +1586,7 @@ def ivfpq_topk(
             if not len(pdf):
                 continue
             v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
-            d = (
-                (v**2).sum(axis=1, keepdims=True)
-                - 2.0 * (v @ centers.T)
-                + (centers**2).sum(axis=1)
-            )
+            d = bucket_distances(v, centers)
             order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame(
                 {
@@ -1609,38 +1671,20 @@ def ivfpq_train_artifacts(
     against FROZEN artifacts by ``ivfpq_encode`` (pure per-row work, no
     refit), and a refit replaces the artifacts + re-encodes.
 
-    Same trainers and parameters as ``ivfpq_topk``: ONE bounded
-    content-hash sample pull, then ``lloyd_kmeans`` (maxIter=8) and
-    ``_fit_subspace_books`` on the sample's own residuals run
-    driver-side — training launches exactly one distributed job.
-    Returns ``(centers, codebooks)`` as nested Python floats — small
-    enough to persist as JSON next to the index and to ship as
-    closure literals.
+    SAME trainer as ``ivfpq_topk`` — both call
+    ``_ivfpq_train_from_unit``, the single-sourced fit (a drift
+    between the two would silently break delta-encode ≡ full-index
+    equivalence). Returns ``(centers, codebooks)`` as nested Python
+    floats — small enough to persist as JSON next to the index and to
+    ship as closure literals.
     """
-    import numpy as np
-
     sub = dims // m
     if sub * m != dims:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     unit = unit_vectors(vectors, id_col, vec_col)
     n_centroids = resolve_n_centroids(n_centroids, vectors)
-    sample = (
-        unit.select(F.col("vec").alias("v"))
-        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
-        .orderBy("_h")
-        .limit(4096)
-        .collect()
-    )
-    data = np.array([r.v for r in sample], dtype="float64")
-    centers_np = lloyd_kmeans(data, n_centroids, seed, max_iter=8)
-    d2s = (
-        (data**2).sum(axis=1, keepdims=True)
-        - 2.0 * (data @ centers_np.T)
-        + (centers_np**2).sum(axis=1)
-    )
-    resid_sample = data - centers_np[d2s.argmin(axis=1)]
-    cb = _fit_subspace_books(
-        resid_sample, m=m, k_sub=k_sub, seed=seed, max_iter=10
+    centers_np, cb = _ivfpq_train_from_unit(
+        unit, n_centroids, m=m, k_sub=k_sub, seed=seed
     )
     centers = [[float(x) for x in c] for c in centers_np]
     books = [[[float(v) for v in c] for c in cb[j]] for j in range(m)]
@@ -1684,8 +1728,11 @@ def ivfpq_encode(
             if not len(pdf):
                 continue
             v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
-            d2c = ((v[:, None, :] - c_arr[None, :, :]) ** 2).sum(axis=2)
-            bucket = d2c.argmin(axis=1)
+            # SHARED assignment (assign_buckets): must be the exact
+            # same floating-point formulation as ivfpq_topk's index
+            # pass, or near-tie rows bucket differently between a
+            # delta encode and a full rebuild.
+            bucket = assign_buckets(v, c_arr)
             r = v - c_arr[bucket]
             codes = np.empty((len(v), m), dtype="int32")
             for j in range(m):
@@ -1914,9 +1961,11 @@ def semdedup(
 
     # ONE shared repartitioned frame feeds both branches (zero lazy —
     # materialized only in the final union as a parallel pass). The
-    # unit frame is pinned because THREE consumers read it: the
-    # trainer's sample pull, the Arrow assign pass, and nothing
-    # downstream (members re-pins after assignment).
+    # unit frame is pinned because TWO consumers read it — the
+    # trainer's sample pull and the Arrow assign pass — and without
+    # the pin each would re-execute the repartition shuffle +
+    # normalize; members re-pins after assignment for its own three
+    # downstream consumers.
     raw = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
     ).repartition(32)
@@ -1933,16 +1982,11 @@ def semdedup(
             if not len(pdf):
                 continue
             v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
-            d = (
-                (v**2).sum(axis=1, keepdims=True)
-                - 2.0 * (v @ centers.T)
-                + (centers**2).sum(axis=1)
-            )
             yield pd.DataFrame(
                 {
                     "vid": pdf["vid"].to_numpy(),
                     "vec": pdf["vec"].to_numpy(),
-                    "cluster": d.argmin(axis=1).astype("int32"),
+                    "cluster": assign_buckets(v, centers).astype("int32"),
                 }
             )
 

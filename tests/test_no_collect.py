@@ -31,10 +31,10 @@ ALLOWED = {
     # lloyd_kmeans on the driver replaced MLlib's per-iteration
     # full-corpus passes; the model is (k × dims) doubles).
     ("operators/similarity.py", "coarse_train_centroids"),
-    # IVFPQ trainers: ONE 4096-capped sample powers both the coarse
-    # Lloyd fit and the residual codebooks (r11).
-    ("operators/similarity.py", "ivfpq_topk"),
-    ("operators/similarity.py", "ivfpq_train_artifacts"),
+    # IVFPQ trainer (single-sourced, shared by ivfpq_topk and
+    # ivfpq_train_artifacts): ONE capped sample pull powers both the
+    # coarse Lloyd fit and the residual codebooks (r11).
+    ("operators/similarity.py", "_ivfpq_train_from_unit"),
     # OPQ rotation fit: the same sample_cap-bounded pull as the PQ
     # trainer (r10; alternating Procrustes/Lloyd runs driver-side on
     # at most sample_cap rows regardless of corpus size).
