@@ -685,6 +685,16 @@ def ivf_topk(
     bucket sizes stay balanced where hyperplanes would shear dense
     regions. Seeded + deterministic; scores are exact cosine.
 
+    PRECONDITION (ADVICE r11): ``vectors`` must have DETERMINISTIC
+    lineage — the assign pass is deliberately unpinned and its two
+    consumers (members, probes) re-execute it, so a source whose
+    re-execution can yield different rows or ids (un-seeded
+    ``sample()``, ``limit()`` without an order, ``rand()``-derived
+    ids) would give the two subtrees inconsistent row sets. Callers
+    with such a source must ``localCheckpoint`` it first (the
+    registered queries read parquet — deterministic; ``ivfpq_topk``
+    pins its unit frame and is immune).
+
     The SEARCH step scores candidates with a cogrouped Arrow/numpy
     matmul per bucket (probes × members), not per-pair column
     expressions: interpreted higher-order-function dot products cost
@@ -731,8 +741,7 @@ def ivf_topk(
             if not len(pdf):
                 continue
             v = np.vstack(pdf["qv"].to_numpy()).astype("float64")
-            d = bucket_distances(v, centers)
-            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            order = probe_buckets(v, centers, n_probe)
             yield pd.DataFrame(
                 {
                     "nid": pdf["qid"].to_numpy(),
@@ -982,12 +991,23 @@ def lsh_multiprobe_topk(
 def bucket_distances(v, centers):
     """Squared distances of each row of ``v`` to every center via the
     |x|² − 2x·cᵀ + |c|² expansion (one BLAS matmul, no (n, k, dims)
-    temporary). Returns an (n, k) float64 matrix."""
+    temporary). Returns an (n, k) float64 matrix — callers with large
+    n·k go through ``assign_buckets``/``probe_buckets``, which chunk
+    rows so this matrix is only ever (block, k)."""
     return (
         (v**2).sum(axis=1, keepdims=True)
         - 2.0 * (v @ centers.T)
         + (centers**2).sum(axis=1)
     )
+
+
+def _assign_block_rows(k: int) -> int:
+    """Row-block size for blockwise center-distance passes: caps the
+    (block × k) float64 distance matrix at 2²⁵ doubles (256 MB), with
+    a 1024-row floor so tiny k doesn't over-chunk. Deterministic in k
+    alone — per-row results never depend on how rows were blocked
+    (each row's distance vector is the same expression either way)."""
+    return max(1024, (1 << 25) // max(k, 1))
 
 
 def assign_buckets(v, centers):
@@ -997,16 +1017,63 @@ def assign_buckets(v, centers):
     frozen-artifact path, semdedup) shares it so near-tie rows can
     never bucket differently between a full index build and a delta
     encode (the two floating-point formulations of squared distance
-    do not agree at ties)."""
-    return bucket_distances(v, centers).argmin(axis=1)
+    do not agree at ties).
+
+    Blockwise (ADVICE r11): peak memory is (block × k), never
+    (n × k) — at the nlist ∝ √n dial (k = 10⁴) a 400k-row training
+    sample would otherwise allocate a 32 GB distance matrix on the
+    driver."""
+    import numpy as np
+
+    n = len(v)
+    blk = _assign_block_rows(len(centers))
+    if n <= blk:
+        return bucket_distances(v, centers).argmin(axis=1)
+    out = np.empty(n, dtype="int64")
+    for s in range(0, n, blk):
+        out[s : s + blk] = bucket_distances(v[s : s + blk], centers).argmin(
+            axis=1
+        )
+    return out
+
+
+def probe_buckets(v, centers, n_probe: int):
+    """Per row: the ``n_probe`` nearest center indices, tie-broken
+    (dist asc, bucket asc) via a stable argsort — the IVF probe list.
+    Column 0 is exactly ``assign_buckets`` (stable argsort's first
+    element is the first-index argmin), so assign+probe fuse into one
+    pass. Blockwise like ``assign_buckets``: peak memory (block × k)."""
+    import numpy as np
+
+    n = len(v)
+    take = min(n_probe, len(centers))
+    blk = _assign_block_rows(len(centers))
+    if n <= blk:
+        d = bucket_distances(v, centers)
+        return np.argsort(d, axis=1, kind="stable")[:, :take]
+    out = np.empty((n, take), dtype="int64")
+    for s in range(0, n, blk):
+        d = bucket_distances(v[s : s + blk], centers)
+        out[s : s + blk] = np.argsort(d, axis=1, kind="stable")[:, :take]
+    return out
 
 
 def lloyd_kmeans(data, k: int, seed: int, max_iter: int = 8):
     """Seeded full-dimension Lloyd's over an in-memory sample:
-    greedy D²-weighted (k-means++-style) init, vectorized assignment
-    via the |x|² − 2x·cᵀ + |c|² expansion, empty clusters keep their
-    previous center. Deterministic given (data order, k, seed).
-    Returns a (k', dims) float64 ndarray with k' = min(k, len(data)).
+    greedy D²-weighted (k-means++-style) init, blockwise vectorized
+    assignment via the |x|² − 2x·cᵀ + |c|² expansion, empty clusters
+    keep their previous center. Deterministic given (data order, k,
+    seed). Returns a (k', dims) float64 ndarray, k' = min(k, len(data)).
+
+    Memory bound (the real one, ADVICE r11): peak extra allocation is
+    max(block × k, n × dims) float64 with block = 2²⁵/k rows — ~256 MB
+    for the distance blocks plus the sample itself, NOT the old
+    (n × k) full distance matrix (32 GB at the √n dial's nlist=10⁴ ×
+    400k-row sample). Time: the greedy D² init is k sequential
+    O(n·dims) passes — at nlist=10⁴ that is the dominant trainer cost
+    (~10¹¹ flops, minutes of driver numpy, still driver-bounded and
+    corpus-independent vs max_iter full 100-TB corpus scans for an
+    MLlib fit).
 
     This is the coarse-quantizer twin of ``_fit_subspace_books``: the
     model is at most (k × dims) doubles and saturates on a few
@@ -1033,15 +1100,56 @@ def lloyd_kmeans(data, k: int, seed: int, max_iter: int = 8):
         idx = int(rng.choice(n, p=d2 / tot)) if tot > 0 else int(rng.integers(n))
         centers[i] = data[idx]
         d2 = np.minimum(d2, ((data - centers[i]) ** 2).sum(axis=1))
-    sq = (data**2).sum(axis=1, keepdims=True)
+    # Lloyd loop, memory-bounded (ADVICE r11): assignment goes through
+    # the shared blockwise assign_buckets (peak (block × k), never
+    # (n × k) — at the √n dial, nlist=10⁴ on a 400k sample is a 32 GB
+    # matrix the old full-matrix pass would have allocated), and the
+    # update step sorts rows by assignment once and means contiguous
+    # segments — O(n·dims + k) instead of k full-sample boolean masks.
+    # Bitwise-identical to the mask form: a stable argsort preserves
+    # original row order inside each segment, so each segment is the
+    # same rows in the same order the boolean mask would gather.
     for _ in range(max_iter):
-        d = sq - 2.0 * (data @ centers.T) + (centers**2).sum(axis=1)
-        assign = d.argmin(axis=1)
+        assign = assign_buckets(data, centers)
+        order = np.argsort(assign, kind="stable")
+        srt = data[order]
+        bounds = np.searchsorted(assign[order], np.arange(k + 1))
         for c in range(k):
-            mask = assign == c
-            if mask.any():
-                centers[c] = data[mask].mean(axis=0)
+            lo, hi = bounds[c], bounds[c + 1]
+            if hi > lo:
+                centers[c] = srt[lo:hi].mean(axis=0)
     return centers
+
+
+def _train_sample(vectors: DataFrame, vec_expr, n_pull: int, what: str):
+    """THE bounded training-sample pull, single-sourced (ADVICE r11)
+    across every driver-side trainer — ``coarse_train_centroids``,
+    ``_ivfpq_train_from_unit``, ``pq_train_codebooks``, ``opq_train``.
+    Orders by the md5 content hash of the comma-joined vector
+    (partitioning-independent: the same corpus yields the same sample
+    regardless of file layout or parallelism), TakeOrdered-limits to
+    ``n_pull`` rows — ONE distributed job, driver memory bounded by
+    n_pull × dims. Returns a float64 (n, dims) ndarray; raises
+    ``ValueError`` on an empty frame (e.g. all-zero vectors filtered
+    upstream) rather than failing inside numpy. Sharing this pull is
+    what guarantees trainers fed from the same frame train on the
+    same rows — the drift the IVFPQ single-sourcing contract forbids.
+    """
+    import numpy as np
+
+    sample = (
+        vectors.select(vec_expr.alias("v"))
+        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
+        .orderBy("_h")
+        .limit(n_pull)
+        .collect()
+    )
+    if not sample:
+        raise ValueError(
+            f"{what}: no training vectors "
+            "(empty frame or all vectors filtered out)"
+        )
+    return np.array([r.v for r in sample], dtype="float64")
 
 
 def coarse_train_centroids(
@@ -1064,29 +1172,20 @@ def coarse_train_centroids(
     floor of ~40 training points per centroid — so a large
     ``n_centroids='auto'`` dial (nlist ≈ √n) can never be silently
     clamped to the sample size with one training point per center.
-    Driver memory stays model-bounded, not corpus-bounded: at the
-    dial's own √n growth, 40·√n rows (e.g. n=10⁸ → nlist 10⁴ →
-    400k × 64-dim doubles ≈ 200 MB on the driver, once, at a corpus
-    size where an MLlib fit would be ~10 full 100-TB-class passes).
+    Driver memory stays sample+block-bounded, not corpus-bounded: at
+    the dial's own √n growth, 40·√n rows (e.g. n=10⁸ → nlist 10⁴ →
+    400k × 64-dim doubles ≈ 200 MB for the sample) plus the Lloyd
+    loop's blockwise (block × k) distance matrix capped at 256 MB
+    (``_assign_block_rows`` — the full (n_sample × k) matrix would be
+    32 GB at that dial and is never materialized), at a corpus size
+    where an MLlib fit would be ~10 full 100-TB-class passes.
     Raises if the frame has no rows (e.g. an all-zero-vector corpus
     after the unit-norm filter) rather than failing inside numpy.
     """
-    import numpy as np
-
     n_pull = max(sample_cap, 40 * k)
-    sample = (
-        vectors.select(as_double(F.col(vec_col)).alias("v"))
-        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
-        .orderBy("_h")
-        .limit(n_pull)
-        .collect()
+    data = _train_sample(
+        vectors, as_double(F.col(vec_col)), n_pull, "coarse_train_centroids"
     )
-    if not sample:
-        raise ValueError(
-            "coarse_train_centroids: no training vectors "
-            "(empty frame or all vectors filtered out)"
-        )
-    data = np.array([r.v for r in sample], dtype="float64")
     return lloyd_kmeans(data, k, seed, max_iter=max_iter)
 
 
@@ -1109,22 +1208,8 @@ def _ivfpq_train_from_unit(
     Returns ``(centers, codebooks)`` as float64 ndarrays
     ((k', dims) and (m, k_sub, dims//m)).
     """
-    import numpy as np
-
     n_pull = max(sample_cap, 40 * n_centroids)
-    sample = (
-        unit.select(F.col("vec").alias("v"))
-        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
-        .orderBy("_h")
-        .limit(n_pull)
-        .collect()
-    )
-    if not sample:
-        raise ValueError(
-            "ivfpq trainer: no training vectors "
-            "(empty frame or all vectors filtered out)"
-        )
-    data = np.array([r.v for r in sample], dtype="float64")
+    data = _train_sample(unit, F.col("vec"), n_pull, "ivfpq trainer")
     if len(data) < k_sub:
         raise ValueError(
             f"ivfpq trainer: need >= {k_sub} vectors to train the "
@@ -1166,19 +1251,12 @@ def pq_train_codebooks(
     into column-expression literals, so encode and ADC scoring never
     leave the JVM.
     """
-    import numpy as np
-
     sub = dims // m
     if sub * m != dims:
         raise ValueError(f"dims={dims} not divisible by m={m}")
-    sample = (
-        vectors.select(as_double(F.col(vec_col)).alias("v"))
-        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
-        .orderBy("_h")
-        .limit(sample_cap)
-        .collect()
+    data = _train_sample(
+        vectors, as_double(F.col(vec_col)), sample_cap, "pq_train_codebooks"
     )
-    data = np.array([r.v for r in sample], dtype="float64")
     if len(data) < k_sub:
         raise ValueError(f"need >= {k_sub} vectors to train, got {len(data)}")
 
@@ -1212,9 +1290,19 @@ def _fit_subspace_books(
             centers = x[rng.choice(len(x), size=k_sub, replace=False)].copy()
         else:
             centers = init[j].copy()
+        # Row-blocked assignment (same discipline as assign_buckets):
+        # the (n, k_sub, sub) broadcast temp is fine at the 4096 PQ
+        # cap but not for the IVFPQ residual sample, which grows with
+        # the 40·nlist floor (400k rows at the √n dial ≈ 800 MB).
+        # Per-row results are identical — same expression either way.
+        blk = max(1024, (1 << 24) // max(k_sub * sub, 1))
         for _ in range(max_iter):
-            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = np.empty(len(x), dtype="int64")
+            for s in range(0, len(x), blk):
+                d2 = (
+                    (x[s : s + blk, None, :] - centers[None, :, :]) ** 2
+                ).sum(axis=2)
+                assign[s : s + blk] = d2.argmin(axis=1)
             for c in range(k_sub):
                 mask = assign == c
                 if mask.any():
@@ -1278,14 +1366,9 @@ def opq_train(
     sub = dims // m
     if sub * m != dims:
         raise ValueError(f"dims={dims} not divisible by m={m}")
-    sample = (
-        vectors.select(as_double(F.col(vec_col)).alias("v"))
-        .withColumn("_h", F.md5(F.concat_ws(",", F.col("v"))))
-        .orderBy("_h")
-        .limit(sample_cap)
-        .collect()
+    X = _train_sample(
+        vectors, as_double(F.col(vec_col)), sample_cap, "opq_train"
     )
-    X = np.array([r.v for r in sample], dtype="float64")
     if len(X) < k_sub:
         raise ValueError(f"need >= {k_sub} vectors to train, got {len(X)}")
 
@@ -1551,6 +1634,18 @@ def ivfpq_topk(
         unit, n_centroids, m=m, k_sub=k_sub, seed=seed
     )
 
+    # Output id columns keep the INPUT id column's type (ADVICE r11 —
+    # same rule ivf_topk adopted in r3: a hardcoded bigint narrowed
+    # the operator to 64-bit integer ids; string ids must survive the
+    # Arrow passes and the cogroup schema too).
+    id_spark_t = vectors.schema[id_col].dataType.simpleString()
+    id_pd_dtype = {
+        "tinyint": "int64",
+        "smallint": "int64",
+        "int": "int64",
+        "bigint": "int64",
+    }.get(id_spark_t, "object")
+
     def encode(batches):
         for pdf in batches:
             if not len(pdf):
@@ -1572,7 +1667,7 @@ def ivfpq_topk(
             )
 
     members = unit.mapInPandas(
-        encode, schema="nid bigint, bucket int, codes array<int>"
+        encode, schema=f"nid {id_spark_t}, bucket int, codes array<int>"
     )
 
     # Probe side: its own narrow Arrow pass (argsort top-n_probe vs
@@ -1586,8 +1681,7 @@ def ivfpq_topk(
             if not len(pdf):
                 continue
             v = np.vstack(pdf["vec"].to_numpy()).astype("float64")
-            d = bucket_distances(v, centers)
-            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            order = probe_buckets(v, centers, n_probe)
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(pdf["vid"].to_numpy(), order.shape[1]),
@@ -1597,12 +1691,12 @@ def ivfpq_topk(
             )
 
     probes = unit.mapInPandas(
-        probe_fn, schema="qid bigint, qv array<double>, bucket int"
+        probe_fn, schema=f"qid {id_spark_t}, qv array<double>, bucket int"
     )
 
     def adc_bucket(probe_pdf: "pd.DataFrame", member_pdf: "pd.DataFrame"):
         empty = pd.DataFrame({"qid": [], "nid": [], "approx": []}).astype(
-            {"qid": "int64", "nid": "int64", "approx": "float64"}
+            {"qid": id_pd_dtype, "nid": id_pd_dtype, "approx": "float64"}
         )
         if len(probe_pdf) == 0 or len(member_pdf) == 0:
             return empty
@@ -1633,7 +1727,10 @@ def ivfpq_topk(
     scored = (
         probes.groupby("bucket")
         .cogroup(members.groupby("bucket"))
-        .applyInPandas(adc_bucket, schema="qid bigint, nid bigint, approx double")
+        .applyInPandas(
+            adc_bucket,
+            schema=f"qid {id_spark_t}, nid {id_spark_t}, approx double",
+        )
     )
     w_adc = Window.partitionBy("qid").orderBy(F.col("approx").asc(), F.col("nid"))
     survivors = (
@@ -1748,7 +1845,10 @@ def ivfpq_encode(
                 out["vec"] = pdf["vec"].to_numpy()
             yield pd.DataFrame(out)
 
-    schema = "nid bigint, bucket int, codes array<int>"
+    # Keep the input id type (ADVICE r11, same rule as ivf/ivfpq_topk)
+    # — a delta batch with string ids must encode too.
+    id_spark_t = vectors.schema[id_col].dataType.simpleString()
+    schema = f"nid {id_spark_t}, bucket int, codes array<int>"
     if keep_vec:
         schema += ", vec array<double>"
     return unit.mapInPandas(encode, schema=schema)

@@ -617,3 +617,86 @@ def test_lloyd_kmeans_contract():
     tiny = np.ones((3, 4))
     c3 = lloyd_kmeans(tiny, 10, seed=1)
     assert c3.shape == (3, 4) and np.isfinite(c3).all()
+
+
+def test_blockwise_assign_probe_equal_full_matrix(monkeypatch):
+    """assign_buckets / probe_buckets (r12, ADVICE r11: the Lloyd loop
+    must never materialize an (n x k) distance matrix) chunk rows —
+    per-row results must be IDENTICAL to the full-matrix formulation
+    for any block size, since each row's distance vector is the same
+    expression either way."""
+    import numpy as np
+
+    from listenbrainz_server_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=(500, 16))
+    centers = rng.normal(size=(7, 16))
+
+    full_d = sim.bucket_distances(v, centers)
+    want_assign = full_d.argmin(axis=1)
+    want_probe = np.argsort(full_d, axis=1, kind="stable")[:, :3]
+
+    for blk in (64, 100, 499, 500, 10_000):
+        monkeypatch.setattr(sim, "_assign_block_rows", lambda k, b=blk: b)
+        assert np.array_equal(sim.assign_buckets(v, centers), want_assign)
+        assert np.array_equal(sim.probe_buckets(v, centers, 3), want_probe)
+    # n_probe > k clamps to k columns.
+    monkeypatch.setattr(sim, "_assign_block_rows", lambda k: 64)
+    assert sim.probe_buckets(v, centers, 99).shape == (500, 7)
+
+
+def test_lloyd_kmeans_block_size_invariant(monkeypatch):
+    """The fitted centers must not depend on the assignment block size
+    (the blocking is a memory shape, not a numeric choice): tiny
+    blocks == one block, bitwise."""
+    import numpy as np
+
+    from listenbrainz_server_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(600, 8))
+    base = sim.lloyd_kmeans(X, 9, seed=45)
+    monkeypatch.setattr(sim, "_assign_block_rows", lambda k: 37)
+    small = sim.lloyd_kmeans(X, 9, seed=45)
+    assert np.array_equal(base, small)
+
+
+def test_ivfpq_topk_and_encode_preserve_string_ids(spark):
+    """ADVICE r11: ivfpq_topk / ivfpq_encode hardcoded bigint id
+    schemas while ivf_topk was already id-type generic — string ids
+    must survive both Arrow passes and the ADC cogroup, and the
+    results must be the bigint run's results modulo the cast."""
+    from listenbrainz_server_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train_artifacts,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    as_str = emb.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+
+    kw = dict(dims=64, k=3, n_centroids=4, n_probe=2, m=8, k_sub=16)
+    want = {
+        (str(r.qid), str(r.nid), r.score, r.rank)
+        for r in ivfpq_topk(emb, "vec_id", "embedding", **kw).collect()
+    }
+    got_df = ivfpq_topk(as_str, "vec_id", "embedding", **kw)
+    assert dict(got_df.dtypes)["qid"] == "string"
+    assert dict(got_df.dtypes)["nid"] == "string"
+    got = {(r.qid, r.nid, r.score, r.rank) for r in got_df.collect()}
+    assert got == want and len(got) > 0
+
+    centers, books = ivfpq_train_artifacts(
+        emb, "vec_id", "embedding", dims=64, n_centroids=4, m=8, k_sub=16
+    )
+    enc_int = {
+        (str(r.nid), r.bucket, tuple(r.codes))
+        for r in ivfpq_encode(emb, "vec_id", "embedding", centers, books).collect()
+    }
+    enc_df = ivfpq_encode(as_str, "vec_id", "embedding", centers, books)
+    assert dict(enc_df.dtypes)["nid"] == "string"
+    enc_str = {(r.nid, r.bucket, tuple(r.codes)) for r in enc_df.collect()}
+    assert enc_str == enc_int and len(enc_str) > 0
