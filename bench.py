@@ -16,11 +16,15 @@ Headline timings are the MEDIAN OF 3 runs per query (VERDICT r4 #4):
 single-shot numbers mix first-touch costs (JIT, Arrow worker spin-up,
 parquet footer caches) into whichever queries run early, which round 4
 showed can fabricate 15%+ "regressions" that a second run disproves.
-The --all sweep is single-pass for sub-2 s queries (the bulk of the
-registry, where warm-up amortizes naturally) but promotes any query
-whose first run exceeds 2 s to median-of-3 and records every sample
-in BENCH_full_latest.json (VERDICT r5 #4) — the heavies are exactly
-where 1-run numbers can't separate regression from noise.
+The --all sweep runs ONE UNTIMED WARM-UP per query (VERDICT r11 #1 —
+a single-run sweep otherwise times run 0 of cold mapInPandas stages,
+the documented ~5 s worker spin-up trap) then a single timed pass,
+promoting any query whose warm run exceeds 2 s to median-of-3; every
+sample plus per-query warm-up seconds land in BENCH_full_latest.json,
+and queries whose cold run exceeded 1.5x their warm median are listed
+under "cold_start". Both modes stamp "window_unstable" (start/end
+probe gap > 1.5x — normalized cross-round ratios from such a window
+carry the probe's noise, not the queries').
 """
 
 from __future__ import annotations
@@ -191,10 +195,18 @@ def main() -> None:
     ALS(maxIter=1, rank=2, seed=1, userCol="user", itemCol="item",
         ratingCol="rating").fit(tiny)
 
-    # --all: one pass, but any query over HEAVY_SECS gets two more runs
-    # and reports the median (VERDICT r5 #4: a 1-run full bench cannot
-    # distinguish regression from noise exactly where it matters — the
-    # heavies). Per-run samples land in the artifact either way.
+    # --all: ONE UNTIMED WARM-UP per query, then one timed pass; any
+    # query over HEAVY_SECS (warm) gets two more runs and reports the
+    # median (VERDICT r5 #4: a 1-run full bench cannot distinguish
+    # regression from noise exactly where it matters — the heavies).
+    # The warm-up (VERDICT r11 #1) exists because a single-run sweep
+    # otherwise times run 0 of cold mapInPandas stages — the repo's
+    # own documented ~5 s Python-worker spin-up trap — manufacturing
+    # phantom regressions in the artifact of record (r11:
+    # mm_decode_features read 2.7x its headline median; g_pagerank
+    # 2.3x; both IMPROVED in the median-of-3 headline). Warm-up
+    # seconds are recorded per query (warmup_secs) and any query whose
+    # cold run exceeds 1.5x its warm median is flagged in cold_start.
     runs = 1 if run_all else 3
     HEAVY_SECS = 2.0
     # Intra-sweep drift trace (r11): the start/end probe pair can
@@ -207,6 +219,7 @@ def main() -> None:
     probe_trace: list[list] = []
     timings: dict[str, float] = {}
     samples_by_query: dict[str, list[float]] = {}
+    warmup_by_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     for qi, name in enumerate(names):
         if run_all and qi % PROBE_EVERY == 0:
@@ -225,6 +238,14 @@ def main() -> None:
             samples.append(time.time() - t0)
 
         try:
+            if run_all:
+                # Untimed warm-up (VERDICT r11 #1): absorbs Python
+                # worker spin-up / JIT / footer caches so the timed
+                # run measures steady state, same as the headline's
+                # median-of-3 does implicitly. Duration recorded so
+                # cold-start cost stays visible instead of billed.
+                one_run()
+                warmup_by_query[name] = round(samples.pop(), 2)
             for _ in range(runs):
                 one_run()
             if run_all and samples[0] > HEAVY_SECS:
@@ -248,6 +269,16 @@ def main() -> None:
     probe_end = _run_probe(spark, registry, sf_dir)
     probe_median = round((probe_start + probe_end) / 2, 3)
     window_factor = round(probe_median / PROBE_REF_SECS, 3)
+    # Machine-readable instability flag (VERDICT r11 #2): a start/end
+    # probe gap > 1.5x means the window itself moved mid-sweep and
+    # even normalized cross-round ratios carry the probe's noise, not
+    # the queries' — readers (and tools/endround.py, which re-runs
+    # once when tripped) should prefer raw like-for-like or same-
+    # session A/Bs over this artifact's normalized value.
+    window_unstable = (
+        max(probe_start, probe_end) / max(min(probe_start, probe_end), 1e-9)
+        > 1.5
+    )
     total = round(sum(timings.values()), 2)
     out = {
         "metric": "headline_query_wall_seconds" if not run_all else "total_query_wall_seconds",
@@ -263,8 +294,19 @@ def main() -> None:
         "probe_secs": [probe_start, probe_end],
         "probe_ref_secs": PROBE_REF_SECS,
         "window_factor": window_factor,
+        "window_unstable": window_unstable,
         "value_normalized": round(total / window_factor, 2) if window_factor else None,
     }
+    if run_all:
+        # cold_start: queries whose untimed warm-up ran >1.5x their
+        # warm median — exactly the set whose single-run reading
+        # would have manufactured a phantom regression pre-r12.
+        out["cold_start"] = {
+            n: warmup_by_query[n]
+            for n in sorted(timings)
+            if n in warmup_by_query
+            and warmup_by_query[n] > 1.5 * max(timings[n], 0.01)
+        }
     if not run_all:
         out["value_comparable"] = round(
             sum(t for n, t in timings.items() if n in HEADLINE), 2
@@ -286,10 +328,12 @@ def main() -> None:
         window_id = time.strftime("%Y-%m-%dT%H:%M:%S")
         window_meta = {"window_id": window_id, "window_factor": window_factor,
                        "probe_secs": [probe_start, probe_end],
+                       "window_unstable": window_unstable,
                        "probe_trace": probe_trace}
         artifact = {
             **out,
             "samples": samples_by_query,
+            "warmup_secs": warmup_by_query,
             "sf_dir": sf_dir,
             "windows": {window_id: window_meta},
             "query_window": {n: window_id for n in timings},
@@ -304,6 +348,12 @@ def main() -> None:
                 )
             merged_q = {**prior.get("queries", {}), **timings}
             merged_s = {**prior.get("samples", {}), **samples_by_query}
+            merged_wu = {**prior.get("warmup_secs", {}), **warmup_by_query}
+            merged_cs = {
+                n: w
+                for n, w in merged_wu.items()
+                if n in merged_q and w > 1.5 * max(merged_q[n], 0.01)
+            }
             merged_e = {**prior.get("errors", {}), **errors}
             for n in timings:  # a now-passing query clears its old error
                 merged_e.pop(n, None)
@@ -314,6 +364,8 @@ def main() -> None:
                 **prior,
                 "queries": merged_q,
                 "samples": merged_s,
+                "warmup_secs": merged_wu,
+                "cold_start": merged_cs,
                 "value": round(sum(merged_q.values()), 2),
                 "merged": True,
                 "windows": merged_w,
@@ -326,7 +378,8 @@ def main() -> None:
             # window's probe — drop them (readers normalize per
             # query via query_window -> windows[...].factor).
             for stale in ("value_normalized", "window_factor",
-                          "probe_secs", "probe_ref_secs"):
+                          "probe_secs", "probe_ref_secs",
+                          "window_unstable"):
                 artifact.pop(stale, None)
             if merged_e:
                 artifact["errors"] = merged_e

@@ -36,11 +36,16 @@ def main() -> None:
         "`CartesianProduct` = unbounded n×m; `ArrowEvalPython`/`MapInPandas`",
         "= vectorized Python (allowed where declared); SMJ/BHJ = join picks.",
         "",
-        "Footnote: `m_als_recommend` shows one `CartesianProduct` — it is",
-        "INSIDE MLlib's `recommendForAllUsers` blocked factor-matrix cross",
-        "(each side is a rank-wide factor block, cost bounded by",
-        "rank × block sizes — that IS the blocked algorithm), not builder",
-        "plan code. Explained; do not re-investigate.",
+        "Footnote (reconciled, VERDICT r11 #3): every row counts what",
+        "its plan actually shows at audit time — `m_als_recommend`",
+        "currently shows ZERO `CartesianProduct` (this Spark/MLlib",
+        "build plans `recommendForAllUsers` without one; an earlier",
+        "build planned its blocked factor-matrix cross as one). If a",
+        "future MLlib version reintroduces it, the count appears in the",
+        "row and the flag check exempts ONLY this name: that cross is",
+        "MLlib-internal-by-design (each side is a rank-wide factor",
+        "block, cost bounded by rank × block sizes — that IS the",
+        "blocked algorithm), not builder plan code.",
         "",
         "| query | exchanges | BHJ | SMJ | cartesian | rowPyUDF | arrowPy |",
         "|---|---|---|---|---|---|---|",

@@ -284,6 +284,24 @@ def main() -> int:
         if r.returncode != 0:
             failures.append(f"{label} exited {r.returncode}")
 
+    # VERDICT r11 #2: an unstable probe window (start/end gap > 1.5x)
+    # makes the sweep's normalized numbers unadjudicable — re-run the
+    # full bench ONCE when the artifact flags it. If the second window
+    # is also unstable, keep its flag (the artifact self-annotates)
+    # rather than loop; readers then prefer raw like-for-like.
+    if not delta:
+        bpath = os.path.join(REPO, "BENCH_full_latest.json")
+        if os.path.exists(bpath):
+            with open(bpath) as f:
+                if json.load(f).get("window_unstable"):
+                    print("== full bench: window_unstable tripped, re-running once")
+                    r = subprocess.run(
+                        [sys.executable, os.path.join(REPO, "bench.py"), "--all"],
+                        cwd=REPO,
+                    )
+                    if r.returncode != 0:
+                        failures.append(f"bench re-run exited {r.returncode}")
+
     # Full-pass artifacts get the git head stamp too, so the next
     # --delta can diff staleness against it.
     if not delta and os.path.exists(check_path):
