@@ -255,8 +255,13 @@ def m_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def als_recommend_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The serving form: (user_id, item_id, score) top-3 per user."""
+def als_serving_fit(spark: SparkSession, sf_dir: str):
+    """Fit THE serving-form implicit-ALS model (single-sourced so the
+    numpy-replay pin in tests/test_als_replay.py audits exactly the
+    model ``als_recommend_raw`` serves — MLlib factor init depends on
+    seed AND input block structure, so a test refitting with 'the same
+    params' on its own frame could silently audit a different model).
+    Returns the fitted ALSModel."""
     from pyspark.ml.recommendation import ALS
 
     pc = _playcounts(spark, sf_dir)
@@ -282,7 +287,12 @@ def als_recommend_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         itemCol="item",
         ratingCol="rating",
     )
-    model = als.fit(train)
+    return als.fit(train)
+
+
+def als_recommend_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving form: (user_id, item_id, score) top-3 per user."""
+    model = als_serving_fit(spark, sf_dir)
     recs = model.recommendForAllUsers(3)
     return recs.select(
         F.col("user").cast("bigint").alias("user_id"),
