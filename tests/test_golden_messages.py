@@ -81,3 +81,28 @@ def test_incremental_golden_equals_direct_recompute():
 
     assert strip(direct["rows"]) == strip(incr["rows"])
     assert direct["n_messages"] == incr["n_messages"]
+
+
+@pytest.mark.parametrize(
+    "incr_stem,direct_stem",
+    [
+        ("stats_sitewide_entity_incremental", "stats_sitewide_entity_all_time"),
+        ("stats_entity_listeners_incremental", "stats_entity_listeners_all_time"),
+    ],
+)
+def test_sitewide_and_listener_incremental_equal_direct(
+    incr_stem, direct_stem
+):
+    """VERDICT r11 #6: the sitewide (never-pruned,
+    sitewide/entity.py:38-40 semantics) and listener incremental
+    paths, through production dispatch + chunker, must stream EXACTLY
+    the direct all-time handler's rows — full + two stacked deltas
+    recompute-equivalent, byte-identical (no enrichment columns to
+    strip on these two; the sitewide cap composes exactly at fixture
+    scale where no (user, entity) pair nears 500)."""
+    with open(os.path.join(GOLDEN_DIR, f"{direct_stem}.json")) as f:
+        direct = json.load(f)
+    with open(os.path.join(GOLDEN_DIR, f"{incr_stem}.json")) as f:
+        incr = json.load(f)
+    assert direct["rows"] == incr["rows"]
+    assert direct["n_messages"] == incr["n_messages"]

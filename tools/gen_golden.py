@@ -382,27 +382,46 @@ CASES = [
         CHUNK_USER_STATS,
         "user_entity",
     ),
+    # r12 (VERDICT r11 #6): the sitewide and listener incremental
+    # paths get the same full+stacked-delta golden treatment. The
+    # sitewide provider runs NEVER-PRUNED (sitewide/entity.py:38-40
+    # semantics: the global aggregate needs every key's total, so no
+    # affected-key pruning) — these producers combine the FULL frame.
+    (
+        "stats_sitewide_entity_incremental",
+        "stats.sitewide.entity#incremental",
+        {},
+        25,
+        "sitewide_entity",
+    ),
+    (
+        "stats_entity_listeners_incremental",
+        "stats.entity.listeners#incremental",
+        {},
+        5000,
+        "entity_listener",
+    ),
 ]
 
 
-def _produce_incremental_user_entity(spark, sf_dir, **params):
-    """Full + two stacked incremental batches -> final handler stats."""
+def _stacked_combine(spark, sf_dir, stat):
+    """The reference's incremental fixture shape
+    (listenbrainz_spark/tests/__init__.py:69-72): base partial from
+    events < Jan 15, delta dump 2 (Jan 15-22) combined then ADVANCED
+    into state, delta dump 3 (>= Jan 22) combined on top. Returns the
+    final combined aggregate (full frame — never-pruned callers pass
+    it straight to their final stats query)."""
     import tempfile
 
     from pyspark.sql import functions as F
 
     from listenbrainz_server_spark.catalog import load_table
     from listenbrainz_server_spark.incremental.engine import IncrementalEngine
-    from listenbrainz_server_spark.plans.incremental_stats import (
-        final_user_entity_stats,
-        user_entity_stat,
-    )
 
     ev = load_table(spark, sf_dir, "events")
     cut1 = F.lit("2024-01-15").cast("timestamp")
     cut2 = F.lit("2024-01-22").cast("timestamp")
     eng = IncrementalEngine(spark, tempfile.mkdtemp(prefix="golden_incr_"))
-    stat = user_entity_stat()
     eng.create_partial(
         stat,
         ev.where(F.col("ts") < cut1),
@@ -417,14 +436,55 @@ def _produce_incremental_user_entity(spark, sf_dir, **params):
         ),
     )
     eng.advance_partial(stat, dump2, created="2024-01-22")
-    dump3 = eng.combine(
+    return eng.combine(
         stat, eng.delta_aggregate(stat, ev.where(F.col("ts") >= cut2))
     )
-    return final_user_entity_stats(dump3)
+
+
+def _produce_incremental_user_entity(spark, sf_dir, **params):
+    """Full + two stacked incremental batches -> final handler stats."""
+    from listenbrainz_server_spark.plans.incremental_stats import (
+        final_user_entity_stats,
+        user_entity_stat,
+    )
+
+    return final_user_entity_stats(
+        _stacked_combine(spark, sf_dir, user_entity_stat())
+    )
+
+
+def _produce_incremental_sitewide_entity(spark, sf_dir, **params):
+    """Sitewide full+stacked-delta: per-(user, entity) capped partials
+    combine (cap composes per pass — exact at fixture scale where no
+    pair nears the 500 cap), never-pruned global top-K final."""
+    from listenbrainz_server_spark.plans.incremental_stats import (
+        final_sitewide_entity_stats,
+        sitewide_entity_stat,
+    )
+
+    return final_sitewide_entity_stats(
+        _stacked_combine(spark, sf_dir, sitewide_entity_stat())
+    )
+
+
+def _produce_incremental_entity_listeners(spark, sf_dir, **params):
+    """Listener stats full+stacked-delta: per-(entity, user) counts
+    combine, total_listeners + top-K recomputed from the combined
+    aggregate."""
+    from listenbrainz_server_spark.plans.incremental_stats import (
+        entity_listener_stat,
+        final_entity_listener_stats,
+    )
+
+    return final_entity_listener_stats(
+        _stacked_combine(spark, sf_dir, entity_listener_stat())
+    )
 
 
 SPECIAL_PRODUCERS = {
     "stats.user.entity#incremental": _produce_incremental_user_entity,
+    "stats.sitewide.entity#incremental": _produce_incremental_sitewide_entity,
+    "stats.entity.listeners#incremental": _produce_incremental_entity_listeners,
 }
 
 
@@ -457,7 +517,13 @@ def main() -> None:
     spark = get_session("gen_golden")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for stem, name, params, chunk, mtype in CASES:
+    # Optional stem filter: `gen_golden.py stem [stem ...]` regenerates
+    # only those cases (adding a case shouldn't rewrite 40 files).
+    wanted = set(sys.argv[1:])
+    cases = [c for c in CASES if not wanted or c[0] in wanted]
+    if wanted and len(cases) != len(wanted):
+        raise SystemExit(f"unknown stems: {wanted - {c[0] for c in cases}}")
+    for stem, name, params, chunk, mtype in cases:
         got = stream_canonical(spark, stem, name, params, chunk, mtype)
         path = os.path.join(GOLDEN_DIR, f"{stem}.json")
         with open(path, "w") as f:
