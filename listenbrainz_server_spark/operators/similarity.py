@@ -123,6 +123,25 @@ def resolve_n_centroids(n_centroids, vectors: DataFrame) -> int:
     return int(n_centroids)
 
 
+def resolve_n_probe(n_probe, nlist: int) -> int:
+    """Resolve the IVF probe count. ``"auto"`` → max(2, round(√nlist))
+    — the probe half of the scale dial (r12, found by the sf1 recall
+    smoke): with nlist ∝ √n, a FIXED probe count scans a vanishing
+    fraction of the lists and recall decays exactly on weakly
+    clustered data (measured, sf0.1 uniform-ish fixture at the auto
+    dial's nlist=45: recall@5 0.27 at n_probe=2 vs 0.54 at √nlist=7;
+    the clustered sf1 corpus reads 0.976 even at 2). Probing √nlist
+    keeps total candidate volume at n²·√nlist/nlist = n²/n^(1/4) =
+    n^(7/4) — still sublinear vs brute force — while recall stays on
+    the measured knee (tools/recall_smoke.py re-measures both scales
+    per run and SCALING.json records the readings). Integer values
+    pass through untouched (fixture-pinned audits keep their tuned
+    budgets)."""
+    if n_probe == "auto":
+        return max(2, int(round(nlist**0.5)))
+    return int(n_probe)
+
+
 def _scratch_root(spark) -> str:
     """Resolve the staging location for multi-stage operators.
 
@@ -659,7 +678,7 @@ def ivf_topk(
     vec_col: str,
     k: int = 5,
     n_centroids: int | str = 16,
-    n_probe: int = 2,
+    n_probe: int | str = 2,
     round_dp: int = 6,
     seed: int = 45,
 ) -> DataFrame:
@@ -718,6 +737,7 @@ def ivf_topk(
     id_spark_t = vectors.schema[id_col].dataType.simpleString()
 
     n_centroids = resolve_n_centroids(n_centroids, vectors)
+    n_probe = resolve_n_probe(n_probe, n_centroids)
     centers = coarse_train_centroids(
         feats, "qv", n_centroids, seed=seed, max_iter=8
     )
@@ -1575,7 +1595,7 @@ def ivfpq_topk(
     dims: int,
     k: int = 5,
     n_centroids: int | str = 8,
-    n_probe: int = 2,
+    n_probe: int | str = 2,
     m: int = 4,
     k_sub: int = 16,
     oversample: int = 3,
@@ -1630,6 +1650,7 @@ def ivfpq_topk(
     # cut the scan+normalize lineage re-executes per consumer.
     unit = unit_vectors(vectors, id_col, vec_col).localCheckpoint(eager=True)
     n_centroids = resolve_n_centroids(n_centroids, vectors)
+    n_probe = resolve_n_probe(n_probe, n_centroids)
     centers, cb = _ivfpq_train_from_unit(
         unit, n_centroids, m=m, k_sub=k_sub, seed=seed
     )

@@ -1420,19 +1420,21 @@ def v_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_classify_ann_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving form of ANN kNN classification: IVF candidates
-    (KMeans coarse buckets, n_probe=2 — per-bucket population, not
-    corpus size, bounds the quadratic term) feed the same majority
-    vote as the exact tier. This is the 100 TB path: no all-pairs
-    stage anywhere; every shuffle is keyed by bucket or query id.
-    nlist follows the measured scale dial (n_centroids="auto" =
-    max(8, √n), SCALING.md r11); the registered v_knn_classify_ann
-    audit pins the pipeline at the fixture dial (8) where its
+    (KMeans coarse buckets — per-bucket population, not corpus size,
+    bounds the quadratic term) feed the same majority vote as the
+    exact tier. This is the 100 TB path: no all-pairs stage anywhere;
+    every shuffle is keyed by bucket or query id. BOTH dial halves
+    follow the measured scale rule (n_centroids="auto" = max(8, √n),
+    SCALING.md r11; n_probe="auto" = max(2, √nlist), r12 — a fixed
+    probe count at a growing nlist decays recall on weakly clustered
+    data, tools/recall_smoke.py); the registered v_knn_classify_ann
+    audit pins the pipeline at the fixture dial (8, 2) where its
     agreement floor was tuned."""
     from listenbrainz_server_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     ann = ivf_topk(
-        emb, "vec_id", "embedding", k=5, n_centroids="auto", n_probe=2
+        emb, "vec_id", "embedding", k=5, n_centroids="auto", n_probe="auto"
     ).select("qid", "nid")
     pred = _knn_vote_pred(emb, ann)
     truth = emb.select(

@@ -700,3 +700,30 @@ def test_ivfpq_topk_and_encode_preserve_string_ids(spark):
     assert dict(enc_df.dtypes)["nid"] == "string"
     enc_str = {(r.nid, r.bucket, tuple(r.codes)) for r in enc_df.collect()}
     assert enc_str == enc_int and len(enc_str) > 0
+
+
+def test_n_probe_auto_scale_dial(spark):
+    """r12 (found by tools/recall_smoke.py at sf1): the probe half of
+    the scale dial. With nlist ~ sqrt(n), a FIXED n_probe scans a
+    vanishing fraction of lists and recall decays on weakly clustered
+    data (measured sf0.1: 0.27 at 2/45 probes vs 0.54 at sqrt(nlist)=7);
+    n_probe='auto' resolves to max(2, round(sqrt(nlist))) — candidate
+    volume n^(7/4), still sublinear. Integers pass through untouched;
+    the auto pair must run end-to-end and respect k."""
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import (
+        ivf_topk,
+        resolve_n_probe,
+    )
+
+    assert resolve_n_probe("auto", 45) == 7
+    assert resolve_n_probe("auto", 141) == 12
+    assert resolve_n_probe("auto", 4) == 2  # floor
+    assert resolve_n_probe(3, 45) == 3  # integer passthrough
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    topk = ivf_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids="auto", n_probe="auto"
+    )
+    got = topk.groupBy("qid").count().agg({"count": "max"}).first()[0]
+    assert got <= 5

@@ -1,0 +1,112 @@
+"""sf1 recall-floor smoke for the n_centroids='auto' dial
+(VERDICT r11 #7 — "the one knob a 100-TB operator would actually
+turn").
+
+The √n dial (``resolve_n_centroids('auto')`` = max(8, round(√n))) is
+SCALING-measured for COST (nlist ∝ √n keeps per-bucket population
+√n-bounded, 13.8× → 4.6× at 10× data), but its RECALL was asserted
+only at fixture scales. First run of this smoke (r12) found the gap:
+at the sf0.1 auto dial (nlist=45) a FIXED n_probe=2 reads recall@5
+0.27 on the weakly clustered fixture (0.976 on the clustered sf1
+replicas) — the probe budget must grow with the dial. The fix is
+``n_probe='auto'`` = max(2, round(√nlist)) (candidate volume
+n²/√nlist = n^(7/4), still sublinear; measured knee at sf0.1:
+2→0.27, 4→0.41, 7→0.54, 11→0.67, 15→0.76). This smoke measures
+recall@k of ``ivf_topk(n_centroids='auto', n_probe='auto')`` against
+the blocked exact
+brute force at each given scale dir and merges the readings into
+SCALING.json under ``auto_dial_recall`` — so a dial regression (e.g.
+a trainer change that degrades bucket quality exactly where the dial
+grows) fails loudly in the artifact diff rather than silently at a
+scale no pytest reaches.
+
+Usage: python tools/recall_smoke.py [sf_dir ...]
+       (default: /root/testdata/sf0.1 and .scale/sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+K = 5
+FLOOR = 0.45  # measured 0.54/0.98 (sf0.1/sf1) at the auto pair
+
+
+def recall_at(spark, sf_dir: str) -> dict:
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        resolve_n_centroids,
+        resolve_n_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nlist = resolve_n_centroids("auto", emb)
+    n_probe = resolve_n_probe("auto", nlist)
+    t0 = time.time()
+    exact = {
+        (r.qid, r.nid)
+        for r in brute_force_topk(emb, "vec_id", "embedding", k=K).collect()
+    }
+    t_exact = round(time.time() - t0, 1)
+    t0 = time.time()
+    approx = {
+        (r.qid, r.nid)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", k=K, n_centroids="auto",
+            n_probe="auto"
+        ).collect()
+    }
+    t_ivf = round(time.time() - t0, 1)
+    recall = round(len(exact & approx) / len(exact), 4)
+    return {
+        "n": n,
+        "nlist_auto": nlist,
+        "n_probe": n_probe,
+        "k": K,
+        "recall": recall,
+        "exact_secs": t_exact,
+        "ivf_secs": t_ivf,
+    }
+
+
+def main() -> int:
+    from listenbrainz_server_spark.session import get_session
+
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1",
+        os.path.join(REPO, ".scale/sf1"),
+    ]
+    spark = get_session("recall_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for d in dirs:
+        label = os.path.basename(d.rstrip("/"))
+        results[label] = recall_at(spark, d)
+        print(label, json.dumps(results[label]))
+        spark.catalog.clearCache()
+
+    path = os.path.join(REPO, "SCALING.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data.setdefault("auto_dial_recall", {}).update(results)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+
+    low = {k: v for k, v in results.items() if v["recall"] < FLOOR}
+    if low:
+        print(f"RECALL SMOKE FAIL: below floor {FLOOR}: {low}")
+        return 1
+    print(f"RECALL SMOKE OK (floor {FLOOR})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
