@@ -25,20 +25,12 @@ ALLOWED = {
     # per-block partition read — both pulls bounded by block_rows,
     # never corpus size.
     ("operators/similarity.py", "_iter_ref_blocks"),
-    # PQ codebook fit: capped at 4096 sample rows (documented).
-    ("operators/similarity.py", "pq_train_codebooks"),
-    # Coarse-quantizer fit: the same sample_cap-bounded pull (r11 —
-    # lloyd_kmeans on the driver replaced MLlib's per-iteration
-    # full-corpus passes; the model is (k × dims) doubles).
-    ("operators/similarity.py", "coarse_train_centroids"),
-    # IVFPQ trainer (single-sourced, shared by ivfpq_topk and
-    # ivfpq_train_artifacts): ONE capped sample pull powers both the
-    # coarse Lloyd fit and the residual codebooks (r11).
-    ("operators/similarity.py", "_ivfpq_train_from_unit"),
-    # OPQ rotation fit: the same sample_cap-bounded pull as the PQ
-    # trainer (r10; alternating Procrustes/Lloyd runs driver-side on
-    # at most sample_cap rows regardless of corpus size).
-    ("operators/similarity.py", "opq_train"),
+    # THE bounded training-sample pull (r12, ADVICE r11 — single-
+    # sourced across coarse_train_centroids, _ivfpq_train_from_unit,
+    # pq_train_codebooks, opq_train): one content-hash TakeOrdered
+    # limit(n_pull) per trainer, driver memory n_pull × dims, never
+    # corpus-bounded. Replaced the four per-trainer allowlist entries.
+    ("operators/similarity.py", "_train_sample"),
     # Refit trigger: one 1-row weighted-mean aggregate — the pull IS
     # the boolean decision (r8 delta-IVFPQ maintenance).
     ("operators/similarity.py", "ivfpq_should_refit"),
