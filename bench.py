@@ -294,14 +294,19 @@ def main() -> None:
     # start/end pair — the pair gap is a reproducible ~2.1-4x JVM-
     # maturation signature even on a flat window (see PROBE_EVERY
     # comment), so a pair rule tripped on every sweep and said
-    # nothing. Trace max/min > 1.5 means the window itself moved
-    # mid-sweep; readers (and tools/endround.py, which re-runs once
-    # when tripped) should then prefer raw like-for-like or same-
-    # session A/Bs over this artifact's normalized value.
-    trace_vals = [s for _, s in probe_trace]
+    # nothing. The trace's FIRST point is skipped (taken right after
+    # session warm-up, it still carries ramp) and the threshold is
+    # calibrated on measured flat windows: three flat sweeps read
+    # max/min 1.25-1.56 after the skip (residual ramp at the second
+    # point), while the failure mode this flag exists for — the r11
+    # mid-sweep ~2x tail inflation — reads >= 2x. Tripping means the
+    # window itself moved mid-sweep; readers (and tools/endround.py,
+    # which re-runs once) should then prefer raw like-for-like or
+    # same-session A/Bs over this artifact's normalized value.
+    trace_vals = [s for _, s in probe_trace[1:]]
     if len(trace_vals) >= 2:
         window_unstable = (
-            max(trace_vals) / max(min(trace_vals), 1e-9) > 1.5
+            max(trace_vals) / max(min(trace_vals), 1e-9) > 1.6
         )
     else:
         window_unstable = (
