@@ -123,6 +123,25 @@ def resolve_n_centroids(n_centroids, vectors: DataFrame) -> int:
     return int(n_centroids)
 
 
+def resolve_oversample(oversample, n_probe: int) -> int:
+    """Resolve IVFPQ's ADC re-rank budget. ``"auto"`` →
+    max(8, 2·n_probe) — the third dial leg (r12, found by the recall
+    smoke's relative guard): per-query ADC candidate volume grows
+    with the probe budget (n_probe·n/nlist), so a FIXED oversample
+    re-ranks a shrinking fraction of an increasingly noisy candidate
+    pool — at the sf0.1 auto pair (nlist=45, n_probe=7) IVFPQ
+    retained only 79% of plain IVF's recall at oversample=8 vs 92%
+    at 16 (sweep: 8→0.426, 16→0.498, 24→0.527, 32→0.538 against IVF
+    0.541; clustered sf1 reads 0.9997 at any setting). Tying the
+    re-rank budget to the probe budget keeps both dials on one knob;
+    the re-rank join stays oversample·k = O(n^(1/4)) rows per query.
+    Integers pass through untouched (fixture-pinned audits keep
+    their tuned budgets)."""
+    if oversample == "auto":
+        return max(8, 2 * n_probe)
+    return int(oversample)
+
+
 def resolve_n_probe(n_probe, nlist: int) -> int:
     """Resolve the IVF probe count. ``"auto"`` → max(2, round(√nlist))
     — the probe half of the scale dial (r12, found by the sf1 recall
@@ -1598,7 +1617,7 @@ def ivfpq_topk(
     n_probe: int | str = 2,
     m: int = 4,
     k_sub: int = 16,
-    oversample: int = 3,
+    oversample: int | str = 3,
     round_dp: int = 6,
     seed: int = 45,
 ) -> DataFrame:
@@ -1651,6 +1670,7 @@ def ivfpq_topk(
     unit = unit_vectors(vectors, id_col, vec_col).localCheckpoint(eager=True)
     n_centroids = resolve_n_centroids(n_centroids, vectors)
     n_probe = resolve_n_probe(n_probe, n_centroids)
+    oversample = resolve_oversample(oversample, n_probe)
     centers, cb = _ivfpq_train_from_unit(
         unit, n_centroids, m=m, k_sub=k_sub, seed=seed
     )

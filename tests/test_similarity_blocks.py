@@ -727,3 +727,32 @@ def test_n_probe_auto_scale_dial(spark):
     )
     got = topk.groupBy("qid").count().agg({"count": "max"}).first()[0]
     assert got <= 5
+
+
+def test_oversample_auto_scale_dial(spark):
+    """r12, third dial leg (found by the recall smoke's relative
+    guard): ADC candidate volume grows with the probe budget, so a
+    fixed oversample re-ranks a shrinking fraction of an increasingly
+    noisy pool (sf0.1 auto pair: IVFPQ retained 79% of IVF recall at
+    oversample=8 vs 92% at 16). oversample='auto' = max(2*n_probe, 8)
+    ties the re-rank budget to the probe budget; integers pass
+    through; the full auto triple must run end-to-end."""
+    from listenbrainz_server_spark.catalog import load_table
+    from listenbrainz_server_spark.operators.similarity import (
+        ivfpq_topk,
+        resolve_oversample,
+    )
+
+    assert resolve_oversample("auto", 7) == 14
+    assert resolve_oversample("auto", 12) == 24
+    assert resolve_oversample("auto", 2) == 8  # floor
+    assert resolve_oversample(3, 7) == 3  # integer passthrough
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    topk = ivfpq_topk(
+        emb, "vec_id", "embedding", dims=64, k=5,
+        n_centroids="auto", n_probe="auto", m=8, k_sub=16,
+        oversample="auto",
+    )
+    got = topk.groupBy("qid").count().agg({"count": "max"}).first()[0]
+    assert got <= 5
