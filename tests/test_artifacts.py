@@ -54,6 +54,19 @@ def test_bench_full_covers_registry():
         f"BENCH_full_latest.json missing {len(missing)} queries "
         f"({missing[:5]}…) — run tools/endround.py before the snapshot commit"
     )
+    # r12 measurement-honesty shape: a full (non-merged) sweep must
+    # carry one untimed warm-up per query (the cold-start fix) and the
+    # trace-based window flag — their absence means the artifact was
+    # produced by a pre-r12 bench.py and its per-query numbers mix
+    # cold mapInPandas spin-up back in.
+    if not bench.get("merged"):
+        unwarmed = sorted(set(bench["queries"]) - set(bench.get("warmup_secs", {})))
+        assert not unwarmed, (
+            f"full sweep missing warm-ups for {len(unwarmed)} queries "
+            f"({unwarmed[:5]}…)"
+        )
+        assert "window_unstable" in bench, "full sweep missing window flag"
+        assert "cold_start" in bench, "full sweep missing cold_start map"
 
 
 def test_plan_audit_covers_registry():
