@@ -284,7 +284,9 @@ def main() -> int:
         if r.returncode != 0:
             failures.append(f"{label} exited {r.returncode}")
 
-    # VERDICT r11 #2: an unstable probe window (start/end gap > 1.5x)
+    # VERDICT r11 #2: an unstable probe window (interleaved trace
+    # max/min > 1.6x after the first-point skip — NOT the retired
+    # start/end-pair rule, which reads ~2.1x even on healthy sweeps)
     # makes the sweep's normalized numbers unadjudicable — re-run the
     # full bench ONCE when the artifact flags it. If the second window
     # is also unstable, keep its flag (the artifact self-annotates)
