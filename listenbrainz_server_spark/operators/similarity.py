@@ -862,6 +862,63 @@ def _flip_bit(sig: Column, i: int, sig_bits: int) -> Column:
     )
 
 
+def _probe_sig_array(sig: Column, sig_bits: int, n_flip: int) -> Column:
+    """Array of probe signatures at Hamming distance <= ``n_flip`` from
+    ``sig`` (the query's own bucket first) — the multi-probe LSH probe
+    set (Lv et al., VLDB'07; with ±1 hyperplanes all bits are equally
+    likely to be the miss, so we enumerate rather than rank flips).
+
+    Fan-out = sum_{i<=n_flip} C(sig_bits, i); all probes are pure
+    column expressions (nested flips), so the set costs one projection
+    — no shuffle, no Python.
+    """
+    from itertools import combinations
+
+    probes = [sig]
+    for f in range(1, max(0, n_flip) + 1):
+        for positions in combinations(range(sig_bits), f):
+            e = sig
+            for i in positions:
+                e = _flip_bit(e, i, sig_bits)
+            probes.append(e)
+    return F.array(*probes)
+
+
+def resolve_n_flip(n_flip: int | str, sig_bits: int) -> int:
+    """``n_flip='auto'`` -> the probe-radius leg of the sized-signature
+    dial: clamp(ceil(sig_bits / 6), 2, 3).
+
+    The r12 IVF lesson transplanted (VERDICT r12 next #5): a FIXED
+    probe budget at a corpus-sized signature silently decays recall —
+    ``sized_sig_bits`` grows bits ~ log2(n/64), per-bucket collision
+    decays geometrically in bits, while the Hamming-1 fan-out grows
+    only linearly. The probe RADIUS must scale with the signature.
+    Measured knee (recall@5 vs blocked brute force; sf0.1
+    weakly-clustered fixture at bits=5, sf1 clustered replicas at
+    bits=9 — SCALING.json lsh_dial_recall):
+
+        bits=5: f=1 -> 0.385,  f=2 -> 0.730,  f=3 -> 0.929
+        bits=9: f=1 -> 0.816,  f=2 -> 0.960 (10.7 s vs exact 85.8 s),
+                f=3 -> 0.9935 (48.8 s — 57% of exact: past the knee)
+
+    The floor of 2: radius 1 is the measured decay mode on weakly
+    clustered data (0.385 at bits=5, below the 0.45 smoke floor).
+    The cap of 3: fan-out is C(bits, f) and the f=3 reading at bits=9
+    already spends 57% of brute force — past bits~18 (n ~ 16M rows at
+    target_bucket_rows=64) even radius 3 scans a vanishing bucket
+    fraction, and the honest serving path for corpora that size is
+    the TRAINED coarse-quantizer tier (ivf_topk / ivfpq_topk with
+    n_probe='auto'), not a wider LSH radius: a data-blind hyperplane
+    signature cannot hold recall at bounded cost as bits -> 24, which
+    is exactly why the ANN ladder keeps both tiers.
+    """
+    if n_flip == "auto":
+        import math
+
+        return min(3, max(2, math.ceil(sig_bits / 6)))
+    return int(n_flip)
+
+
 def lsh_multiprobe_topk(
     vectors: DataFrame,
     id_col: str,
@@ -869,12 +926,16 @@ def lsh_multiprobe_topk(
     dims: int,
     k: int = 5,
     sig_bits: int | None = None,
-    n_flip: int = 1,
+    n_flip: int | str = 1,
     round_dp: int = 6,
     vectorized: bool = True,
 ) -> DataFrame:
     """Multi-probe sign-LSH ANN top-k. ``sig_bits=None`` auto-sizes
-    from the corpus via ``sized_sig_bits`` (see ``lsh_bucketed_topk``).
+    from the corpus via ``sized_sig_bits`` (see ``lsh_bucketed_topk``);
+    ``n_flip='auto'`` sizes the probe RADIUS with the signature via
+    ``resolve_n_flip`` — the two legs of one dial (r12 IVF discipline:
+    a fixed probe budget at a growing signature silently decays
+    recall; measured in SCALING.json lsh_dial_recall).
 
     ``vectorized=True`` (default) scores buckets with a cogrouped
     Arrow/numpy matmul (the ivf_topk SEARCH shape — right whenever
@@ -888,7 +949,7 @@ def lsh_multiprobe_topk(
     probes its own signature bucket plus every bucket at Hamming
     distance ≤ ``n_flip`` (the classic multi-probe LSH trick — flip the
     weakest bits; with ±1 hyperplanes all bits are equal so we flip
-    each). Probe fan-out is sig_bits+1 for n_flip=1.
+    each). Probe fan-out is sum_{i<=n_flip} C(sig_bits, i).
 
     Execution shape: signatures and per-vector norms are one projection
     pass each; the probe explode multiplies only the QUERY side rows
@@ -901,6 +962,7 @@ def lsh_multiprobe_topk(
 
     if sig_bits is None:
         sig_bits = sized_sig_bits(vectors.count())
+    n_flip = resolve_n_flip(n_flip, sig_bits)
     base = vectors.select(
         F.col(id_col).alias("vid"),
         as_double(F.col(vec_col)).alias("vec"),
@@ -913,13 +975,7 @@ def lsh_multiprobe_topk(
         F.col("nrm").alias("n_nrm"),
         "sig",
     )
-    if n_flip >= 1:
-        probe_sigs = F.array(
-            F.col("sig"),
-            *[_flip_bit(F.col("sig"), i, sig_bits) for i in range(sig_bits)],
-        )
-    else:
-        probe_sigs = F.array(F.col("sig"))
+    probe_sigs = _probe_sig_array(F.col("sig"), sig_bits, n_flip)
     probes = base.select(
         F.col("vid").alias("qid"),
         F.col("vec").alias("qv"),
@@ -1562,13 +1618,9 @@ def pq_topk(
         "codes",
         "sig",
     )
-    if n_flip >= 1:
-        probe_sigs = F.array(
-            F.col("sig"),
-            *[_flip_bit(F.col("sig"), i, sig_bits) for i in range(sig_bits)],
-        )
-    else:
-        probe_sigs = F.array(F.col("sig"))
+    probe_sigs = _probe_sig_array(
+        F.col("sig"), sig_bits, resolve_n_flip(n_flip, sig_bits)
+    )
     probes = base.select(
         F.col("vid").alias("qid"),
         "lut",

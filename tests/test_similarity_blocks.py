@@ -152,6 +152,72 @@ def test_multiprobe_recall_dominates_single_bucket(spark):
     assert r_multi >= 0.5, f"multi-probe recall too low: {r_multi:.2f}"
 
 
+def test_probe_sig_array_and_n_flip_rule(spark):
+    """The r13 probe-radius dial: (a) resolve_n_flip('auto') follows
+    the measured-knee rule clamp(ceil(bits/6), 2, 3) — floor 2 because
+    radius 1 is the measured decay mode on weakly clustered data
+    (recall 0.385 at bits=5), cap 3 because C(bits,3) probing at
+    bits=9 already spends 57% of brute force (SCALING.json
+    lsh_dial_knee); (b) _probe_sig_array(sig, bits, f) enumerates
+    EXACTLY the signatures at Hamming distance <= f, each once — a
+    duplicate would double-count candidate pairs in the cogrouped
+    scorer, a miss would silently cost recall."""
+    import itertools
+
+    from listenbrainz_server_spark.operators.similarity import (
+        _probe_sig_array,
+        resolve_n_flip,
+    )
+
+    assert [resolve_n_flip("auto", b) for b in (4, 5, 9, 12, 13, 18, 24)] == [
+        2, 2, 2, 2, 3, 3, 3,
+    ]
+    assert resolve_n_flip(1, 9) == 1  # integer dials pass through
+    assert resolve_n_flip(0, 9) == 0
+
+    df = spark.createDataFrame([("10110",)], "sig string")
+
+    def hamming(a: str, b: str) -> int:
+        return sum(x != y for x, y in zip(a, b))
+
+    for f in (0, 1, 2, 3):
+        probes = [
+            r.p
+            for r in df.select(
+                F.explode(_probe_sig_array(F.col("sig"), 5, f)).alias("p")
+            ).collect()
+        ]
+        expected = {
+            "".join(c)
+            for c in itertools.product("01", repeat=5)
+            if hamming("".join(c), "10110") <= f
+        }
+        assert len(probes) == len(set(probes)), f"duplicate probes at f={f}"
+        assert set(probes) == expected, f"probe set wrong at f={f}"
+
+
+def test_multiprobe_radius_2_recall_dominates_radius_1(spark):
+    """Radius monotonicity on the smoke corpus: widening the probe
+    radius can only add candidates, so recall@5 must not drop."""
+    from listenbrainz_server_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.qid, r.nid)
+        for r in brute_force_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    by_flip = {}
+    for f in (1, 2):
+        got = {
+            (r.qid, r.nid)
+            for r in lsh_multiprobe_topk(
+                emb, "vec_id", "embedding", dims=64, k=5, sig_bits=4, n_flip=f
+            ).collect()
+        }
+        by_flip[f] = len(exact & got) / len(exact)
+    assert by_flip[2] >= by_flip[1], by_flip
+
+
 def test_pq_adc_recall_and_exact_scores(spark):
     """PQ ADC + exact re-rank: surviving (qid, nid) pairs carry EXACT
     cosine scores, and recall vs brute force is meaningful despite the

@@ -20,6 +20,16 @@ a trainer change that degrades bucket quality exactly where the dial
 grows) fails loudly in the artifact diff rather than silently at a
 scale no pytest reaches.
 
+r13 (VERDICT r12 next #5): the smoke grew a sign-LSH leg — the same
+fixed-dial risk applies to the multiprobe family: ``sized_sig_bits``
+grows the signature ~ log2(n/64) while a FIXED n_flip=1 probes only
+bits+1 buckets, so per-bucket collision decays geometrically and the
+probe set can't keep up (measured: recall 0.385 at bits=5 on the
+weakly clustered fixture). ``n_flip='auto'`` (resolve_n_flip:
+clamp(ceil(bits/6), 2, 3)) is the measured-knee fix; this smoke
+guards the auto pair (sig_bits auto, n_flip auto) against the same
+0.45 floor, reusing the one brute-force pass all three legs share.
+
 Usage: python tools/recall_smoke.py [sf_dir ...]
        (default: /root/testdata/sf0.1 and .scale/sf1)
 """
@@ -35,7 +45,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 K = 5
-FLOOR = 0.45  # measured 0.54/0.98 (sf0.1/sf1) at the auto pair
+# measured at the auto dials: IVF 0.54/0.9998, LSH 0.73/0.96 (sf0.1 /
+# sf1) — the sf0.1 fixture is weakly clustered, so it is the floor's
+# binding side for both families.
+FLOOR = 0.45
 
 
 def recall_at(spark, sf_dir: str) -> dict:
@@ -44,14 +57,19 @@ def recall_at(spark, sf_dir: str) -> dict:
         brute_force_topk,
         ivf_topk,
         ivfpq_topk,
+        lsh_multiprobe_topk,
         resolve_n_centroids,
+        resolve_n_flip,
         resolve_n_probe,
+        sized_sig_bits,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     nlist = resolve_n_centroids("auto", emb)
     n_probe = resolve_n_probe("auto", nlist)
+    sig_bits = sized_sig_bits(n)
+    n_flip = resolve_n_flip("auto", sig_bits)
     t0 = time.time()
     exact = {
         (r.qid, r.nid)
@@ -84,8 +102,20 @@ def recall_at(spark, sf_dir: str) -> dict:
         ).collect()
     }
     t_pq = round(time.time() - t0, 1)
+    # Sign-LSH leg (r13): the multiprobe serving dial — corpus-sized
+    # signature + radius scaled with it. Reuses the exact set above.
+    t0 = time.time()
+    lsh = {
+        (r.qid, r.nid)
+        for r in lsh_multiprobe_topk(
+            emb, "vec_id", "embedding", dims=64, k=K, sig_bits=None,
+            n_flip="auto",
+        ).collect()
+    }
+    t_lsh = round(time.time() - t0, 1)
     recall = round(len(exact & approx) / len(exact), 4)
     recall_pq = round(len(exact & pq) / len(exact), 4)
+    recall_lsh = round(len(exact & lsh) / len(exact), 4)
     return {
         "n": n,
         "nlist_auto": nlist,
@@ -96,6 +126,10 @@ def recall_at(spark, sf_dir: str) -> dict:
         "ivf_secs": t_ivf,
         "recall_ivfpq": recall_pq,
         "ivfpq_secs": t_pq,
+        "sig_bits_auto": sig_bits,
+        "n_flip": n_flip,
+        "recall_lsh": recall_lsh,
+        "lsh_secs": t_lsh,
     }
 
 
@@ -122,6 +156,7 @@ def main() -> int:
         json.dump(data, f, indent=1, sort_keys=True)
 
     low = {k: v for k, v in results.items() if v["recall"] < FLOOR}
+    lsh_low = {k: v for k, v in results.items() if v["recall_lsh"] < FLOOR}
     # IVFPQ's guard is RELATIVE to plain IVF at the same probe budget
     # (the test_ivfpq_topk_recall_and_ceiling discipline): the PQ
     # layer must retain >= 85% of the IVF recall — an absolute floor
@@ -132,13 +167,15 @@ def main() -> int:
         for k, v in results.items()
         if v["recall_ivfpq"] < 0.85 * v["recall"]
     }
-    if low or pq_low:
+    if low or pq_low or lsh_low:
         if low:
             print(f"RECALL SMOKE FAIL: below floor {FLOOR}: {low}")
         if pq_low:
             print(f"RECALL SMOKE FAIL: IVFPQ < 0.85x IVF recall: {pq_low}")
+        if lsh_low:
+            print(f"RECALL SMOKE FAIL: LSH auto dial below floor {FLOOR}: {lsh_low}")
         return 1
-    print(f"RECALL SMOKE OK (floor {FLOOR}; IVFPQ >= 0.85x IVF)")
+    print(f"RECALL SMOKE OK (floor {FLOOR}; IVFPQ >= 0.85x IVF; LSH leg)")
     return 0
 
 
