@@ -195,6 +195,13 @@ def main() -> None:
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1].split(",")
         run_all = True
+    # --no-artifact: measure and print the JSON line but do NOT write /
+    # merge BENCH_full_latest.json. Used by the endround A-B-A legs
+    # (tools/endround.py), whose measurements are evidence about a
+    # specific code snapshot in a specific window — merging them into
+    # the artifact of record would contaminate it with repeated-leg
+    # numbers taken under deliberately different code.
+    no_artifact = "--no-artifact" in sys.argv
 
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -373,7 +380,44 @@ def main() -> None:
         )
     if errors:
         out["errors"] = errors
-    if run_all:
+    if not run_all:
+        # VERDICT r12 #1: attach the endround A-B-A adjudication so the
+        # headline artifact of record (the driver-recorded stdout of
+        # this mode) carries ab_confirmed per mover — a cross-window
+        # headline ratio alone cannot distinguish code effect from the
+        # box's ±40% drift (r12's 1.20x phantom regression shipped
+        # under a "stable" stamp). ABA_latest.json is produced by
+        # tools/endround.py: top headline movers re-run old→new
+        # snapshots back-to-back in ONE session. head_moved flags
+        # whether query-affecting paths changed since the A-B-A ran —
+        # if true, the adjudication describes an older engine state.
+        aba_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "ABA_latest.json"
+        )
+        if os.path.exists(aba_path):
+            with open(aba_path) as f:
+                aba = json.load(f)
+            head_moved = True
+            if aba.get("git_head"):
+                import subprocess
+
+                r = subprocess.run(
+                    ["git", "diff", "--name-only", aba["git_head"], "HEAD",
+                     "--", "listenbrainz_server_spark", "__spark_entry__.py",
+                     "bench.py"],
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    capture_output=True, text=True,
+                )
+                head_moved = bool(r.returncode) or bool(r.stdout.strip())
+            out["aba"] = {
+                "round": aba.get("round"),
+                "old_head": aba.get("old_head"),
+                "git_head": aba.get("git_head"),
+                "head_moved": head_moved,
+                "movers": aba.get("movers", {}),
+                **({"note": aba["note"]} if aba.get("note") else {}),
+            }
+    if run_all and not no_artifact:
         # Side artifact for round-over-round regression tracking of the
         # full registry (VERDICT r2 #5) — the stdout line stays the
         # driver's parse target. Per-run samples let a reader separate

@@ -122,3 +122,21 @@ def _resolves_in_package(fn: str) -> bool:
         if hasattr(importlib.import_module(mod), fn):
             return True
     return False
+
+
+def test_aba_anchor_exists():
+    """VERDICT r12 #1: cross-round headline comparisons must be
+    self-adjudicating — the endround A-B-A anchor (headline movers
+    re-run new→old→new against the prior round's snapshot in one
+    session) must exist and carry a verdict per mover. bench.py's
+    headline mode attaches this file to the artifact of record."""
+    path = os.path.join(REPO, "ABA_latest.json")
+    assert os.path.exists(path), (
+        "ABA_latest.json missing — run tools/endround.py (full pass)"
+    )
+    with open(path) as f:
+        aba = json.load(f)
+    assert aba.get("git_head") and aba.get("round"), "anchor lacks provenance"
+    for name, m in aba.get("movers", {}).items():
+        assert "ab_confirmed" in m, f"mover {name} lacks adjudication"
+        assert "legs" in m, f"mover {name} lacks leg readings"

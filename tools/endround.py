@@ -9,7 +9,12 @@ Runs, in order:
      sf0.01) — fails on any oracle mismatch;
   2. bench.py --all  (sf0.1) → BENCH_full_latest.json, heavies
      median-of-3 with per-run samples;
-  3. tools/audit_plans.py → PLAN_AUDIT.md.
+  3. tools/audit_plans.py → PLAN_AUDIT.md;
+  4. (full pass only) the A-B-A anchor — headline movers >1.3x vs the
+     prior round re-run new→old→new against the prior snapshot in one
+     session → ABA_latest.json (VERDICT r12 #1), and
+  5. (full pass only) tools/recall_smoke.py — auto ANN-dial recall vs
+     brute force at sf0.1 + sf1, rc-enforced (VERDICT r12 #2).
 
 Then asserts len(artifact) == len(registry) for all three and exits
 non-zero on any shortfall — the artifact-drift failure mode of rounds
@@ -192,6 +197,159 @@ def _delta_steps(registry, check_path):
             ("plan audit", run_audit)]
 
 
+def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
+    """Same-session A-B-A anchor for the headline movers (VERDICT r12
+    #1): cross-window headline ratios on this box carry ±40% drift —
+    r12's headline manufactured a 1.20x phantom regression under a
+    "stable" window stamp, disproved only by the judge's hand-run
+    worktree A-B-A. This automates that exact recipe at endround:
+
+    1. movers = top-5 names whose full-sweep time moved >1.3x vs the
+       prior round's headline artifact (BENCH_r{N-1}.json);
+    2. git-worktree the prior round's engine snapshot (the git_head
+       recorded in CHECK_full_r{N-1}.json);
+    3. run bench.py --only <movers> new → old → new in ONE session
+       (sequential JVMs, no concurrent Spark — the measurement rules);
+    4. stamp each mover ab_confirmed from the MATCHED-condition legs,
+       direction-aware and drift-conservative: an apparent regression
+       is confirmed only if even HEAD's BETTER leg is >=1.15x the old
+       snapshot; an apparent improvement only if even HEAD's WORSE leg
+       is <=1/1.15x.
+
+    Writes ABA_latest.json; bench.py's headline mode attaches it so
+    BENCH_r{N} (the driver-recorded artifact) carries the field.
+    Returns an error string or None.
+    """
+    import math
+    import shutil
+    import time
+
+    out_path = os.path.join(REPO, "ABA_latest.json")
+
+    def _head():
+        r = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                           capture_output=True, text=True)
+        return r.stdout.strip() if r.returncode == 0 else None
+
+    base = {
+        "round": rnd,
+        "git_head": _head(),
+        "generated": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "threshold": threshold,
+        "confirm_margin": 1.15,
+        "movers": {},
+    }
+    prior_bench = os.path.join(REPO, f"BENCH_r{rnd - 1:02d}.json")
+    prior_check = os.path.join(REPO, f"CHECK_full_r{rnd - 1:02d}.json")
+    if not os.path.exists(prior_bench) or not os.path.exists(prior_check):
+        base["note"] = f"no prior-round artifacts for r{rnd - 1:02d}"
+        json.dump(base, open(out_path, "w"), indent=1, sort_keys=True)
+        return None
+    old_head = json.load(open(prior_check)).get("git_head")
+    if not old_head:
+        base["note"] = f"CHECK_full_r{rnd - 1:02d}.json has no git_head"
+        json.dump(base, open(out_path, "w"), indent=1, sort_keys=True)
+        return None
+    base["old_head"] = old_head
+    base["prior_artifact"] = os.path.basename(prior_bench)
+
+    # BENCH_r{N}.json is the DRIVER's record of bench.py's run: the
+    # JSON line lives under "parsed" (with rc/tail wrapper fields);
+    # accept both that shape and a plain bench.py output.
+    prior_raw = json.load(open(prior_bench))
+    prior_q = prior_raw.get("parsed", prior_raw).get("queries", {})
+    cur_q = json.load(
+        open(os.path.join(REPO, "BENCH_full_latest.json"))
+    ).get("queries", {})
+    # Mover eligibility floor: sub-half-second queries' ratios are
+    # scheduler/JIT noise (a 0.19 s vs 0.25 s "mover" adjudicates
+    # nothing) and they cannot move the headline total materially.
+    ratios = {
+        n: cur_q[n] / p
+        for n, p in prior_q.items()
+        if cur_q.get(n) and p > 0 and max(cur_q[n], p) >= 0.5
+    }
+    movers = sorted(
+        (n for n, r in ratios.items() if r > threshold or r < 1 / threshold),
+        key=lambda n: abs(math.log(ratios[n])),
+        reverse=True,
+    )[:5]
+    if not movers:
+        base["note"] = f"no headline movers beyond {threshold}x vs prior round"
+        json.dump(base, open(out_path, "w"), indent=1, sort_keys=True)
+        print(f"  aba: no movers beyond {threshold}x — nothing to adjudicate")
+        return None
+    print(f"  aba movers: {movers}")
+
+    wt = "/tmp/aba_worktree"
+    subprocess.run(["git", "worktree", "remove", "--force", wt],
+                   cwd=REPO, capture_output=True)
+    shutil.rmtree(wt, ignore_errors=True)
+    r = subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, old_head],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        return f"worktree add {old_head[:10]} failed: {r.stderr.strip()[:200]}"
+
+    def leg(script_dir: str, extra: list[str]) -> dict | str:
+        r = subprocess.run(
+            [sys.executable, os.path.join(script_dir, "bench.py"),
+             "--only", ",".join(movers), *extra],
+            cwd=script_dir, capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            return f"leg in {script_dir} exited {r.returncode}"
+        for ln in reversed(r.stdout.splitlines()):
+            if ln.startswith("{"):
+                return json.loads(ln).get("queries", {})
+        return f"leg in {script_dir} printed no JSON line"
+
+    try:
+        # new → old → new: bracketing HEAD around the old snapshot so
+        # a mid-A-B-A window shift shows up as new1/new2 disagreement.
+        legs = {}
+        for label, (d, extra) in (
+            ("new1", (REPO, ["--no-artifact"])),
+            ("old", (wt, [])),  # old bench.py has no --no-artifact;
+            #                     its merge stays inside the worktree
+            ("new2", (REPO, ["--no-artifact"])),
+        ):
+            got = leg(d, extra)
+            if isinstance(got, str):
+                return got
+            legs[label] = got
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=REPO, capture_output=True)
+        shutil.rmtree(wt, ignore_errors=True)
+
+    for n in movers:
+        new1, old, new2 = (legs["new1"].get(n), legs["old"].get(n),
+                           legs["new2"].get(n))
+        m = {
+            "prior_round": prior_q[n],
+            "this_sweep": cur_q[n],
+            "sweep_ratio": round(ratios[n], 3),
+            "legs": {"new1": new1, "old": old, "new2": new2},
+        }
+        if None in (new1, old, new2) or old <= 0:
+            m["ab_confirmed"] = None
+            m["note"] = "leg missing — adjudication unavailable"
+        elif ratios[n] > 1:  # apparent regression
+            m["matched_ratio"] = round(min(new1, new2) / old, 3)
+            m["ab_confirmed"] = m["matched_ratio"] >= 1.15
+        else:  # apparent improvement
+            m["matched_ratio"] = round(max(new1, new2) / old, 3)
+            m["ab_confirmed"] = m["matched_ratio"] <= 1 / 1.15
+        base["movers"][n] = m
+    json.dump(base, open(out_path, "w"), indent=1, sort_keys=True)
+    n_conf = sum(1 for m in base["movers"].values() if m["ab_confirmed"])
+    print(f"  aba: {n_conf}/{len(movers)} movers confirmed real "
+          f"(rest are window drift)")
+    return None
+
+
 def assert_head() -> int:
     """Round-closing invariant (VERDICT r9 #1 process fix): refuse to
     conclude a round if HEAD moved past the newest CHECK artifact's
@@ -303,6 +461,28 @@ def main() -> int:
                     )
                     if r.returncode != 0:
                         failures.append(f"bench re-run exited {r.returncode}")
+
+    if not delta:
+        # VERDICT r12 #1: adjudicate the headline movers with a
+        # same-session worktree A-B-A, right after the sweep so the
+        # legs share its window. Writes ABA_latest.json; bench.py's
+        # headline mode attaches it to the artifact of record.
+        print("== aba anchor: headline movers vs prior round")
+        err = run_aba(int(rnd))
+        if err:
+            failures.append(f"aba: {err}")
+
+        # VERDICT r12 #2: the recall smoke (auto ANN dials vs brute
+        # force at sf0.1 + sf1) is a guard only if it RUNS — it exits
+        # nonzero below the 0.45 floor / IVFPQ < 0.85x IVF, and
+        # refreshes SCALING.json:auto_dial_recall every round.
+        print("== recall smoke: tools/recall_smoke.py")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/recall_smoke.py")],
+            cwd=REPO,
+        )
+        if r.returncode != 0:
+            failures.append(f"recall smoke exited {r.returncode}")
 
     # Full-pass artifacts get the git head stamp too, so the next
     # --delta can diff staleness against it.
