@@ -918,6 +918,26 @@ def simhash_pairs(
     equi join (distinct, canonicalized) finds every qualifying pair;
     the Hamming filter then drops band-collision false positives.
     Same bucketed-join scale shape as MinHash-LSH banding.
+
+    Scale note (r13, the fixed-dial audit): unlike the sign-LSH /
+    IVF probe dials, RECALL here cannot decay with n — pigeonhole
+    completeness is deterministic at any corpus size (pinned by the
+    planted-fixture test). The fixed dial's exposure is CANDIDATE
+    VOLUME: each band key is ``bits/bands`` wide, so expected bucket
+    population is n / 2^(bits/bands) and candidates grow ~
+    bands · n² / 2^(bits/bands+1) — QUADRATIC once buckets saturate
+    (measured: documents sf0.1 → sf1 candidate pairs 12.75M → 1.276B
+    at the 16/4 default, 100.07x at 10x rows — SCALING.json
+    simhash_pairs_candidates). ``bits`` is SEMANTIC (it defines the
+    Hamming metric max_hamming thresholds against), so it must not be
+    auto-resized per corpus; instead, size it ONCE for the target
+    scale before trusting the defaults: bounded buckets need
+    bits >= bands · ceil(log2(n / target_bucket_rows)), i.e. the
+    production dial for web-scale corpora is the Manku et al. 64-bit
+    simhash (bands=4 -> 16-bit band keys bound buckets to n/65536),
+    not the 16-bit fixture default. bands stays max_hamming + 1 (the
+    pigeonhole minimum — more bands = narrower keys = more
+    collisions for no recall gain).
     """
     assert bits % bands == 0, "bands must evenly slice the signature"
     assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"

@@ -280,22 +280,32 @@ def _recall_audit_sql(floor: float) -> str:
 @register(
     "v_ivfpq_topk",
     _recall_audit_sql(0.40),
-    doc="IVF-PQ ANN top-5: KMeans coarse lists (n_probe=2) + "
-    "residual PQ/ADC candidate scoring + exact re-rank; registered "
-    "form is the recall@5 >= 0.40 audit vs in-query brute force "
-    "(hash-gated); serving form = operators.similarity.ivfpq_topk",
+    doc="IVF-PQ ANN top-5: KMeans coarse lists + residual PQ/ADC "
+    "candidate scoring + exact re-rank, at the auto dial triple "
+    "(nlist=sqrt(n), n_probe=sqrt(nlist), oversample=2*n_probe); "
+    "registered form is the recall@5 >= 0.40 audit vs in-query "
+    "brute force (hash-gated); serving form = "
+    "operators.similarity.ivfpq_topk",
 )
 def v_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # m=8 (8-dim subspaces) + 8x oversample reaches 91% of the
-    # IVF-exact ceiling at the same probe budget (0.52 vs 0.57 top-5
-    # recall on the fixture) — the ADC stage loses little; recall is
-    # probe-bound, the right dial being n_probe.
+    # r13: the registered audit runs the AUTO triple, not pinned
+    # integers. The r13 sf0.1 oracle sweep (CHECK_sf01_r13) caught the
+    # old fixed dial (n_centroids=8, n_probe=2, oversample=8, tuned at
+    # sf0.001/0.01) reading recall < 0.40 at sf0.1 — the same decay
+    # mode the r12 smoke found for fixed n_probe: a fixed candidate
+    # budget scans a vanishing fraction as n grows. The audit's
+    # "recall >= floor" claim must hold at every gated scale, so it
+    # audits the dial a scale operator would actually run; the oracle
+    # side (exact counts + floor) is dial-independent, so no churn.
+    # m=8 (8-dim subspaces): the ADC stage loses little — recall is
+    # probe-bound (measured 91% of the IVF ceiling at equal probes).
     approx = ivfpq_topk(
         emb, "vec_id", "embedding", dims=_DIMS, k=5,
-        n_centroids=8, n_probe=2, m=8, k_sub=16, oversample=8,
+        n_centroids="auto", n_probe="auto", m=8, k_sub=16,
+        oversample="auto",
     )
     return _recall_audit(emb, approx, floor=0.40)
 
@@ -383,9 +393,13 @@ def v_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             scratch
         )
         rotated = spark.read.parquet(scratch)
+        # r13: auto dial triple, same reasoning as v_ivfpq_topk — the
+        # fixed (8, 2, 8) dial read recall < 0.42 at sf0.1 in the
+        # CHECK_sf01_r13 sweep; the oracle is dial-independent.
         approx = ivfpq_topk(
             rotated, "vec_id", "embedding", dims=_DIMS, k=5,
-            n_centroids=8, n_probe=2, m=8, k_sub=16, oversample=8,
+            n_centroids="auto", n_probe="auto", m=8, k_sub=16,
+            oversample="auto",
         )
         # Exact side on the ORIGINAL frame: rotation preserves cosine
         # ranking, so these are the true exact neighbors (and the
@@ -1294,10 +1308,11 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v_pca_prefix_topk",
     _recall_audit_sql(0.42),
     doc=f"PCA-rotated prefix ANN top-5: candidates on the first "
-    f"{_PREFIX_DIMS} principal components, exact re-rank on raw "
-    "vectors; registered form is the recall@5 >= 0.42 audit vs "
-    "in-query brute force (measured 0.53/0.52 at sf0.001/sf0.01; "
-    "hash-gated)",
+    f"{_PREFIX_DIMS} principal components with a corpus-scaled "
+    "budget (max(20, 2*sqrt(n)) — a fixed budget decays with n, "
+    "measured 0.237 at sf0.1), exact re-rank on raw vectors; "
+    "registered form is the recall@5 >= 0.42 audit vs in-query "
+    "brute force (measured 0.548 at sf0.1; hash-gated)",
 )
 def v_pca_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1305,11 +1320,23 @@ def v_pca_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pca_prefix_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The serving form: raw PCA-prefix top-5 (qid, nid, score, rank)."""
+    """The serving form: raw PCA-prefix top-5 (qid, nid, score, rank).
+
+    Candidate budget scales with the corpus (r13): a FIXED budget at a
+    growing n decays recall as distractors crowd the 16-dim prefix
+    ranking — the CHECK_sf01_r13 sweep measured the fixed _SQ_CAND=20
+    at recall 0.237 on sf0.1 (audit floor 0.42). Measured knee at
+    sf0.1: 20 -> 0.237, 45 (sqrt n) -> 0.389, 90 (2 sqrt n) -> 0.548.
+    Budget = max(_SQ_CAND, 2*sqrt(n)): fixture behavior preserved at
+    tiny n, sublinear re-rank volume (2 n^1.5 prefix comparisons are
+    this tier's documented brute-force-in-prefix-space nature; the
+    bucketed tiers are ivf/ivfpq).
+    """
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     emb = load_table(spark, sf_dir, "embeddings")
+    cand = max(_SQ_CAND, int(round(2 * emb.count() ** 0.5)))
     vecs = emb.select(
         "vec_id", array_to_vector(F.col("embedding")).alias("features")
     )
@@ -1317,7 +1344,7 @@ def pca_prefix_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected = model.transform(vecs).select(
         "vec_id", vector_to_array("pca").alias("pvec")
     )
-    cands = brute_force_topk(projected, "vec_id", "pvec", k=_SQ_CAND).select(
+    cands = brute_force_topk(projected, "vec_id", "pvec", k=cand).select(
         "qid", "nid"
     )
     return _exact_rerank(emb, cands, k=5)
