@@ -504,6 +504,36 @@ def v_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The SERVING dial of the multiprobe family, driver-gated (r13): the
+# corpus-sized signature (sized_sig_bits) + the radius scaled with it
+# (resolve_n_flip('auto') = clamp(ceil(bits/6), 2, 3)) — the v_lsh_topk
+# / v_lsh_multiprobe audits above keep their FIXED fixture dials (their
+# oracles mirror the bucketing bit-for-bit), so without this entry the
+# dial an operator would actually turn was guarded only by
+# tools/recall_smoke.py. Registered as a recall audit: the oracle
+# (exact counts + constant flag) is dial-independent, same contract as
+# v_ivfpq_topk. Floor 0.45 = the smoke floor (measured 0.7297 at
+# sf0.1, 0.96 at sf1; the fixture reads higher still — at n=200 the
+# sized signature is 4 bits and radius 2 probes 11/16 buckets).
+@register(
+    "v_lsh_auto_topk",
+    _recall_audit_sql(0.45),
+    doc="multi-probe sign-LSH ANN top-5 at the SERVING dial "
+    "(sig_bits=sized_sig_bits(n), n_flip='auto'=clamp(ceil(bits/6),2,3)); "
+    "registered form is the recall@5 >= 0.45 audit vs in-query brute "
+    "force (hash-gated; measured 0.7297/0.96 at sf0.1/sf1)",
+)
+def v_lsh_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from listenbrainz_server_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = lsh_multiprobe_topk(
+        emb, "vec_id", "embedding", dims=_DIMS, k=5, sig_bits=None,
+        n_flip="auto",
+    )
+    return _recall_audit(emb, approx, floor=0.45)
+
+
 # --------------------------------------------------------------------------
 # Product-quantization ANN top-k. The memory-bound tier: candidates
 # score from 2-byte codes, not raw vectors; composes with any coarse

@@ -67,8 +67,16 @@ def main() -> int:
     con = duckdb.connect()
     for t in TPCH_TABLES:
         try:
+            p = table_path(sf_dir, t)
+            # Two on-disk layouts: the driver's testdata is one file
+            # per table; Spark-written scale dirs (tools/gen_scale.py,
+            # .scale/sf1) are DIRECTORIES of part files — DuckDB needs
+            # the glob for those (r13: first sf1 oracle run).
+            import os
+
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
             )
         except duckdb.Error:
             pass
