@@ -822,3 +822,31 @@ def test_oversample_auto_scale_dial(spark):
     )
     got = topk.groupBy("qid").count().agg({"count": "max"}).first()[0]
     assert got <= 5
+
+
+@pytest.mark.parametrize("bits,f", [(3, 1), (4, 2), (6, 2), (6, 3), (8, 1)])
+def test_probe_sig_array_hamming_ball_parametrized(spark, bits, f):
+    """Hamming-ball exactness across signature widths (r13 guard for
+    the scaled probe radius): for EVERY base signature of the given
+    width, the probe array is exactly the Hamming-<=f ball, each
+    member once. Runs all 2^bits base signatures through ONE Spark
+    job per (bits, f) — a miss costs silent recall, a duplicate
+    double-counts candidate pairs in the cogrouped scorer."""
+    import itertools
+
+    from listenbrainz_server_spark.operators.similarity import _probe_sig_array
+
+    all_sigs = ["".join(c) for c in itertools.product("01", repeat=bits)]
+    df = spark.createDataFrame([(s,) for s in all_sigs], "sig string")
+    rows = df.select(
+        "sig", _probe_sig_array(F.col("sig"), bits, f).alias("probes")
+    ).collect()
+
+    def hamming(a: str, b: str) -> int:
+        return sum(x != y for x, y in zip(a, b))
+
+    assert len(rows) == 2 ** bits
+    for r in rows:
+        expected = {s for s in all_sigs if hamming(s, r.sig) <= f}
+        assert len(r.probes) == len(set(r.probes)), (r.sig, bits, f)
+        assert set(r.probes) == expected, (r.sig, bits, f)
