@@ -48,6 +48,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from listenbrainz_server_spark.queries import load_all
 from listenbrainz_server_spark.session import get_session
 
+# The driver recovers the headline JSON from a bounded stdout tail
+# (2,000 chars measured: r12's 1,695-char line parsed, r13's
+# 2,280-char line recorded parsed:null — VERDICT r13 #1). Budget the
+# emitted line below that with headroom.
+LINE_BUDGET = 1900
+
+
+def headline_line(out: dict) -> str:
+    """Serialize the headline JSON line, enforcing LINE_BUDGET chars.
+
+    Progressive trim order if over budget: probe_trace (recoverable by
+    re-running), then the aba verdict map (full adjudication lives in
+    ABA_latest.json), then the per-query timings (value /
+    value_normalized always survive). Dropped keys are recorded under
+    "trimmed" so a reader knows the omission was deliberate.
+    """
+    line = json.dumps(out, separators=(",", ":"))
+    for trim in ("probe_trace", "aba", "queries"):
+        if len(line) <= LINE_BUDGET:
+            break
+        if trim in out:
+            out = {k: v for k, v in out.items() if k != trim}
+            out["trimmed"] = out.get("trimmed", []) + [trim]
+            line = json.dumps(out, separators=(",", ":"))
+    return line
+
 # One per family; the expensive ones stay in so regressions in the
 # heavy paths (ALS, cosine join, LSH re-rank, Arrow decode) are visible.
 HEADLINE = (
@@ -409,13 +435,20 @@ def main() -> None:
                     capture_output=True, text=True,
                 )
                 head_moved = bool(r.returncode) or bool(r.stdout.strip())
+            # VERDICT r13 #1: the full per-mover legs/ratios block
+            # pushed the r13 headline line past the driver's 2,000-char
+            # parse window (r12: 1,695 chars parsed; r13: 2,280 did
+            # not). The stdout line carries only the verdicts —
+            # {name: ab_confirmed} — plus a pointer; legs, ratios and
+            # heads live in ABA_latest.json.
             out["aba"] = {
                 "round": aba.get("round"),
-                "old_head": aba.get("old_head"),
-                "git_head": aba.get("git_head"),
                 "head_moved": head_moved,
-                "movers": aba.get("movers", {}),
-                **({"note": aba["note"]} if aba.get("note") else {}),
+                "movers": {
+                    n: bool(m.get("ab_confirmed"))
+                    for n, m in aba.get("movers", {}).items()
+                },
+                "ref": "ABA_latest.json",
             }
     if run_all and not no_artifact:
         # Side artifact for round-over-round regression tracking of the
@@ -492,7 +525,13 @@ def main() -> None:
                 artifact.pop("errors", None)
         with open(path, "w") as f:
             json.dump(artifact, f, indent=1)
-    print(json.dumps(out, separators=(",", ":")))
+    if run_all:
+        # The --all sweep's stdout is not the driver's parse target
+        # (BENCH_full_latest.json is its artifact of record) — no
+        # budget applies.
+        print(json.dumps(out, separators=(",", ":")))
+    else:
+        print(headline_line(out))
 
 
 if __name__ == "__main__":

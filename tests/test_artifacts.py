@@ -140,3 +140,75 @@ def test_aba_anchor_exists():
     for name, m in aba.get("movers", {}).items():
         assert "ab_confirmed" in m, f"mover {name} lacks adjudication"
         assert "legs" in m, f"mover {name} lacks leg readings"
+
+
+def test_headline_line_budget():
+    """VERDICT r13 #1: the headline stdout line must stay under the
+    driver's 2,000-char parse window — r13's line grew to 2,280 chars
+    by inlining the full A-B-A legs/ratios block and the driver
+    recorded parsed:null. Pins (a) that a realistic headline payload
+    with the SLIM aba attachment serializes under bench.LINE_BUDGET,
+    and (b) that an oversized payload (the r13 full-legs shape) is
+    trimmed back under budget with the omission recorded."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, REPO)
+    bench = importlib.import_module("bench")
+
+    # (a) realistic current-shape payload: 38 headline queries, full
+    # probe trace, 8 movers in the slim verdict-only form.
+    qnames = [f"family_query_name_{i:02d}_topk" for i in range(38)]
+    out = {
+        "metric": "headline_total_sec",
+        "value": 123.45,
+        "unit": "sec",
+        "queries": {n: round(0.1 + i * 0.37, 2) for i, n in enumerate(qnames)},
+        "sf": 0.1,
+        "runs_per_query": 3,
+        "probe_secs": [0.409, 0.192],
+        "probe_ref_secs": 0.304,
+        "window_factor": 0.987,
+        "window_unstable": False,
+        "jvm_maturation": 2.13,
+        "probe_trace": [[i * 10, 0.3 + (i % 3) * 0.02] for i in range(6)],
+        "value_normalized": 74.43,
+        "value_comparable": 18.22,
+        "aba": {
+            "round": 14,
+            "head_moved": False,
+            "movers": {f"mover_query_name_{i}": False for i in range(8)},
+            "ref": "ABA_latest.json",
+        },
+    }
+    line = bench.headline_line(dict(out))
+    assert len(line) <= bench.LINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["aba"]["movers"], "slim aba dropped from an in-budget line"
+    assert "queries" in parsed
+
+    # (b) the r13 failure shape: full legs/ratios inlined per mover.
+    fat = dict(out)
+    fat["aba"] = {
+        "round": 13,
+        "old_head": "1020b90df082beb02bf8bab420e03b19e33172a8",
+        "git_head": "08368e5021f66e11a76b5abe6a09ae5e5af84c4f",
+        "head_moved": False,
+        "movers": {
+            f"mover_query_name_{i}": {
+                "ab_confirmed": False,
+                "legs": {"new1": 2.43, "new2": 2.65, "old": 2.77},
+                "matched_ratio": 0.957,
+                "prior_round": 3.78,
+                "sweep_ratio": 0.582,
+                "this_sweep": 2.2,
+            }
+            for i in range(5)
+        },
+    }
+    line = bench.headline_line(fat)
+    assert len(line) <= bench.LINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert "trimmed" in parsed, "over-budget line must record what was dropped"
+    # value/value_normalized — the headline numbers — always survive.
+    assert parsed["value"] == 123.45 and parsed["value_normalized"] == 74.43

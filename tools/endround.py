@@ -10,6 +10,13 @@ Runs, in order:
   2. bench.py --all  (sf0.1) → BENCH_full_latest.json, heavies
      median-of-3 with per-run samples;
   3. tools/audit_plans.py → PLAN_AUDIT.md;
+  3b. the STANDING sf0.1 value gate (VERDICT r13 #2) — re-runs at
+     sf0.1 every name whose defining module changed since the newest
+     committed CHECK_sf01 artifact (plus missing names), merging into
+     CHECK_sf01_r{N}.json stamped at ONE head; a shared-module change
+     runs the full registry at sf0.1 on the full pass (deferred with
+     a printed notice on --delta). rc-enforced — the r13 one-time
+     sweep found 4 scale defects invisible at every sf0.01 gate;
   4. (full pass only) the A-B-A anchor — headline movers >1.3x vs the
      prior round re-run new→old→new against the prior snapshot in one
      session → ABA_latest.json (VERDICT r12 #1), and
@@ -59,6 +66,51 @@ sys.path.insert(0, REPO)
 from listenbrainz_server_spark.queries import load_all  # noqa: E402
 
 
+def _stale_names(registry, prior):
+    """Names whose defining module changed (committed or working
+    tree) since the prior artifact's recorded git head. Returns
+    None to request a conservative FULL pass (shared-file change
+    or unknown head)."""
+    import inspect
+
+    head = prior.get("git_head")
+    if not head:
+        return None  # pre-r9 artifact: no baseline to diff against
+    r = subprocess.run(
+        ["git", "diff", "--name-only", head, "--",
+         "listenbrainz_server_spark"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        return None
+    changed = {ln.strip() for ln in r.stdout.splitlines() if ln.strip()}
+    if not changed:
+        return set()
+    file_to_names: dict[str, set[str]] = {}
+    for name, q in registry.items():
+        try:
+            f = os.path.relpath(inspect.getsourcefile(q.fn), REPO)
+        except TypeError:
+            return None
+        file_to_names.setdefault(f, set()).add(name)
+    stale: set[str] = set()
+    for f in changed:
+        if f in file_to_names:
+            stale |= file_to_names[f]
+        else:
+            # A shared operator/helper changed — any query could
+            # depend on it; the import graph is not tracked.
+            print(f"  stale-set: non-query-module change {f} -> full pass")
+            return None
+    return stale
+
+
+def _git_head():
+    r = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                       capture_output=True, text=True)
+    return r.stdout.strip() if r.returncode == 0 else None
+
+
 def _delta_steps(registry, check_path):
     """Build (label, thunk) steps that re-run check/bench/audit for
     ONLY the registered names each committed artifact is missing, then
@@ -67,54 +119,11 @@ def _delta_steps(registry, check_path):
 
     reg = set(registry)
 
-    def _stale_names(prior):
-        """Names whose defining module changed (committed or working
-        tree) since the prior artifact's recorded git head. Returns
-        None to request a conservative FULL pass (shared-file change
-        or unknown head)."""
-        import inspect
-
-        head = prior.get("git_head")
-        if not head:
-            return None  # pre-r9 artifact: no baseline to diff against
-        r = subprocess.run(
-            ["git", "diff", "--name-only", head, "--",
-             "listenbrainz_server_spark"],
-            cwd=REPO, capture_output=True, text=True,
-        )
-        if r.returncode != 0:
-            return None
-        changed = {ln.strip() for ln in r.stdout.splitlines() if ln.strip()}
-        if not changed:
-            return set()
-        file_to_names: dict[str, set[str]] = {}
-        for name, q in registry.items():
-            try:
-                f = os.path.relpath(inspect.getsourcefile(q.fn), REPO)
-            except TypeError:
-                return None
-            file_to_names.setdefault(f, set()).add(name)
-        stale: set[str] = set()
-        for f in changed:
-            if f in file_to_names:
-                stale |= file_to_names[f]
-            else:
-                # A shared operator/helper changed — any query could
-                # depend on it; the import graph is not tracked.
-                print(f"  check delta: non-query-module change {f} -> full pass")
-                return None
-        return stale
-
-    def _git_head():
-        r = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
-                           capture_output=True, text=True)
-        return r.stdout.strip() if r.returncode == 0 else None
-
     def run_check():
         prior_paths = sorted(glob.glob(os.path.join(REPO, "CHECK_full_r*.json")))
         prior = json.load(open(prior_paths[-1])) if prior_paths else {"queries": {}}
         missing_set = reg - set(prior["queries"])
-        stale = _stale_names(prior)
+        stale = _stale_names(registry, prior)
         if stale is None:
             # Conservative: cannot bound the blast radius — full pass.
             print("  check delta: staleness unknown, running FULL check")
@@ -197,6 +206,104 @@ def _delta_steps(registry, check_path):
             ("plan audit", run_audit)]
 
 
+def run_sf01_gate(rnd: int, registry, conservative_full: bool = True) -> str | None:
+    """Standing sf0.1 value gate (VERDICT r13 #2): the one-time r13
+    sf0.1 sweep found FOUR real scale defects invisible at every
+    sf0.01 gate (fixed ANN dials decaying below their recall floors,
+    a fixed candidate budget, a 1-ulp percentile divergence) — so
+    sf0.01-green is not evidence of sf0.1-green for changed code.
+    This makes the gate structural: every endround re-gates at sf0.1
+    any registered name whose defining module changed since the
+    newest committed CHECK_sf01 artifact's recorded head, plus names
+    that artifact is missing, and merges into a NEW artifact that is
+    self-consistent at ONE head (VERDICT r13 #3: the r13 artifact
+    mixed two heads and said n_registry: 293 with 294 rows).
+
+    A shared-module change (non-query file) cannot bound the blast
+    radius; the full pass re-runs the whole registry at sf0.1
+    (~20 min measured in r13), while --delta passes defer that to
+    the round-closing full pass (printed, not silent).
+    Returns an error string or None.
+    """
+    import glob
+
+    out_path = os.path.join(REPO, f"CHECK_sf01_r{rnd:02d}.json")
+    sf_dir = "/root/testdata/sf0.1"
+    reg = set(registry)
+    prior_paths = sorted(glob.glob(os.path.join(REPO, "CHECK_sf01_r*.json")))
+    prior = json.load(open(prior_paths[-1])) if prior_paths else {"queries": {}}
+    prior_q = prior.get("queries", {})
+    missing = reg - set(prior_q)
+    stale = _stale_names(registry, prior)
+
+    def _full():
+        tmp = out_path + ".tmp"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/check.py"),
+             sf_dir, "--json", tmp], cwd=REPO,
+        )
+        if r.returncode != 0:
+            return f"full sf0.1 check exited {r.returncode}"
+        new = json.load(open(tmp))
+        os.remove(tmp)
+        json.dump(
+            {**new, "git_head": _git_head(), "n_registry": len(registry),
+             "scope": "full registry at sf0.1 (standing gate, "
+                      "VERDICT r13 #2; blast radius unbounded)"},
+            open(out_path, "w"), indent=1, sort_keys=True,
+        )
+        return None
+
+    if stale is None:
+        if not conservative_full:
+            print("  sf0.1 gate: shared-module change — deferring full "
+                  "sf0.1 sweep to the round-closing full pass")
+            return None
+        print("  sf0.1 gate: staleness unbounded, running FULL sf0.1 sweep")
+        return _full()
+    names = sorted(missing | stale)
+    if not names:
+        # Nothing query-affecting changed since the prior artifact's
+        # head — its rows are valid at the current head too; re-stamp
+        # so the next diff is small and the artifact names ONE head.
+        print("  sf0.1 gate: nothing missing or stale")
+        json.dump(
+            {**prior, "git_head": _git_head(), "n_registry": len(registry),
+             "scope": f"carried from {os.path.basename(prior_paths[-1])}: "
+                      "no query-defining module changed since its head"},
+            open(out_path, "w"), indent=1, sort_keys=True,
+        )
+        return None
+    print(f"  sf0.1 gate (missing+stale): {names}")
+    tmp = out_path + ".tmp"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/check.py"),
+         sf_dir, *names, "--json", tmp], cwd=REPO,
+    )
+    if r.returncode != 0:
+        return f"sf0.1 delta check exited {r.returncode}"
+    new = json.load(open(tmp))
+    os.remove(tmp)
+    merged_q = {**prior_q, **new["queries"]}
+    by = lambda s: sum(1 for v in merged_q.values() if v.get("status") == s)
+    json.dump(
+        {"queries": merged_q, "n_pass": by("pass"), "n_fail": by("fail"),
+         "n_rows_only": by("rows_only"), "n_registry": len(registry),
+         "sf_dir": sf_dir, "git_head": _git_head(),
+         "scope": f"standing sf0.1 delta gate (VERDICT r13 #2): re-ran "
+                  f"{len(names)} missing/stale names since "
+                  f"{os.path.basename(prior_paths[-1]) if prior_paths else 'scratch'}"
+                  f", merged over its rows"},
+        open(out_path, "w"), indent=1, sort_keys=True,
+    )
+    n_fail = by("fail")
+    if n_fail:
+        return f"sf0.1 gate has {n_fail} failures"
+    if len(merged_q) != len(registry):
+        return f"sf0.1 gate covers {len(merged_q)}/{len(registry)}"
+    return None
+
+
 def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
     """Same-session A-B-A anchor for the headline movers (VERDICT r12
     #1): cross-window headline ratios on this box carry ±40% drift —
@@ -257,10 +364,19 @@ def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
     # JSON line lives under "parsed" (with rc/tail wrapper fields);
     # accept both that shape and a plain bench.py output.
     prior_raw = json.load(open(prior_bench))
-    prior_q = prior_raw.get("parsed", prior_raw).get("queries", {})
-    cur_q = json.load(
-        open(os.path.join(REPO, "BENCH_full_latest.json"))
-    ).get("queries", {})
+    prior_parsed = prior_raw.get("parsed") or prior_raw
+    prior_q = prior_parsed.get("queries", {}) if isinstance(prior_parsed, dict) else {}
+    # Advisor r13 #3: the sweep step can fail (or be skipped) — a
+    # missing/corrupt BENCH_full_latest.json must degrade to a stamped
+    # note, not an uncaught exception that aborts endround before the
+    # head-stamp and coverage assertions run.
+    bench_path = os.path.join(REPO, "BENCH_full_latest.json")
+    try:
+        cur_q = json.load(open(bench_path)).get("queries", {})
+    except (OSError, json.JSONDecodeError) as e:
+        base["note"] = f"BENCH_full_latest.json unreadable: {e}"
+        json.dump(base, open(out_path, "w"), indent=1, sort_keys=True)
+        return f"aba: {base['note']}"
     # Mover eligibility floor: sub-half-second queries' ratios are
     # scheduler/JIT noise (a 0.19 s vs 0.25 s "mover" adjudicates
     # nothing) and they cannot move the headline total materially.
@@ -281,10 +397,12 @@ def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
         return None
     print(f"  aba movers: {movers}")
 
-    wt = "/tmp/aba_worktree"
-    subprocess.run(["git", "worktree", "remove", "--force", wt],
-                   cwd=REPO, capture_output=True)
-    shutil.rmtree(wt, ignore_errors=True)
+    # Advisor r13 #3: a fixed /tmp path can clobber unrelated content
+    # or collide across concurrent runs — take a fresh private dir and
+    # let git create the worktree inside it.
+    import tempfile
+
+    wt = os.path.join(tempfile.mkdtemp(prefix="aba_worktree_"), "snapshot")
     r = subprocess.run(
         ["git", "worktree", "add", "--detach", wt, old_head],
         cwd=REPO, capture_output=True, text=True,
@@ -322,7 +440,7 @@ def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
     finally:
         subprocess.run(["git", "worktree", "remove", "--force", wt],
                        cwd=REPO, capture_output=True)
-        shutil.rmtree(wt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(wt), ignore_errors=True)
 
     for n in movers:
         new1, old, new2 = (legs["new1"].get(n), legs["old"].get(n),
@@ -441,6 +559,16 @@ def main() -> int:
         r = subprocess.run(step, cwd=REPO)
         if r.returncode != 0:
             failures.append(f"{label} exited {r.returncode}")
+
+    # VERDICT r13 #2: the sf0.1 value gate is STANDING, not one-time —
+    # every endround re-gates changed-module names at sf0.1 (the r13
+    # sweep found 4 scale defects invisible at sf0.01). rc-enforced.
+    # On --delta a shared-module change defers the full sf0.1 sweep to
+    # the round-closing full pass instead of blocking mid-round work.
+    print("== sf0.1 value gate (standing)")
+    err = run_sf01_gate(int(rnd), registry, conservative_full=not delta)
+    if err:
+        failures.append(f"sf0.1 gate: {err}")
 
     # VERDICT r11 #2: an unstable probe window (interleaved trace
     # max/min > 1.6x after the first-point skip — NOT the retired
