@@ -845,14 +845,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     Token multiset votes per bit; sign of the vote sum sets the bit.
     Zero votes (empty docs) resolve to '1' ('>=0' rule) — documented,
     deterministic.
+
+    Votes come from md5 hex chars — 32 per digest — so the production
+    64-bit dial (Manku et al.; see ``simhash_pairs``) draws bits 32-63
+    from a SECOND independent digest md5(token || '\\x01'). Without it
+    those bits would silently read the empty string and vote a
+    constant +1 for every doc (r14 find: the documented 64-bit dial
+    was unusable — two of its four band keys would collapse to a
+    single bucket each, re-quadraticizing the candidate join).
+    Bits 0-31 are byte-identical to the pre-r14 form, so every
+    DuckDB-replayed oracle at bits <= 32 is unchanged.
     """
+    assert bits <= 64, "simhash draws from two md5 digests: bits <= 64"
     df = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )  # doc-keyed parallelism for the token explode (see shingle_index)
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     tok = tok.withColumn("th", F.md5("tok"))
+    if bits > 32:
+        tok = tok.withColumn("th2", F.md5(F.concat(F.col("tok"), F.lit("\x01"))))
     votes = tok.groupBy(id_col).agg(
-        *[F.sum(simhash_bit(F.col("th"), i)).alias(f"v{i}") for i in range(bits)]
+        *[
+            F.sum(
+                simhash_bit(F.col("th") if i < 32 else F.col("th2"), i % 32)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
     )
     bit_chars = [F.when(F.col(f"v{i}") >= 0, "1").otherwise("0") for i in range(bits)]
     return votes.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))

@@ -854,12 +854,35 @@ def ivf_topk(
     )
 
 
-def _flip_bit(sig: Column, i: int, sig_bits: int) -> Column:
-    """Signature with bit i flipped (bitstring column, 1-indexed substr)."""
-    flipped = F.when(F.substring(sig, i + 1, 1) == "1", "0").otherwise("1")
-    return F.concat(
-        F.substring(sig, 1, i), flipped, F.substring(sig, i + 2, sig_bits)
-    )
+# Past this probe fan-out the plan itself is the cost: a 2,325-wide
+# F.array at (bits=24, f=3) plus the query-side explode dwarfs the
+# bucket pruning it buys, and the honest serving path at that corpus
+# size is the trained IVF tier (see resolve_n_flip). Warn, don't
+# raise — fixture sweeps and calibration runs legitimately cross it.
+PROBE_FANOUT_WARN = 1024
+
+
+def _one_probe(sig: Column, positions: tuple[int, ...], sig_bits: int) -> Column:
+    """Signature with the (sorted, 0-indexed) ``positions`` bits
+    flipped, built FLAT: unchanged runs are single substrings and each
+    flipped bit one F.when — ≤ 2f+1 nodes per probe. The previous
+    nested-flip form copied the whole operand 3× per level (~3^f
+    subexpression copies), which at (bits=24, f=3) made Catalyst carry
+    ~27 copies of the signature per probe × 2,325 probes
+    (advisor r13 #2).
+    """
+    parts: list[Column] = []
+    prev = 0
+    for p in positions:
+        if p > prev:
+            parts.append(F.substring(sig, prev + 1, p - prev))
+        parts.append(
+            F.when(F.substring(sig, p + 1, 1) == "1", F.lit("0")).otherwise("1")
+        )
+        prev = p + 1
+    if prev < sig_bits:
+        parts.append(F.substring(sig, prev + 1, sig_bits - prev))
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
 def _probe_sig_array(sig: Column, sig_bits: int, n_flip: int) -> Column:
@@ -869,18 +892,31 @@ def _probe_sig_array(sig: Column, sig_bits: int, n_flip: int) -> Column:
     likely to be the miss, so we enumerate rather than rank flips).
 
     Fan-out = sum_{i<=n_flip} C(sig_bits, i); all probes are pure
-    column expressions (nested flips), so the set costs one projection
-    — no shuffle, no Python.
+    column expressions (flat substring/when concats), so the set costs
+    one projection — no shuffle, no Python. Fan-outs beyond
+    ``PROBE_FANOUT_WARN`` emit a RuntimeWarning steering serving-path
+    callers to the trained IVF tier.
     """
+    import math
     from itertools import combinations
 
+    fanout = sum(math.comb(sig_bits, i) for i in range(max(0, n_flip) + 1))
+    if fanout > PROBE_FANOUT_WARN:
+        import warnings
+
+        warnings.warn(
+            f"multi-probe fan-out {fanout} (sig_bits={sig_bits}, "
+            f"n_flip={n_flip}) exceeds {PROBE_FANOUT_WARN}: the probe "
+            f"array/explode dominates the plan at this width — use the "
+            f"trained IVF tier (ivf_topk / ivfpq_topk) for corpora "
+            f"this size",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     probes = [sig]
     for f in range(1, max(0, n_flip) + 1):
         for positions in combinations(range(sig_bits), f):
-            e = sig
-            for i in positions:
-                e = _flip_bit(e, i, sig_bits)
-            probes.append(e)
+            probes.append(_one_probe(sig, positions, sig_bits))
     return F.array(*probes)
 
 
@@ -1555,7 +1591,7 @@ def pq_topk(
     m: int = 4,
     k_sub: int = 16,
     sig_bits: int = 8,
-    n_flip: int = 1,
+    n_flip: int | str = 1,
     oversample: int = 3,
     round_dp: int = 6,
     seed: int = 45,

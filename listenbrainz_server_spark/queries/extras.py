@@ -547,17 +547,21 @@ def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           quantile_cont(o_totalprice, 0.5) AS p50_exact,
-           quantile_cont(o_totalprice, 0.9) AS p90_exact,
-           quantile_cont(o_totalprice, 0.99) AS p99_exact,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_exact,
+           ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99_exact,
            TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
     FROM orders GROUP BY o_orderpriority
     """,
     doc="approx_percentile quantile sketch per order priority, "
     "self-auditing form: true-rank-of-estimate within 1% of target "
     "rank, inside the driver hash gate (mergeable sketch); exact "
-    "p50/p90/p99 references emitted and DuckDB-recomputed "
-    "(quantile_cont == F.percentile bit-exact on identical doubles)",
+    "p50/p90/p99 references emitted ROUND(...,6) on both sides — "
+    "quantile_cont and F.percentile use algebraically-equal but "
+    "floating-point-different interpolation forms that land 1 ulp "
+    "apart when the bracketing neighbors are EQUAL (the "
+    "x_equidepth_bins r13 find; advisor r13 #1 flagged this query "
+    "as the same latent data-dependent flake)",
 )
 def x_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -582,11 +586,13 @@ def x_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        # Exact references for the oracle (VERDICT r10 #4 pattern) —
-        # bit-exact with DuckDB's quantile_cont on identical doubles.
-        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
-        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_exact"),
-        F.percentile("o_totalprice", F.lit(0.99)).alias("p99_exact"),
+        # Exact references for the oracle (VERDICT r10 #4 pattern),
+        # ROUND(...,6) symmetrically: in the equal-neighbor case
+        # Spark's lo + frac*(hi-lo) returns lo exactly while DuckDB's
+        # convex form can land one ulp low (the x_equidepth_bins fix).
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_exact"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99_exact"),
         rank_ok("p50", 0.5).alias("p50_rank_ok"),
         rank_ok("p90", 0.9).alias("p90_rank_ok"),
         rank_ok("p99", 0.99).alias("p99_rank_ok"),
@@ -3709,10 +3715,11 @@ def x_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tol = lambda n: 0.02 + 10.0 / n  # noqa: E731 - digest error + ties
     # Value-oracle upgrade (VERDICT r10 #4): exact decile references,
-    # DuckDB-recomputable bit-exact (F.percentile == quantile_cont,
-    # both q*(n-1) linear interpolation on identical doubles, emitted
-    # unrounded). Fixture-scale audit columns only — the serving shape
-    # is digest cuts + broadcast, no exact percentile scan.
+    # DuckDB-recomputed, ROUND(...,6) on BOTH sides — F.percentile and
+    # quantile_cont interpolate with algebraically-equal forms that
+    # diverge by 1 ulp when the bracketing neighbors are equal (the
+    # r13 sf0.1 find). Fixture-scale audit columns only — the serving
+    # shape is digest cuts + broadcast, no exact percentile scan.
     exact_decs = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")

@@ -850,3 +850,30 @@ def test_probe_sig_array_hamming_ball_parametrized(spark, bits, f):
         expected = {s for s in all_sigs if hamming(s, r.sig) <= f}
         assert len(r.probes) == len(set(r.probes)), (r.sig, bits, f)
         assert set(r.probes) == expected, (r.sig, bits, f)
+
+
+def test_probe_fanout_warning(spark):
+    """Advisor r13 #2: a probe set wider than PROBE_FANOUT_WARN (e.g.
+    the sized-signature cap bits=24 at auto radius 3 -> 2,325 probes)
+    makes the plan itself the cost — the builder must warn and steer
+    serving callers to the trained IVF tier. In-bound widths must stay
+    silent (warnings are per-call, not per-row: building the Column is
+    driver-side)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from listenbrainz_server_spark.operators.similarity import (
+        PROBE_FANOUT_WARN,
+        _probe_sig_array,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        _probe_sig_array(F.col("sig"), 9, 3)  # fan-out 130: silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _probe_sig_array(F.col("sig"), 24, 3)  # fan-out 2,325
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("ivf" in m.lower() for m in msgs), msgs
+    assert PROBE_FANOUT_WARN < 2325
