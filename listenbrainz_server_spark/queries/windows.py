@@ -472,7 +472,7 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_mad_outliers",
     """
     WITH med AS (
-        SELECT event_type, quantile_cont(value, 0.5) AS med
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
         FROM events GROUP BY event_type
     ),
     dev AS (
@@ -480,7 +480,7 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e JOIN med m USING (event_type)
     ),
     mad AS (
-        SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+        SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad FROM dev
         GROUP BY event_type
     )
     SELECT d.event_type,
@@ -502,13 +502,13 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
     )
     mad = dev.groupBy("event_type").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad")
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -672,12 +672,12 @@ def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH med AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               quantile_cont(value, 0.5) AS med_x
+               ROUND(quantile_cont(value, 0.5), 6) AS med_x
         FROM events GROUP BY event_type
     ),
     mad AS (
         SELECT e.event_type,
-               quantile_cont(abs(e.value - m.med_x), 0.5) AS mad_x
+               ROUND(quantile_cont(abs(e.value - m.med_x), 0.5), 6) AS mad_x
         FROM events e JOIN med m USING (event_type)
         GROUP BY e.event_type
     ),
@@ -710,8 +710,11 @@ def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+/-0.01, digest-thresholded outlier share within 0.005+1/n of "
     "exact (the 1/n term is single-row discreteness at small groups); "
     "exact median/MAD/outlier-count references are emitted and "
-    "DuckDB-recomputed (quantile_cont == F.percentile bit-exact, "
-    "both q*(n-1) interpolation on identical doubles)",
+    "DuckDB-recomputed with ROUND(...,6) at the source on both "
+    "sides -- quantile_cont and F.percentile land 1 ulp apart in "
+    "the equal-neighbor interpolation case (the x_equidepth_bins "
+    "r13 find), and the raw values also feed the 3*MAD threshold "
+    "comparison, so rounding must happen BEFORE the compare",
 )
 def w_mad_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.tdigest import (
@@ -742,7 +745,7 @@ def w_mad_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("event_type", "value")
         .groupBy("event_type")
-        .agg(F.percentile("value", F.lit(0.5)).alias("med_x"))
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("med_x"))
     )
     exact_dev = (
         ev.join(F.broadcast(exact), "event_type")
@@ -751,7 +754,7 @@ def w_mad_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("value") - F.col("med_x")).alias("adev_x"),
         )
         .groupBy("event_type")
-        .agg(F.percentile("adev_x", F.lit(0.5)).alias("mad_x"))
+        .agg(F.round(F.percentile("adev_x", F.lit(0.5)), 6).alias("mad_x"))
     )
     exact_share = (
         ev.join(F.broadcast(exact), "event_type")
@@ -805,9 +808,10 @@ def w_mad_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Value-oracle upgrade (VERDICT r10 #4): the exact references the
     # audit slack is measured against are themselves emitted — DuckDB
-    # recomputes med/MAD via quantile_cont (bit-exact parity with
-    # F.percentile verified on the fixture: both are q*(n-1) linear
-    # interpolation over identical doubles, no rounding anywhere) and
+    # recomputes med/MAD via quantile_cont, ROUND(...,6) at the
+    # SOURCE on both sides (r14: the equal-neighbor interpolation
+    # case lands the two engines 1 ulp apart — x_equidepth_bins r13
+    # find — and the raw values also feed the 3*MAD threshold) and
     # the outlier COUNT as an integer. Only the digest booleans stay
     # hash-gated (digest estimates aren't SQL-reproducible).
     return (
