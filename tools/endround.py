@@ -66,9 +66,81 @@ sys.path.insert(0, REPO)
 from listenbrainz_server_spark.queries import load_all  # noqa: E402
 
 
+def _query_module_deps() -> dict[str, set[str]]:
+    """Repo-relative queries/*.py file -> the queries-package files it
+    imports from (AST walk, so function-body imports count too).
+
+    Exists because query modules DO import from each other — e.g.
+    dedup.py and extras.py use text.py's _QUALITY_EXPR, handlers4.py
+    uses ml.py's user_cosine_pairs, api_variants.py uses handlers4's
+    _COSINE_PAIRS_SQL. Without this map a change to text.py would
+    re-gate only text's own names and silently under-run the
+    standing sf0.1 gate for the dependents.
+    """
+    import ast
+
+    pkg = "listenbrainz_server_spark/queries"
+    prefix = "listenbrainz_server_spark.queries"
+    deps: dict[str, set[str]] = {}
+    for fn in sorted(os.listdir(os.path.join(REPO, pkg))):
+        if not fn.endswith(".py") or fn == "__init__.py":
+            continue
+        rel = f"{pkg}/{fn}"
+        try:
+            with open(os.path.join(REPO, rel)) as f:
+                tree = ast.parse(f.read())
+        except (OSError, SyntaxError):
+            # Unparseable module: no edges recorded; a change to it
+            # still maps to its own names via file_to_names, and its
+            # syntax error would fail the suite/import anyway.
+            deps[rel] = set()
+            continue
+        mods: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module:
+                m = node.module
+                if node.level:  # relative: from .text import X
+                    m = f"{prefix}.{m}"
+                if m.startswith(prefix + "."):
+                    leaf = m[len(prefix) + 1:].split(".")[0]
+                    mods.add(f"{pkg}/{leaf}.py")
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.startswith(prefix + "."):
+                        leaf = alias.name[len(prefix) + 1:].split(".")[0]
+                        mods.add(f"{pkg}/{leaf}.py")
+        deps[rel] = mods - {rel}
+    return deps
+
+
+def _expand_query_deps(changed: set[str], deps: dict[str, set[str]]) -> set[str]:
+    """Close `changed` over reverse dependencies: if A imports from B
+    and B changed, A is changed too (transitively — api_variants ->
+    handlers4 -> ml is a real two-hop chain). Non-queries paths pass
+    through untouched (they hit the conservative full-pass branch in
+    the caller)."""
+    rev: dict[str, set[str]] = {}
+    for f, ms in deps.items():
+        for m in ms:
+            rev.setdefault(m, set()).add(f)
+    expanded = set(changed)
+    frontier = set(changed)
+    while frontier:
+        nxt: set[str] = set()
+        for f in frontier:
+            for dependent in rev.get(f, ()):
+                if dependent not in expanded:
+                    expanded.add(dependent)
+                    nxt.add(dependent)
+        frontier = nxt
+    return expanded
+
+
 def _stale_names(registry, prior):
     """Names whose defining module changed (committed or working
-    tree) since the prior artifact's recorded git head. Returns
+    tree) since the prior artifact's recorded git head — closed over
+    intra-package imports (a change to text.py also stales the
+    dedup/extras names that import its helpers). Returns
     None to request a conservative FULL pass (shared-file change
     or unknown head)."""
     import inspect
@@ -86,6 +158,7 @@ def _stale_names(registry, prior):
     changed = {ln.strip() for ln in r.stdout.splitlines() if ln.strip()}
     if not changed:
         return set()
+    changed = _expand_query_deps(changed, _query_module_deps())
     file_to_names: dict[str, set[str]] = {}
     for name, q in registry.items():
         try:
