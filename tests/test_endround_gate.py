@@ -19,9 +19,14 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from endround import _expand_query_deps, _query_module_deps  # noqa: E402
+from endround import (  # noqa: E402
+    _expand_query_deps,
+    _package_import_graph,
+    _query_module_deps,
+)
 
 PKG = "listenbrainz_server_spark/queries"
+ROOT = "listenbrainz_server_spark"
 
 
 def test_dependency_map_sees_known_edges():
@@ -85,6 +90,79 @@ def test_real_ml_change_reaches_api_variants():
     out = _expand_query_deps({f"{PKG}/ml.py"}, deps)
     assert f"{PKG}/handlers4.py" in out
     assert f"{PKG}/api_variants.py" in out
+
+
+def test_package_graph_covers_every_module_and_known_shared_edges():
+    graph = _package_import_graph()
+    pkg_dir = os.path.join(os.path.dirname(__file__), "..", ROOT)
+    expected = set()
+    for dirpath, _dirs, fns in os.walk(pkg_dir):
+        for fn in fns:
+            if fn.endswith(".py"):
+                rel = os.path.relpath(os.path.join(dirpath, fn),
+                                      os.path.join(pkg_dir, ".."))
+                expected.add(rel.replace(os.sep, "/"))
+    assert set(graph) == expected
+    # Shared-module edges the bounded stale-set depends on:
+    assert f"{ROOT}/operators/similarity.py" in graph[f"{PKG}/similarity.py"]
+    assert f"{ROOT}/catalog.py" in graph[f"{PKG}/relational.py"]
+    # Importing a.b.c executes a/__init__ too — ancestor edges exist.
+    assert f"{ROOT}/__init__.py" in graph[f"{PKG}/similarity.py"]
+    # No self-edges anywhere.
+    for f, ms in graph.items():
+        assert f not in ms
+
+
+def test_operator_change_stales_its_dependents_not_everything():
+    """A leaf operators/ module change must reach the query modules
+    that import it (directly or transitively) — and, for a genuinely
+    narrow module, NOT the whole package."""
+    graph = _package_import_graph()
+    out = _expand_query_deps({f"{ROOT}/operators/similarity.py"}, graph)
+    assert f"{PKG}/similarity.py" in out
+    # tdigest is imported by a handful of modules, not everything:
+    out_td = _expand_query_deps({f"{ROOT}/operators/tdigest.py"}, graph)
+    assert f"{PKG}/extras.py" in out_td or f"{PKG}/windows.py" in out_td
+    assert len(out_td) < len(graph)
+
+
+def test_init_aggregation_is_not_an_edge_but_reexport_is():
+    """queries/__init__'s load_all imports every submodule INSIDE a
+    function body — pure registration aggregation. If those counted
+    as edges, every query module would sit in one import cycle with
+    __init__ (they all import `register` from it) and ANY
+    query-module change would stale the full registry, erasing the
+    bounded gate. Module-level imports in an __init__ (root
+    __init__'s session re-export) are real package surface and must
+    stay edges."""
+    graph = _package_import_graph()
+    assert f"{PKG}/windows.py" not in graph[f"{PKG}/__init__.py"]
+    assert f"{ROOT}/session.py" in graph[f"{ROOT}/__init__.py"]
+    # The payoff: a windows.py-only change reaches no other query
+    # module (nothing imports from queries.windows today).
+    out = _expand_query_deps({f"{PKG}/windows.py"}, graph)
+    assert out & {f for f in graph if f.startswith(PKG + "/")} == {
+        f"{PKG}/windows.py"
+    }
+    # And every query module still depends ON __init__ (register) —
+    # a change to __init__ stales everything, by measurement.
+    rev_out = _expand_query_deps({f"{PKG}/__init__.py"}, graph)
+    query_mods = {f for f in graph
+                  if f.startswith(PKG + "/") and not f.endswith("__init__.py")}
+    assert query_mods <= rev_out
+
+
+def test_shared_module_change_reaches_nearly_every_query_module():
+    """catalog.py is the load path for every table — the graph must
+    route a change there to (nearly) all query modules, reproducing
+    the old conservative full pass by measurement."""
+    graph = _package_import_graph()
+    out = _expand_query_deps({f"{ROOT}/catalog.py"}, graph)
+    query_mods = {f for f in graph
+                  if f.startswith(PKG + "/") and not f.endswith("__init__.py")}
+    assert len(out & query_mods) >= int(0.9 * len(query_mods)), (
+        sorted(query_mods - out)
+    )
 
 
 def test_registry_files_live_in_the_queries_package():

@@ -66,26 +66,50 @@ sys.path.insert(0, REPO)
 from listenbrainz_server_spark.queries import load_all  # noqa: E402
 
 
-def _query_module_deps() -> dict[str, set[str]]:
-    """Repo-relative queries/*.py file -> the queries-package files it
-    imports from (AST walk, so function-body imports count too).
+def _package_import_graph() -> dict[str, set[str]]:
+    """Repo-relative listenbrainz_server_spark/**/*.py file -> the
+    package files it imports from (AST walk, so function-body imports
+    count too; absolute and relative forms; `from pkg import submod`
+    resolved; every ancestor package __init__ is an edge because
+    importing a.b.c executes a/__init__ and a/b/__init__ too).
 
-    Exists because query modules DO import from each other — e.g.
-    dedup.py and extras.py use text.py's _QUALITY_EXPR, handlers4.py
-    uses ml.py's user_cosine_pairs, api_variants.py uses handlers4's
-    _COSINE_PAIRS_SQL. Without this map a change to text.py would
-    re-gate only text's own names and silently under-run the
-    standing sf0.1 gate for the dependents.
+    Exists because behavior flows across module boundaries in both
+    directions the gate must see: query modules import from each
+    other (dedup.py / extras.py use text.py's _QUALITY_EXPR,
+    handlers4.py uses ml.py's user_cosine_pairs, api_variants.py uses
+    handlers4's _COSINE_PAIRS_SQL) and from shared modules
+    (operators/, functions/, catalog.py). Without the graph a change
+    to text.py would re-gate only text's own names (silent
+    under-run), and a change to ONE leaf operator module would force
+    the FULL 294-name sf0.1 sweep (~20 min) instead of its actual
+    dependents. There is no dynamic import / string-keyed UDF
+    registration in the package (checked: the only name-based
+    registration is catalog.register_views, and every consumer
+    imports catalog directly), so the static graph is sound; any
+    changed path NOT in the graph still forces the conservative full
+    pass in _stale_names.
     """
     import ast
 
-    pkg = "listenbrainz_server_spark/queries"
-    prefix = "listenbrainz_server_spark.queries"
-    deps: dict[str, set[str]] = {}
-    for fn in sorted(os.listdir(os.path.join(REPO, pkg))):
-        if not fn.endswith(".py") or fn == "__init__.py":
-            continue
-        rel = f"{pkg}/{fn}"
+    root = "listenbrainz_server_spark"
+    files: set[str] = set()
+    for dirpath, _dirs, fns in os.walk(os.path.join(REPO, root)):
+        for fn in fns:
+            if fn.endswith(".py"):
+                files.add(os.path.relpath(os.path.join(dirpath, fn), REPO))
+
+    def mod_to_file(parts: list[str]) -> str | None:
+        cand = "/".join(parts) + ".py"
+        if cand in files:
+            return cand
+        cand = "/".join(parts) + "/__init__.py"
+        if cand in files:
+            return cand
+        return None
+
+    graph: dict[str, set[str]] = {}
+    for rel in sorted(files):
+        edges: set[str] = set()
         try:
             with open(os.path.join(REPO, rel)) as f:
                 tree = ast.parse(f.read())
@@ -93,24 +117,93 @@ def _query_module_deps() -> dict[str, set[str]]:
             # Unparseable module: no edges recorded; a change to it
             # still maps to its own names via file_to_names, and its
             # syntax error would fail the suite/import anyway.
-            deps[rel] = set()
+            graph[rel] = edges
             continue
-        mods: set[str] = set()
-        for node in ast.walk(tree):
-            if isinstance(node, ast.ImportFrom) and node.module:
-                m = node.module
+        dir_parts = rel.split("/")[:-1]
+
+        if rel.endswith("/__init__.py"):
+            # Package __init__: only MODULE-LEVEL imports are edges.
+            # A module-level import there re-exports names as part of
+            # the package surface (root __init__ re-exports
+            # session.get_session) — a real dependency. A
+            # function-body import (queries/__init__'s load_all
+            # aggregator) is lazy registration plumbing; keeping it
+            # as an edge would close the whole queries package into
+            # one cycle (every module imports `register` from
+            # __init__, __init__ imports every module) and collapse
+            # the bounded stale-set back to the full registry for ANY
+            # query-module change.
+            def _iter_import_nodes(stmts):
+                for st in stmts:
+                    if isinstance(st, (ast.FunctionDef,
+                                       ast.AsyncFunctionDef,
+                                       ast.ClassDef)):
+                        continue
+                    if isinstance(st, (ast.Import, ast.ImportFrom)):
+                        yield st
+                    for field in ("body", "orelse", "finalbody",
+                                  "handlers"):
+                        sub = getattr(st, field, None)
+                        if sub:
+                            if field == "handlers":
+                                for h in sub:
+                                    yield from _iter_import_nodes(h.body)
+                            else:
+                                yield from _iter_import_nodes(sub)
+
+            nodes = list(_iter_import_nodes(tree.body))
+        else:
+            nodes = [n for n in ast.walk(tree)
+                     if isinstance(n, (ast.Import, ast.ImportFrom))]
+
+        def add_module(parts: list[str]) -> None:
+            # the module itself plus every ancestor package __init__
+            for i in range(1, len(parts) + 1):
+                f = mod_to_file(parts[:i])
+                if f and f != rel:
+                    edges.add(f)
+
+        for node in nodes:
+            if isinstance(node, ast.ImportFrom):
                 if node.level:  # relative: from .text import X
-                    m = f"{prefix}.{m}"
-                if m.startswith(prefix + "."):
-                    leaf = m[len(prefix) + 1:].split(".")[0]
-                    mods.add(f"{pkg}/{leaf}.py")
+                    if node.level - 1 > len(dir_parts):
+                        continue
+                    base = dir_parts[:len(dir_parts) - (node.level - 1)]
+                    parts = base + (node.module.split(".")
+                                    if node.module else [])
+                else:
+                    parts = node.module.split(".") if node.module else []
+                if not parts or parts[0] != root:
+                    continue
+                add_module(parts)
+                for alias in node.names:
+                    # `from X import name` where name is a submodule
+                    sub = mod_to_file(parts + [alias.name])
+                    if sub and sub != rel:
+                        edges.add(sub)
             elif isinstance(node, ast.Import):
                 for alias in node.names:
-                    if alias.name.startswith(prefix + "."):
-                        leaf = alias.name[len(prefix) + 1:].split(".")[0]
-                        mods.add(f"{pkg}/{leaf}.py")
-        deps[rel] = mods - {rel}
-    return deps
+                    parts = alias.name.split(".")
+                    if parts[0] != root:
+                        continue
+                    add_module(parts)
+        graph[rel] = edges
+    return graph
+
+
+def _query_module_deps() -> dict[str, set[str]]:
+    """The queries-package restriction of _package_import_graph:
+    queries/*.py -> the sibling query modules it imports from
+    (package __init__s excluded — `from ...queries import register`
+    is a package import, not a module edge)."""
+    pkg = "listenbrainz_server_spark/queries"
+    graph = _package_import_graph()
+    return {
+        f: {m for m in ms
+            if m.startswith(pkg + "/") and not m.endswith("__init__.py")}
+        for f, ms in graph.items()
+        if f.startswith(pkg + "/") and not f.endswith("__init__.py")
+    }
 
 
 def _expand_query_deps(changed: set[str], deps: dict[str, set[str]]) -> set[str]:
@@ -139,10 +232,16 @@ def _expand_query_deps(changed: set[str], deps: dict[str, set[str]]) -> set[str]
 def _stale_names(registry, prior):
     """Names whose defining module changed (committed or working
     tree) since the prior artifact's recorded git head — closed over
-    intra-package imports (a change to text.py also stales the
-    dedup/extras names that import its helpers). Returns
-    None to request a conservative FULL pass (shared-file change
-    or unknown head)."""
+    the package import graph, transitively: a change to text.py also
+    stales the dedup/extras names that import its helpers, and a
+    change to a leaf operators/ module stales exactly the names of
+    the query modules that (transitively) import it, instead of
+    forcing the full 294-name sweep. Truly shared modules (catalog,
+    package __init__s) reach ~every query module through the graph
+    and so stale ~the whole registry — same cost as before, now by
+    measurement rather than assumption. Returns None to request a
+    conservative FULL pass (unmapped/deleted path, unknown head, or
+    an unmappable registration)."""
     import inspect
 
     head = prior.get("git_head")
@@ -158,7 +257,15 @@ def _stale_names(registry, prior):
     changed = {ln.strip() for ln in r.stdout.splitlines() if ln.strip()}
     if not changed:
         return set()
-    changed = _expand_query_deps(changed, _query_module_deps())
+    graph = _package_import_graph()
+    unmapped = changed - set(graph)
+    if unmapped:
+        # Deleted module, non-Python file, … — can't bound the blast
+        # radius statically.
+        print(f"  stale-set: unmapped change {sorted(unmapped)[:3]} "
+              "-> full pass")
+        return None
+    changed = _expand_query_deps(changed, graph)
     file_to_names: dict[str, set[str]] = {}
     for name, q in registry.items():
         try:
@@ -168,13 +275,11 @@ def _stale_names(registry, prior):
         file_to_names.setdefault(f, set()).add(name)
     stale: set[str] = set()
     for f in changed:
-        if f in file_to_names:
-            stale |= file_to_names[f]
-        else:
-            # A shared operator/helper changed — any query could
-            # depend on it; the import graph is not tracked.
-            print(f"  stale-set: non-query-module change {f} -> full pass")
-            return None
+        stale |= file_to_names.get(f, set())
+    n_mods = sum(1 for f in changed if f in file_to_names)
+    print(f"  stale-set: {len(stale)} names across {n_mods} query "
+          f"modules (import-closure of {len(changed)} changed/dependent "
+          "files)")
     return stale
 
 
