@@ -11,12 +11,16 @@ Runs, in order:
      median-of-3 with per-run samples;
   3. tools/audit_plans.py → PLAN_AUDIT.md;
   3b. the STANDING sf0.1 value gate (VERDICT r13 #2) — re-runs at
-     sf0.1 every name whose defining module changed since the newest
-     committed CHECK_sf01 artifact (plus missing names), merging into
-     CHECK_sf01_r{N}.json stamped at ONE head; a shared-module change
-     runs the full registry at sf0.1 on the full pass (deferred with
-     a printed notice on --delta). rc-enforced — the r13 one-time
-     sweep found 4 scale defects invisible at every sf0.01 gate;
+     sf0.1 every name staled since the newest committed CHECK_sf01
+     artifact (plus missing names), merging into CHECK_sf01_r{N}.json
+     stamped at ONE head. Staleness is the import-closure of the
+     changed files over the whole-package AST graph (r14): a leaf
+     operators/ change re-gates exactly its dependent query names;
+     catalog/session/__init__ changes reach ~everything and re-gate
+     ~the full registry; an unmapped path still forces the full
+     sweep (deferred with a printed notice on --delta). rc-enforced —
+     the r13 one-time sweep found 4 scale defects invisible at every
+     sf0.01 gate;
   4. (full pass only) the A-B-A anchor — headline movers >1.3x vs the
      prior round re-run new→old→new against the prior snapshot in one
      session → ABA_latest.json (VERDICT r12 #1), and
@@ -32,10 +36,11 @@ never committed) becomes a hard error instead of a memory.
 MISSING from the committed artifacts, the oracle gate re-runs every
 query whose defining module changed since the prior artifact's
 recorded git head (advisor r8: carrying prior CHECK results forward
-verbatim re-certified potential regressions). If a changed package
-file is NOT any query's defining module (a shared operator/helper),
-delta conservatively falls back to a FULL check pass — the import
-graph is not tracked, so any query could depend on it. The round
+verbatim re-certified potential regressions). Since r14 the staleness
+set is the import-closure over the whole-package AST graph
+(_package_import_graph), so a shared operator/helper change re-gates
+its actual dependents; only a path the graph cannot map (deleted
+module, non-Python file) falls back to a FULL check pass. The round
 should still END with one FULL pass (no --delta); the driver's own
 CORRECTNESS gate also re-runs a sweep per round.
 
@@ -397,11 +402,12 @@ def run_sf01_gate(rnd: int, registry, conservative_full: bool = True) -> str | N
     self-consistent at ONE head (VERDICT r13 #3: the r13 artifact
     mixed two heads and said n_registry: 293 with 294 rows).
 
-    A shared-module change (non-query file) cannot bound the blast
-    radius; the full pass re-runs the whole registry at sf0.1
-    (~20 min measured in r13), while --delta passes defer that to
-    the round-closing full pass (printed, not silent).
-    Returns an error string or None.
+    Staleness is bounded by the whole-package import graph (r14):
+    shared-module changes re-gate their actual dependents. Only an
+    UNMAPPABLE change (deleted module, non-Python path) falls back to
+    the full-registry sf0.1 sweep (~20 min measured in r13); --delta
+    passes defer that full sweep to the round-closing full pass
+    (printed, not silent). Returns an error string or None.
     """
     import glob
 
@@ -434,7 +440,7 @@ def run_sf01_gate(rnd: int, registry, conservative_full: bool = True) -> str | N
 
     if stale is None:
         if not conservative_full:
-            print("  sf0.1 gate: shared-module change — deferring full "
+            print("  sf0.1 gate: unmappable change — deferring full "
                   "sf0.1 sweep to the round-closing full pass")
             return None
         print("  sf0.1 gate: staleness unbounded, running FULL sf0.1 sweep")
@@ -739,10 +745,11 @@ def main() -> int:
             failures.append(f"{label} exited {r.returncode}")
 
     # VERDICT r13 #2: the sf0.1 value gate is STANDING, not one-time —
-    # every endround re-gates changed-module names at sf0.1 (the r13
-    # sweep found 4 scale defects invisible at sf0.01). rc-enforced.
-    # On --delta a shared-module change defers the full sf0.1 sweep to
-    # the round-closing full pass instead of blocking mid-round work.
+    # every endround re-gates import-closure-staled names at sf0.1
+    # (the r13 sweep found 4 scale defects invisible at sf0.01).
+    # rc-enforced. On --delta an UNMAPPABLE change defers the full
+    # sf0.1 sweep to the round-closing full pass instead of blocking
+    # mid-round work.
     print("== sf0.1 value gate (standing)")
     err = run_sf01_gate(int(rnd), registry, conservative_full=not delta)
     if err:
