@@ -296,11 +296,31 @@ def _git_head():
 
 def _delta_steps(registry, check_path):
     """Build (label, thunk) steps that re-run check/bench/audit for
-    ONLY the registered names each committed artifact is missing, then
-    merge. A thunk returns an error string or None."""
+    the registered names each committed artifact is missing PLUS the
+    import-closure-staled names, then merge. A thunk returns an error
+    string or None.
+
+    BENCH_full_latest.json and PLAN_AUDIT.md carry no git head of
+    their own, and run_check advances the CHECK head before the other
+    two thunks run — so the staleness baseline for bench/audit is the
+    newest committed CHECK_full head CAPTURED HERE, before any thunk
+    mutates it. Without this, a mid-round --delta that happened to be
+    the round's last pass would leave bench rows / plan-audit rows
+    reflecting pre-change code while CHECK claimed the new head (the
+    r9 artifact-drift failure mode, on the other two artifacts)."""
     import glob
 
     reg = set(registry)
+    prior_check_paths = sorted(
+        glob.glob(os.path.join(REPO, "CHECK_full_r*.json")))
+    baseline_head = (json.load(open(prior_check_paths[-1])).get("git_head")
+                     if prior_check_paths else None)
+
+    def _baseline_stale():
+        """Stale set vs the pre-delta baseline head; None = unknown."""
+        if not baseline_head:
+            return None
+        return _stale_names(registry, {"git_head": baseline_head})
 
     def run_check():
         prior_paths = sorted(glob.glob(os.path.join(REPO, "CHECK_full_r*.json")))
@@ -357,11 +377,22 @@ def _delta_steps(registry, check_path):
         path = os.path.join(REPO, "BENCH_full_latest.json")
         prior = json.load(open(path)) if os.path.exists(path) else {}
         covered = set(prior.get("queries", {})) | set(prior.get("errors", {}))
-        missing = sorted(reg - covered)
+        stale = _baseline_stale()
+        if stale is None:
+            # Bench is advisory mid-round and a full --all re-run is
+            # minutes of measurement; don't pay it on an unmappable
+            # change — but say so, loudly, so a reader of the
+            # artifact knows its numbers may predate the change. The
+            # round-closing full pass re-measures everything.
+            print("  bench delta: staleness unknown (unmappable "
+                  "change) — numbers for changed code may be stale "
+                  "until the round-closing full bench")
+            stale = set()
+        missing = sorted((reg - covered) | stale)
         if not missing:
-            print("  bench: nothing missing")
+            print("  bench: nothing missing or stale")
             return None
-        print(f"  bench delta: {missing}")
+        print(f"  bench delta (missing+stale): {missing}")
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--only", ",".join(missing)],
@@ -374,11 +405,17 @@ def _delta_steps(registry, check_path):
         covered = set()
         if os.path.exists(path):
             covered = set(re.findall(r"^\| (?!query \|)(\w+)", open(path).read(), re.M))
-        missing = sorted(reg - covered)
+        stale = _baseline_stale()
+        if stale is None:
+            print("  audit delta: staleness unknown (unmappable "
+                  "change) — plan rows for changed code may be stale "
+                  "until the round-closing full audit")
+            stale = set()
+        missing = sorted((reg - covered) | stale)
         if not missing:
-            print("  audit: nothing missing")
+            print("  audit: nothing missing or stale")
             return None
-        print(f"  audit delta: {missing}")
+        print(f"  audit delta (missing+stale): {missing}")
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools/audit_plans.py"), *missing],
             cwd=REPO,
