@@ -587,6 +587,36 @@ def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
     prior_raw = json.load(open(prior_bench))
     prior_parsed = prior_raw.get("parsed") or prior_raw
     prior_q = prior_parsed.get("queries", {}) if isinstance(prior_parsed, dict) else {}
+    if not prior_q:
+        # The driver artifact can be unparseable (r13: the oversized
+        # headline line recorded parsed:null). Without this fallback
+        # the anchor silently compared against NOTHING and stamped
+        # "no movers" — a vacuous adjudication wearing a real one's
+        # words (found in r14). Fall back to the prior round's
+        # committed full-sweep artifact AT ITS RECORDED HEAD:
+        # like-for-like sweep-vs-sweep conditions and all 294 names
+        # instead of the ~40 headline ones.
+        r = subprocess.run(
+            ["git", "show", f"{old_head}:BENCH_full_latest.json"],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        if r.returncode == 0:
+            try:
+                prior_q = json.loads(r.stdout).get("queries", {})
+                base["prior_artifact"] = (
+                    f"BENCH_full_latest.json@{old_head[:10]} "
+                    f"(fallback: {os.path.basename(prior_bench)} has no "
+                    "per-query data)")
+            except json.JSONDecodeError:
+                pass
+    if not prior_q:
+        base["note"] = (
+            f"adjudication unavailable: {os.path.basename(prior_bench)} "
+            f"has no per-query data and no committed sweep artifact at "
+            f"{old_head[:10]}")
+        json.dump(base, open(out_path, "w"), indent=1, sort_keys=True)
+        print(f"  aba: {base['note']}")
+        return None
     # Advisor r13 #3: the sweep step can fail (or be skipped) — a
     # missing/corrupt BENCH_full_latest.json must degrade to a stamped
     # note, not an uncaught exception that aborts endround before the
