@@ -525,6 +525,48 @@ def run_sf01_gate(rnd: int, registry, conservative_full: bool = True) -> str | N
     return None
 
 
+def _prior_query_map(prior_bench: str, old_head: str):
+    """Resolve the A-B-A anchor's prior per-query timings.
+
+    BENCH_r{N}.json is the DRIVER's record of bench.py's run: the
+    JSON line lives under "parsed" (with rc/tail wrapper fields);
+    accept both that shape and a plain bench.py output. The driver
+    artifact can also be unparseable (r13: the oversized headline
+    line recorded parsed:null) — without a fallback the anchor
+    silently compared against NOTHING and stamped "no movers", a
+    vacuous adjudication wearing a real one's words (found in r14).
+    Fall back to the prior round's committed full-sweep artifact AT
+    ITS RECORDED HEAD: like-for-like sweep-vs-sweep conditions and
+    all registry names instead of the ~40 headline ones.
+
+    Returns (query_map, label) — label is None when the primary
+    artifact supplied the data, and query_map is {} when neither
+    source has per-query data (caller stamps an explicit
+    "adjudication unavailable" note).
+    """
+    prior_raw = json.load(open(prior_bench))
+    prior_parsed = prior_raw.get("parsed") or prior_raw
+    prior_q = (prior_parsed.get("queries", {})
+               if isinstance(prior_parsed, dict) else {})
+    if prior_q:
+        return prior_q, None
+    r = subprocess.run(
+        ["git", "show", f"{old_head}:BENCH_full_latest.json"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if r.returncode == 0:
+        try:
+            fallback_q = json.loads(r.stdout).get("queries", {})
+        except json.JSONDecodeError:
+            fallback_q = {}
+        if fallback_q:
+            return fallback_q, (
+                f"BENCH_full_latest.json@{old_head[:10]} "
+                f"(fallback: {os.path.basename(prior_bench)} has no "
+                "per-query data)")
+    return {}, None
+
+
 def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
     """Same-session A-B-A anchor for the headline movers (VERDICT r12
     #1): cross-window headline ratios on this box carry ±40% drift —
@@ -581,34 +623,9 @@ def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
     base["old_head"] = old_head
     base["prior_artifact"] = os.path.basename(prior_bench)
 
-    # BENCH_r{N}.json is the DRIVER's record of bench.py's run: the
-    # JSON line lives under "parsed" (with rc/tail wrapper fields);
-    # accept both that shape and a plain bench.py output.
-    prior_raw = json.load(open(prior_bench))
-    prior_parsed = prior_raw.get("parsed") or prior_raw
-    prior_q = prior_parsed.get("queries", {}) if isinstance(prior_parsed, dict) else {}
-    if not prior_q:
-        # The driver artifact can be unparseable (r13: the oversized
-        # headline line recorded parsed:null). Without this fallback
-        # the anchor silently compared against NOTHING and stamped
-        # "no movers" — a vacuous adjudication wearing a real one's
-        # words (found in r14). Fall back to the prior round's
-        # committed full-sweep artifact AT ITS RECORDED HEAD:
-        # like-for-like sweep-vs-sweep conditions and all 294 names
-        # instead of the ~40 headline ones.
-        r = subprocess.run(
-            ["git", "show", f"{old_head}:BENCH_full_latest.json"],
-            cwd=REPO, capture_output=True, text=True,
-        )
-        if r.returncode == 0:
-            try:
-                prior_q = json.loads(r.stdout).get("queries", {})
-                base["prior_artifact"] = (
-                    f"BENCH_full_latest.json@{old_head[:10]} "
-                    f"(fallback: {os.path.basename(prior_bench)} has no "
-                    "per-query data)")
-            except json.JSONDecodeError:
-                pass
+    prior_q, prior_label = _prior_query_map(prior_bench, old_head)
+    if prior_label:
+        base["prior_artifact"] = prior_label
     if not prior_q:
         base["note"] = (
             f"adjudication unavailable: {os.path.basename(prior_bench)} "
