@@ -497,6 +497,14 @@ def exact_substring_pairs(
 
     base = _doc_keyed_norm_base(docs, id_col, text_col, k)
 
+    # No per-index .distinct() (r14 opt): the final per-pair metric is
+    # COUNT(DISTINCT g), which already collapses within-doc repeats, so
+    # pre-deduplicating each index buys nothing semantically and costs
+    # a full extra shuffle of BOTH indexes (distinct shuffles the same
+    # rows the join is about to shuffle again on g). Within-doc gram
+    # repetition is tiny anyway (measured 18 of 1.37M positions at
+    # sf0.1); cross-doc hot grams — the real skew axis — are handled
+    # by max_gram_df, unchanged.
     def gram_index(out_id: str, s: int) -> DataFrame:
         grams_expr = (
             f"transform(sequence(1, length(_t) - {k} + 1, {s}), "
@@ -506,7 +514,6 @@ def exact_substring_pairs(
             base.select(F.col(id_col).alias(out_id), "_t")
             .select(out_id, F.explode(F.expr(grams_expr)).alias("_g"))
             .select(out_id, F.md5("_g").alias("g"))
-            .distinct()
         )
 
     cg = gram_index("cid", stride)
@@ -514,13 +521,22 @@ def exact_substring_pairs(
     if max_gram_df is not None:
         hot = (
             cg.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("_df"))
+            # count_distinct, not count: cg is no longer pre-distinct,
+            # so a plain count would be positions, not doc frequency.
+            .agg(F.count_distinct("cid").alias("_df"))
             .where(F.col("_df") > max_gram_df)
             .select("g")
         )
         cg = cg.join(F.broadcast(hot), "g", "left_anti")
+    # shuffle_hash on the coarse side (r14 opt): post-gate size
+    # estimates are unreliable enough that the planner was BROADCASTING
+    # the stride-1 FINE index (the larger side — 1.25M rows at sf0.1,
+    # corpus-chars-proportional at 100 TB, where it would hit the 8 GB
+    # broadcast cap long before the scan finishes). A shuffled hash
+    # join keyed on g builds the per-partition hash table from the
+    # coarse side (1/stride the rows) — right at both scales.
     return (
-        cg.join(fg, "g")
+        cg.hint("shuffle_hash").join(fg, "g")
         .where(F.col("cid") != F.col("fid"))
         .select(
             F.least("cid", "fid").alias("id_a"),
@@ -707,8 +723,15 @@ def exact_substring_spans(
         )
         cg = cg.join(F.broadcast(hot), "g", "left_anti")
 
+    # shuffle_hash on the coarse side (r14 opt): same rationale as
+    # exact_substring_pairs — the planner's post-gate estimates had it
+    # BROADCASTING the stride-1 fine positioned index (the big side;
+    # 8 GB-cap hazard at 100 TB). Shuffled hash keyed on g builds from
+    # the 1/stride coarse side instead. (The _delta variant below keeps
+    # the planner's choice: its fine side is the batch — genuinely
+    # broadcast-sized.)
     anchors = (
-        cg.join(fg, "g")
+        cg.hint("shuffle_hash").join(fg, "g")
         .where(F.col("cid") != F.col("fid"))
         .select(
             F.col("cid").alias("src_id"),
