@@ -38,6 +38,17 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def as_double_sql(col_name: str) -> str:
+    """SQL fragment equal to ``as_double(F.col(col_name))`` — for the
+    string fast paths of ``lsh_signature``/``_probe_sig_array`` (r14
+    opt): a signature is sig_bits × dims literal components, and
+    building it as nested Column ops costs one py4j round trip PER
+    NODE (measured 0.75 s of pure driver time at dims=64, bits=9,
+    per construction, before any Spark job). One F.expr parses the
+    whole thing JVM-side in ~6 ms, to byte-identical expressions."""
+    return f"transform(`{col_name}`, x -> CAST(x AS DOUBLE))"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product, left-to-right double accumulation."""
     return F.aggregate(
@@ -460,13 +471,32 @@ def sized_sig_bits(
     return max(min_bits, min(max_bits, bits))
 
 
-def lsh_signature(vec: Column, dims: int, sig_bits: int = 8) -> Column:
+def lsh_signature(vec: Column | str, dims: int, sig_bits: int = 8) -> Column:
     """Sign-LSH signature bitstring: bit h = sign(<vec, hyperplane_h>).
 
     Hyperplane components are Python-side constants (a tiny ±1 matrix
     — broadcast-free literals folded into codegen), so the projection
     is a pure column expression.
+
+    ``vec`` as a str is a SQL fragment for the array<double> operand
+    (e.g. ``as_double_sql(name)``) — the fast path (r14 opt): the
+    signature is sig_bits × dims literal components, and building it
+    node-by-node through py4j costs ~0.75 s of driver time per
+    construction at (dims=64, bits=9); one F.expr parses JVM-side in
+    ~6 ms to the SAME expressions (value-equality pinned by test).
     """
+    if isinstance(vec, str):
+        bits_sql = []
+        for h in range(sig_bits):
+            comps = ",".join(
+                f"{float(hyperplane_component(h, d))}D" for d in range(dims)
+            )
+            proj = (
+                f"aggregate(zip_with({vec}, array({comps}), "
+                f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            )
+            bits_sql.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+        return F.expr("concat(" + ", ".join(bits_sql) + ")")
     bits = []
     for h in range(sig_bits):
         comps = [hyperplane_component(h, d) for d in range(dims)]
@@ -502,7 +532,7 @@ def bucket_scored_pairs(
     sigs = vectors.select(
         F.col(id_col).alias("vid"),
         v.alias("v"),
-        lsh_signature(v, dims, sig_bits).alias("sig"),
+        lsh_signature(as_double_sql(vec_col), dims, sig_bits).alias("sig"),
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a = sigs.select(
         F.col("vid").alias("qid"), F.col("v").alias("va"),
@@ -564,7 +594,7 @@ def banded_range_search(
         vectors.select(
             F.col(id_col).alias("vid"),
             v.alias("v"),
-            lsh_signature(v, dims, sig_bits).alias("sig"),
+            lsh_signature(as_double_sql(vec_col), dims, sig_bits).alias("sig"),
         )
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         # Pin: feeds the band explode and BOTH exact-filter join
@@ -662,7 +692,7 @@ def lsh_bucketed_topk(
     sigs = vectors.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
-        lsh_signature(as_double(F.col(vec_col)), dims, sig_bits).alias("sig"),
+        lsh_signature(as_double_sql(vec_col), dims, sig_bits).alias("sig"),
     )
 
     def bucket_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -885,7 +915,25 @@ def _one_probe(sig: Column, positions: tuple[int, ...], sig_bits: int) -> Column
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
-def _probe_sig_array(sig: Column, sig_bits: int, n_flip: int) -> Column:
+def _one_probe_sql(sig_sql: str, positions: tuple[int, ...], sig_bits: int) -> str:
+    """SQL form of ``_one_probe`` — identical flat substring/when
+    concat, rendered as text for the single-F.expr fast path."""
+    parts: list[str] = []
+    prev = 0
+    for p in positions:
+        if p > prev:
+            parts.append(f"substring({sig_sql}, {prev + 1}, {p - prev})")
+        parts.append(
+            f"CASE WHEN substring({sig_sql}, {p + 1}, 1) = '1' "
+            f"THEN '0' ELSE '1' END"
+        )
+        prev = p + 1
+    if prev < sig_bits:
+        parts.append(f"substring({sig_sql}, {prev + 1}, {sig_bits - prev})")
+    return f"concat({', '.join(parts)})" if len(parts) > 1 else parts[0]
+
+
+def _probe_sig_array(sig: Column | str, sig_bits: int, n_flip: int) -> Column:
     """Array of probe signatures at Hamming distance <= ``n_flip`` from
     ``sig`` (the query's own bucket first) — the multi-probe LSH probe
     set (Lv et al., VLDB'07; with ±1 hyperplanes all bits are equally
@@ -896,6 +944,13 @@ def _probe_sig_array(sig: Column, sig_bits: int, n_flip: int) -> Column:
     one projection — no shuffle, no Python. Fan-outs beyond
     ``PROBE_FANOUT_WARN`` emit a RuntimeWarning steering serving-path
     callers to the trained IVF tier.
+
+    ``sig`` as a str is a SQL fragment (usually a backtick-quoted
+    column name) — the fast path (r14 opt): the probe set is fan-out ×
+    ~(2f+1) expression nodes, ~1 s of py4j round trips at (bits=9,
+    f=2) when built node-by-node; one F.expr parses the whole array
+    JVM-side in ~2 ms to the SAME expressions (value-equality pinned
+    by test).
     """
     import math
     from itertools import combinations
@@ -913,6 +968,12 @@ def _probe_sig_array(sig: Column, sig_bits: int, n_flip: int) -> Column:
             RuntimeWarning,
             stacklevel=2,
         )
+    if isinstance(sig, str):
+        probes_sql = [sig]
+        for f in range(1, max(0, n_flip) + 1):
+            for positions in combinations(range(sig_bits), f):
+                probes_sql.append(_one_probe_sql(sig, positions, sig_bits))
+        return F.expr("array(" + ", ".join(probes_sql) + ")")
     probes = [sig]
     for f in range(1, max(0, n_flip) + 1):
         for positions in combinations(range(sig_bits), f):
@@ -1002,7 +1063,7 @@ def lsh_multiprobe_topk(
     base = vectors.select(
         F.col(id_col).alias("vid"),
         as_double(F.col(vec_col)).alias("vec"),
-        lsh_signature(as_double(F.col(vec_col)), dims, sig_bits).alias("sig"),
+        lsh_signature(as_double_sql(vec_col), dims, sig_bits).alias("sig"),
     ).withColumn("nrm", norm(F.col("vec")))
 
     members = base.select(
@@ -1011,7 +1072,7 @@ def lsh_multiprobe_topk(
         F.col("nrm").alias("n_nrm"),
         "sig",
     )
-    probe_sigs = _probe_sig_array(F.col("sig"), sig_bits, n_flip)
+    probe_sigs = _probe_sig_array("`sig`", sig_bits, n_flip)
     probes = base.select(
         F.col("vid").alias("qid"),
         F.col("vec").alias("qv"),
@@ -1655,7 +1716,7 @@ def pq_topk(
         "sig",
     )
     probe_sigs = _probe_sig_array(
-        F.col("sig"), sig_bits, resolve_n_flip(n_flip, sig_bits)
+        "`sig`", sig_bits, resolve_n_flip(n_flip, sig_bits)
     )
     probes = base.select(
         F.col("vid").alias("qid"),

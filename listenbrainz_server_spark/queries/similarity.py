@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from listenbrainz_server_spark.catalog import load_table
 from listenbrainz_server_spark.operators.similarity import (
+    as_double_sql,
     brute_force_topk,
     hyperplane_component,
     lsh_bucketed_topk,
@@ -722,7 +723,7 @@ def v_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     def index_of(df: DataFrame) -> DataFrame:
         return df.select(
             "vec_id",
-            lsh_signature(as_double(F.col("embedding")), _DIMS, _SIG_BITS).alias(
+            lsh_signature(as_double_sql("embedding"), _DIMS, _SIG_BITS).alias(
                 "sig"
             ),
         )
@@ -2118,7 +2119,7 @@ def v_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     sigs = emb.select(
         "vec_id",
-        lsh_signature(as_double(F.col("embedding")), _DIMS, _SIG_BITS).alias("sig"),
+        lsh_signature(as_double_sql("embedding"), _DIMS, _SIG_BITS).alias("sig"),
     )
     buckets = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("n"))
     tot = sigs.agg(F.count(F.lit(1)).alias("nv"))
@@ -2299,7 +2300,7 @@ def v_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = emb.select(
         "vec_id",
         v.alias("v"),
-        lsh_signature(v, _DIMS, _SIG_BITS).alias("sig"),
+        lsh_signature(as_double_sql("embedding"), _DIMS, _SIG_BITS).alias("sig"),
         (F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "3").alias(
             "is_bench"
         ),
@@ -2403,7 +2404,7 @@ def v_sig_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     sigs = emb.select(
         "vec_id",
-        lsh_signature(as_double(F.col("embedding")), _DIMS, _SIG_BITS).alias("sig"),
+        lsh_signature(as_double_sql("embedding"), _DIMS, _SIG_BITS).alias("sig"),
     ).localCheckpoint(eager=True)  # one signature pass feeds all settings
     top5 = (
         brute_force_topk(emb, "vec_id", "embedding", k=5)

@@ -196,6 +196,44 @@ def test_probe_sig_array_and_n_flip_rule(spark):
         assert set(probes) == expected, f"probe set wrong at f={f}"
 
 
+def test_sql_fast_paths_match_column_paths(spark):
+    """The r14 single-F.expr fast paths of lsh_signature and
+    _probe_sig_array must produce the SAME values as the Column-op
+    forms — the fast path only changes HOW the expression tree is
+    built (one JVM parse instead of thousands of py4j round trips),
+    never what it computes. Bucketing identity is what keeps every
+    LSH-family oracle hash stable, so pin it directly."""
+    import numpy as np
+
+    from listenbrainz_server_spark.operators.similarity import (
+        _probe_sig_array,
+        as_double,
+        as_double_sql,
+        lsh_signature,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    old = df.select(
+        lsh_signature(as_double(F.col("embedding")), 16, 7).alias("s")
+    ).collect()
+    new = df.select(
+        lsh_signature(as_double_sql("embedding"), 16, 7).alias("s")
+    ).collect()
+    assert old == new
+
+    sigs = df.select(
+        lsh_signature(as_double_sql("embedding"), 16, 7).alias("sig")
+    )
+    po = sigs.select(F.explode(_probe_sig_array(F.col("sig"), 7, 2)).alias("p"))
+    pn = sigs.select(F.explode(_probe_sig_array("`sig`", 7, 2)).alias("p"))
+    assert po.collect() == pn.collect()
+
+
 def test_multiprobe_radius_2_recall_dominates_radius_1(spark):
     """Radius monotonicity on the smoke corpus: widening the probe
     radius can only add candidates, so recall@5 must not drop."""
