@@ -1960,35 +1960,46 @@ def mmr_exact_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nid",
     )
 
-    def sim_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def sim_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        V = np.array(pdf["v"].tolist(), dtype=np.float64)
-        m, dims = V.shape
-        acc = np.zeros((m, m), dtype=np.float64)
-        for d in range(dims):  # left-to-right over dims == the SQL fold
-            acc += np.outer(V[:, d], V[:, d])
-        nrm = np.sqrt(acc.diagonal().copy())
-        nrm[nrm == 0] = 1.0
-        s_u = np.rint((acc / np.outer(nrm, nrm)) * 1000000).astype(np.int64)
-        ii, jj = np.nonzero(~np.eye(m, dtype=bool))
-        nids = pdf["nid"].to_numpy()
+        V_all = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nid_all = pdf["nid"].to_numpy()
+        out_q, out_i, out_j, out_s = [], [], [], []
+        for qid, idx in pdf.groupby("qid", sort=False).indices.items():
+            V = V_all[idx]
+            m, dims = V.shape
+            acc = np.zeros((m, m), dtype=np.float64)
+            for d in range(dims):  # left-to-right over dims == SQL fold
+                acc += np.outer(V[:, d], V[:, d])
+            nrm = np.sqrt(acc.diagonal().copy())
+            nrm[nrm == 0] = 1.0
+            s_u = np.rint((acc / np.outer(nrm, nrm)) * 1000000).astype(
+                np.int64
+            )
+            ii, jj = np.nonzero(~np.eye(m, dtype=bool))
+            nids = nid_all[idx]
+            out_q.extend([qid] * len(ii))
+            out_i.extend(nids[ii])
+            out_j.extend(nids[jj])
+            out_s.extend(s_u[ii, jj])
         return pd.DataFrame(
-            {
-                "qid": [pdf["qid"].iloc[0]] * len(ii),
-                "i": nids[ii],
-                "j": nids[jj],
-                "s_u": s_u[ii, jj],
-            }
+            {"qid": out_q, "i": out_i, "j": out_j, "s_u": out_s}
         )
 
-    # sq, not qid: applyInPandas re-emits the grouping column under
-    # its original expression id, so a later rem-side join on qid
-    # would see an ambiguous reference (rem also descends from cands).
+    # Coarse hash-bucket grouping, not per-qid (r14 opt, guide §4):
+    # same fixed Arrow-group-overhead amortization as mmr_rerank —
+    # the per-query numpy math is unchanged, one batch just serves
+    # many queries. sq, not qid: applyInPandas re-emits the grouping
+    # column under its original expression id, so a later rem-side
+    # join on qid would see an ambiguous reference (rem also
+    # descends from cands).
+    n_buckets = max(spark.sparkContext.defaultParallelism * 4, 1)
     sims = (
-        cvecs.groupBy("qid")
+        cvecs.withColumn("_mb", F.pmod(F.hash("qid"), F.lit(n_buckets)))
+        .groupBy("_mb")
         .applyInPandas(
-            sim_group,
+            sim_bucket,
             f"qid {id_type}, i {id_type}, j {id_type}, s_u bigint",
         )
         .select(F.col("qid").alias("sq"), "i", "j", "s_u")
