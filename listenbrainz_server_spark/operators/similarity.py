@@ -1065,6 +1065,10 @@ def lsh_multiprobe_topk(
         as_double(F.col(vec_col)).alias("vec"),
         lsh_signature(as_double_sql(vec_col), dims, sig_bits).alias("sig"),
     ).withColumn("nrm", norm(F.col("vec")))
+    # Pin base (r14 opt): it feeds the member side AND the probe side
+    # (and the vectorized cogroup reads both), so the scan+signature
+    # projection executed twice per action without a lineage cut.
+    base = base.localCheckpoint(eager=True)
 
     members = base.select(
         F.col("vid").alias("nid"),
@@ -1702,13 +1706,19 @@ def pq_topk(
         train = hash_sample(unit, "vid", train_fraction)
     books = pq_train_codebooks(train, "vec", dims, m=m, k_sub=k_sub, seed=seed)
 
+    # Pin the index pass (r14 opt): base feeds FOUR consumers
+    # (members, probes, and both re-rank vector sides) and nothing
+    # else cuts the lineage, so the Arrow index-builder executed up
+    # to 4× per action. One eager checkpoint runs it once — this IS
+    # the "persisted ANN index" the docstring describes, materialized
+    # for the query's lifetime instead of rebuilt per consumer.
     base = unit.mapInPandas(
         _pq_index_builder(books, dims, m, k_sub, sig_bits),
         schema=(
             "vid bigint, vec array<double>, sig string, "
             "codes array<int>, lut array<double>"
         ),
-    )
+    ).localCheckpoint(eager=True)
 
     members = base.select(
         F.col("vid").alias("nid"),

@@ -934,13 +934,19 @@ def v_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
 
-    aggs = []
-    for i in range(_DIMS):
-        aggs.append(F.min(F.get("embedding", i)).cast("double").alias(f"mn{i}"))
-        aggs.append(F.max(F.get("embedding", i)).cast("double").alias(f"mx{i}"))
-    stats = emb.agg(*aggs).select(
-        F.array(*[F.col(f"mn{i}") for i in range(_DIMS)]).alias("mn"),
-        F.array(*[F.col(f"mx{i}") for i in range(_DIMS)]).alias("mx"),
+    # Two F.expr aggregate arrays instead of 2×_DIMS Column-built
+    # aggs (r14 opt, the lsh_signature fast-path pattern): the wide
+    # form cost ~1 s of py4j round trips per construction; one JVM
+    # parse builds the same MIN/MAX-then-CAST aggregates. Spark []
+    # array indexing is 0-based, matching F.get.
+    mn_sql = "array(" + ",".join(
+        f"CAST(MIN(embedding[{i}]) AS DOUBLE)" for i in range(_DIMS)
+    ) + ")"
+    mx_sql = "array(" + ",".join(
+        f"CAST(MAX(embedding[{i}]) AS DOUBLE)" for i in range(_DIMS)
+    ) + ")"
+    stats = emb.agg(
+        F.expr(mn_sql).alias("mn"), F.expr(mx_sql).alias("mx")
     )
 
     # One zip_with lambda instead of 64 inlined per-dimension branches:
@@ -953,9 +959,21 @@ def v_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv = F.least(F.lit(255.0), F.floor((xv - mn) / step).cast("double"))
         return F.when(step > 0, mn + (qv + 0.5) * step).otherwise(mn)
 
-    dq = emb.crossJoin(F.broadcast(stats)).select(
-        "vec_id",
-        F.zip_with("embedding", F.arrays_zip("mn", "mx"), dq_elem).alias("dqv"),
+    # Pin the dequantized frame (r14 opt): brute_force_topk's block
+    # iterator counts it, collects it for the broadcast side, AND
+    # executes it again as the query side — without the pin the
+    # stats-agg + dequantize lineage ran 3×. n×dims doubles, the
+    # same footprint the blocked loop stages to scratch at
+    # multi-block scale.
+    dq = (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.zip_with("embedding", F.arrays_zip("mn", "mx"), dq_elem).alias(
+                "dqv"
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
 
     cands = brute_force_topk(dq, "vec_id", "dqv", k=_SQ_CAND).select(
