@@ -2310,7 +2310,7 @@ def semdedup(
     # downstream consumers.
     raw = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
-    ).repartition(32)
+    ).repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     zero = raw.where(norm(F.col("raw")) == 0)
     unit = raw.where(norm(F.col("raw")) != 0).select(
         "vid", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("vec")

@@ -3055,7 +3055,7 @@ def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("ship_year"),
             F.col("l_suppkey").cast("bigint").alias("sk"),
         )
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # k chained broadcast left joins: `bits` is distinct, so no row
     # duplication; found_j IS NOT NULL == bit j set. The fact table is
@@ -3194,7 +3194,8 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", F.split("text", " ").alias("ws"))
-        .repartition(32, "doc_id")  # explode preserves this; the
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # ^ explode preserves this; the
         # per-doc aggregate below is then exchange-free
     )
     ws = F.col("ws")

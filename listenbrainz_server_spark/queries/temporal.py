@@ -417,6 +417,13 @@ def _fulfillment_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             # clamp so the interval is well-formed (mirrored in SQL)
             F.greatest(F.min("o_orderdate"), F.max("l_shipdate")).alias("e"),
         )
+        # Pin (r14 opt): the census sweep reads this frame FIVE times
+        # (start events, end events, span, and both day-delta sides)
+        # and the overlap join twice — without a cut the 3-table
+        # join+agg re-executed per consumer. The pinned frame is one
+        # narrow row per qualifying order (cohort-filtered), a small
+        # fraction of the input at any scale.
+        .localCheckpoint(eager=True)
     )
 
 
@@ -504,10 +511,10 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lesson).
     a = chopped.where(F.col("nat") == 0).select(
         F.col("k").alias("ak"), F.col("s").alias("as_"), F.col("e").alias("ae"), "m"
-    ).repartition(32, "m")
+    ).repartition(spark.sparkContext.defaultParallelism, "m")
     b = chopped.where(F.col("nat") == 1).select(
         F.col("k").alias("bk"), F.col("s").alias("bs"), F.col("e").alias("be"), "m"
-    ).repartition(32, "m")
+    ).repartition(spark.sparkContext.defaultParallelism, "m")
     overlap = (F.col("as_") <= F.col("be")) & (F.col("bs") <= F.col("ae"))
     first_bucket = F.trunc(F.greatest("as_", "bs"), "month") == F.col("m")
     pairs = a.join(b, "m").where(overlap & first_bucket).select(
