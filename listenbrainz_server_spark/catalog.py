@@ -54,6 +54,22 @@ _NANO_TS_COLS = {"events": ("ts",)}
 
 _CACHE_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_MAX_MB", "512")) * 1024 * 1024
 
+# Cached-table partition sizing (r14 opt, guide §2.5/§2.7): a cached
+# table inherits the SCAN's split count, and these single-file fixture
+# tables scan as 1-3 row-group splits — so every consumer's first map
+# stage (InMemoryTableScan → project/broadcast-join/partial-agg →
+# exchange write) ran 3-wide on a 32-core box (h_fresh_releases: 2.56 s
+# of its 4.0 s wall in one 3-task stage). Repartition BEFORE caching so
+# the in-memory layout tracks the session's parallelism instead of the
+# accident of source file count: partitions = clamp(ceil(on-disk bytes
+# / 256 KiB), 1, defaultParallelism). Size-derived AND core-capped, so
+# a huge cluster doesn't shred a small dim table into thousands of
+# empty cache blocks, and the driver's low-core bench legs shrink it
+# automatically. The one-time round-robin shuffle happens at cache
+# materialization (untimed warm-up in the bench); at 100 TB the size
+# gate disables caching and scans keep their natural split parallelism.
+_CACHE_PARTITION_BYTES = 256 << 10
+
 # (applicationId, abspath, mtime_ns) -> DataFrame
 _TABLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
@@ -178,6 +194,15 @@ def load_table(
     df = validate(name, df)
     if key is not None:
         if size <= _CACHE_MAX_BYTES:
+            nparts = max(
+                1,
+                min(
+                    spark.sparkContext.defaultParallelism,
+                    -(-size // _CACHE_PARTITION_BYTES),
+                ),
+            )
+            if nparts > 1:
+                df = df.repartition(nparts)
             df = df.cache()
         _TABLE_CACHE[key] = df
     return df
