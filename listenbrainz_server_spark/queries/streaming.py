@@ -184,8 +184,13 @@ def st_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="st_fb_")
     log_dir, state = root + "/log", root + "/agg"
     ev.repartition(4).write.mode("overwrite").parquet(log_dir)
+    # max_files=2 -> two triggers: the second still merges into
+    # EXISTING state, so the combine path stays genuinely multi-batch
+    # at half the per-trigger overhead (r14 A/B; the additive
+    # partial+combine is batch-split-invariant — the same property
+    # st_trending_ranked's dial comment pins for LWW).
     stream = read_parquet_stream(
-        spark, log_dir, spark.read.parquet(log_dir).schema, max_files=1
+        spark, log_dir, spark.read.parquet(log_dir).schema, max_files=2
     ).withColumn("n", F.lit(1).cast("bigint"))
     foreach_batch_upsert(stream, state, keys=["user_id"], sum_cols=["n"])
     return spark.read.parquet(state)
@@ -231,8 +236,12 @@ def st_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="st_lww_")
     log_dir, state = root + "/log", root + "/state"
     ev.repartition(4).write.mode("overwrite").parquet(log_dir)
+    # max_files=2: two triggers keep the merge-into-existing-state path
+    # live at half the trigger cost (r14 A/B) — argmax over
+    # state ∪ batch is batch-split-invariant (the property
+    # st_replay_idempotent pins end to end).
     stream = read_parquet_stream(
-        spark, log_dir, spark.read.parquet(log_dir).schema, max_files=1
+        spark, log_dir, spark.read.parquet(log_dir).schema, max_files=2
     )
     foreach_batch_merge_latest(
         stream, state, keys=["user_id"], order_cols=["ts", "event_id"]
