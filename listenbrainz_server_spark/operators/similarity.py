@@ -68,7 +68,7 @@ def unit_vectors(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
-    partitions: int | None = 32,
+    partitions: int | str | None = "auto",
     pin: bool = False,
 ) -> DataFrame:
     """(vid, vec) with ``vec`` unit-normalized and zero-norm rows
@@ -78,7 +78,13 @@ def unit_vectors(
     ``partitions``: explicit repartition first — a single-file source
     otherwise serializes every downstream stage on one task, INCLUDING
     iterative trainers fit on a checkpointed frame (localCheckpoint
-    preserves the 1-partition layout).
+    preserves the 1-partition layout). ``'auto'`` (default, r14)
+    derives the count from ``defaultParallelism`` instead of the old
+    fixed 32 — identical on local[32], but a fixed constant would
+    SHRINK a many-split scan to 32 tasks on a real cluster and
+    over-split on the driver's low-core scaling legs (the 20d55b7
+    rule applied to this last hardcoded site). Pass an int to force,
+    or ``None``/0 to skip the repartition.
 
     ``pin`` (MEASURE per site — the r8 refactor that defaulted this to
     True cost v_ivfpq_topk +1.6 s and d_semdedup +1.8 s in redundant
@@ -94,6 +100,8 @@ def unit_vectors(
     raw = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("raw")
     )
+    if partitions == "auto":
+        partitions = vectors.sparkSession.sparkContext.defaultParallelism
     if partitions:
         raw = raw.repartition(partitions)
     if not pin:
