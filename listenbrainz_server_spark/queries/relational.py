@@ -24,9 +24,10 @@ from listenbrainz_server_spark.queries import register
     "a1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE)      AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE)
+                                                                       AS sum_disc_price,
            ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
            ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
            COUNT(*)                                                    AS count_order
@@ -37,16 +38,27 @@ from listenbrainz_server_spark.queries import register
     doc="group-count workhorse + sums/avgs with pushed-down time filter",
 )
 def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The three SUM columns accumulate in DECIMAL(38,10) on BOTH engines:
+    # a double sum's low bits depend on partitioning/summation order, and
+    # ROUND(...,2) flips when the true sum sits within ~1 ulp of a .005
+    # boundary (observed at sf0.1 for sum_disc_price once cached-table
+    # partitioning changed — same divergence class as the equal-neighbor
+    # percentile fix in x_equidepth_bins). The per-row double→decimal cast
+    # is deterministic, decimal addition is exact, so the result is
+    # order-independent at any parallelism.
     li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,10)"
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
+            F.round(F.sum(F.col("l_quantity").cast(dec)), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(dec)), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
