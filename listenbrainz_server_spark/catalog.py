@@ -62,13 +62,26 @@ _CACHE_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_MAX_MB", "512")) * 1024
 # of its 4.0 s wall in one 3-task stage). Repartition BEFORE caching so
 # the in-memory layout tracks the session's parallelism instead of the
 # accident of source file count: partitions = clamp(ceil(on-disk bytes
-# / 256 KiB), 1, defaultParallelism). Size-derived AND core-capped, so
+# / quantum), 1, defaultParallelism). Size-derived AND core-capped, so
 # a huge cluster doesn't shred a small dim table into thousands of
 # empty cache blocks, and the driver's low-core bench legs shrink it
 # automatically. The one-time round-robin shuffle happens at cache
 # materialization (untimed warm-up in the bench); at 100 TB the size
 # gate disables caching and scans keep their natural split parallelism.
-_CACHE_PARTITION_BYTES = 256 << 10
+#
+# Quantum = 1 MiB, measured not guessed: the first cut used 256 KiB
+# (lineitem → 32 cache blocks at sf0.1) and the endround A-B-A caught
+# 4 sub-second cached-scan queries CONFIRMED slower under matched
+# windows (p9_conditional_projection 0.23 → 0.67 s matched legs) —
+# per-task overhead dominates a 0.2 s query read 32-wide. A mirrored
+# in-process A/B over {256K, 1M, 4M, off} × 3 cycles × 2 reps
+# (medians, sf0.1) showed 1 MiB strictly better for the tiny queries
+# (p9 0.244→0.183, p6_having 0.256→0.166, h_yim_top_missed
+# 0.652→0.480, a12_distinct 0.239→0.147) at a small cost on the
+# widest heavy stage (h_fresh_releases 2.27→2.53; still 2.1x better
+# than no-repartition's 5.36) while keeping a1_pricing_summary's win
+# (0.374 vs 1.320 off); panel totals 5.35/5.12/6.38/9.61.
+_CACHE_PARTITION_BYTES = 1 << 20
 
 # (applicationId, abspath, mtime_ns) -> DataFrame
 _TABLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
