@@ -811,10 +811,19 @@ def m_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcap = Window.partitionBy("user_id").orderBy(
         F.col("playcount").desc(), "item_id"
     )
+    # Pin the capped basket frame ONCE (guide §2.1, r15): it feeds
+    # THREE plan branches (norms + both sides of the shared-user
+    # self-join), and without a cut the whole scan → join → playcount
+    # agg → cap-window subtree executed per branch — the r15 before-
+    # plan (plans/r15/m_item_cf_topk_before.txt) shows the subtree
+    # twice at ~1.7 s a pass. ≤50 rows per user of 3 narrow columns,
+    # strictly smaller than the pinned pc frame the user-cosine tier
+    # already materializes.
     capped = (
         pc.withColumn("brk", F.row_number().over(wcap))
         .where(F.col("brk") <= 50)
         .drop("brk")
+        .localCheckpoint(eager=True)
     )
     norms = capped.groupBy("item_id").agg(
         F.sum(F.col("playcount") * F.col("playcount")).alias("nrm")
@@ -825,15 +834,39 @@ def m_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = capped.select(
         "user_id", F.col("item_id").alias("item_b"), F.col("playcount").alias("pb")
     )
-    dots = (
+    # Generate each unordered pair ONCE (item_a < item_b) and mirror
+    # after the aggregate (guide §2.3 — shuffle fewer bytes): the old
+    # `item_a != item_b` emitted both orientations of every pair into
+    # the partial agg + exchange (the r15 profile's single 5.6 s map
+    # stage), twice the rows for values that are symmetric anyway.
+    # Value-safe: dot and n_common are integer sums (order-free), and
+    # cosine divides by sqrt(na)*sqrt(nb) — commutative product — so
+    # the mirrored row carries bit-identical doubles to what the
+    # two-sided join produced. The explode runs post-agg on the
+    # collapsed pair set (no shuffle of its own; the window exchange
+    # downstream sees the same rows as before).
+    half = (
         a.join(b, "user_id")
-        .where(F.col("item_a") != F.col("item_b"))
+        .where(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(
             F.sum(F.col("pa") * F.col("pb")).alias("dot"),
             F.count(F.lit(1)).cast("bigint").alias("n_common"),
         )
     )
+    dots = half.select(
+        F.explode(
+            F.array(
+                F.struct("item_a", "item_b", "dot", "n_common"),
+                F.struct(
+                    F.col("item_b").alias("item_a"),
+                    F.col("item_a").alias("item_b"),
+                    F.col("dot"),
+                    F.col("n_common"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     cos = (
         dots.join(
             F.broadcast(norms.select(F.col("item_id").alias("item_a"),
