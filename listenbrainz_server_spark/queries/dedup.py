@@ -556,7 +556,14 @@ def d_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-corpus exchanges before the pipeline even started.
     from listenbrainz_server_spark.functions.text import quality_flag
 
-    qdocs = docs.where(quality_flag(F.col("text")))
+    # Pin the quality-gated frame ONCE (guide §2.1, r15): it feeds
+    # the exact-dedup build side, the survivor semi-join's left side
+    # (both inside the sdocs pin job), and (in the funnel) the
+    # n_quality count — the per-doc sorted-token quality expression
+    # otherwise re-evaluates once per branch over the full corpus.
+    qdocs = docs.where(quality_flag(F.col("text"))).localCheckpoint(
+        eager=True
+    )
 
     # 2. Exact dedup: min-id representative per fingerprint.
     exact_reps = exact_dedup(qdocs, "text", "doc_id").select("doc_id")
@@ -856,7 +863,14 @@ def d_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from listenbrainz_server_spark.operators.packing import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
-    qdocs = docs.where(quality_flag(F.col("text")))
+    # Pin the quality-gated frame ONCE (guide §2.1, r15): it feeds
+    # the exact-dedup build side, the survivor semi-join's left side
+    # (both inside the sdocs pin job), and (in the funnel) the
+    # n_quality count — the per-doc sorted-token quality expression
+    # otherwise re-evaluates once per branch over the full corpus.
+    qdocs = docs.where(quality_flag(F.col("text"))).localCheckpoint(
+        eager=True
+    )
     exact_reps = exact_dedup(qdocs, "text", "doc_id").select("doc_id")
     sdocs = semi_join(qdocs, exact_reps, ["doc_id"]).localCheckpoint(eager=True)
     pairs = jaccard_pairs(

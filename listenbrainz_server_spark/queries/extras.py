@@ -3826,9 +3826,17 @@ def x_tdigest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = ev.select(
         F.date_format("day", "yyyy-MM-dd").alias("dstr"), "value"
     )
-    daily = merge_digests(
-        partition_digests(keyed, "dstr", "value"), "dstr"
-    ).withColumn("day", F.col("dstr").cast("date"))
+    # Pin the per-day digest table ONCE (guide §2.1, r15): it feeds
+    # THREE plan branches (the window join's day side, its digest
+    # side, and the exact twin's day side) — without a cut the whole
+    # events-scan → per-partition digest build → keyed sketch merge
+    # re-executed per branch (~0.2 s a pass, 3 of the query's ~3 s).
+    # |days| rows of O(delta) centroids — trivially executor-bounded.
+    daily = (
+        merge_digests(partition_digests(keyed, "dstr", "value"), "dstr")
+        .withColumn("day", F.col("dstr").cast("date"))
+        .localCheckpoint(eager=True)
+    )
 
     win_cond = (F.col("e.day") <= F.col("d.day")) & (
         F.col("e.day") >= F.date_sub(F.col("d.day"), 6)

@@ -110,6 +110,15 @@ def cosine_pairs_from_playcounts(
         w = Window.partitionBy("item_id").orderBy(
             F.col("playcount").desc(), F.col("user_id")
         )
+        # NOT pinned (r15, measured): the cap window's exchange is
+        # partitioned by item_id — exactly the self-join key — so both
+        # join sides reuse that partitioning and the join adds no
+        # exchange of its own. A localCheckpoint here breaks that
+        # property and forces two fresh item_id exchanges; interleaved
+        # A/B read 1.21x SLOWER with the pin (m_user_cosine_capped
+        # 3.13 -> 3.80 s, api_similar_users_top1 3.00 -> 3.64 s,
+        # plans/r15/AB_pins_batch1.json). The duplicated window
+        # subtree is the cheaper of the two evils.
         joined_pc = (
             pc.withColumn("_idr", F.row_number().over(w))
             .where(F.col("_idr") <= item_degree_cap)
@@ -811,19 +820,10 @@ def m_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcap = Window.partitionBy("user_id").orderBy(
         F.col("playcount").desc(), "item_id"
     )
-    # Pin the capped basket frame ONCE (guide §2.1, r15): it feeds
-    # THREE plan branches (norms + both sides of the shared-user
-    # self-join), and without a cut the whole scan → join → playcount
-    # agg → cap-window subtree executed per branch — the r15 before-
-    # plan (plans/r15/m_item_cf_topk_before.txt) shows the subtree
-    # twice at ~1.7 s a pass. ≤50 rows per user of 3 narrow columns,
-    # strictly smaller than the pinned pc frame the user-cosine tier
-    # already materializes.
     capped = (
         pc.withColumn("brk", F.row_number().over(wcap))
         .where(F.col("brk") <= 50)
         .drop("brk")
-        .localCheckpoint(eager=True)
     )
     norms = capped.groupBy("item_id").agg(
         F.sum(F.col("playcount") * F.col("playcount")).alias("nrm")

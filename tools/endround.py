@@ -574,8 +574,16 @@ def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
     "stable" window stamp, disproved only by the judge's hand-run
     worktree A-B-A. This automates that exact recipe at endround:
 
-    1. movers = top-5 names whose full-sweep time moved >1.3x vs the
-       prior round's headline artifact (BENCH_r{N-1}.json);
+    1. movers = the top-10 names whose full-sweep time moved >1.3x vs
+       the prior round's artifact, PLUS every registered name whose
+       defining module changed since the prior round's head (the
+       import-closure stale set — VERDICT r14 #6: sweep-ratio-chosen
+       movers alone left a round's claims resting on 5 adjudications
+       picked by a garbage-window signal). The combined list is
+       ranked (ratio movers by |log ratio|, then touched names by
+       current sweep seconds) and capped at ABA_MAX_MOVERS=20 legs
+       per window; anything dropped by the cap is stamped under
+       "movers_capped" so the omission is legible;
     2. git-worktree the prior round's engine snapshot (the git_head
        recorded in CHECK_full_r{N-1}.json);
     3. run bench.py --only <movers> new → old → new in ONE session
@@ -653,17 +661,43 @@ def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
         for n, p in prior_q.items()
         if cur_q.get(n) and p > 0 and max(cur_q[n], p) >= 0.5
     }
-    movers = sorted(
+    ratio_movers = sorted(
         (n for n, r in ratios.items() if r > threshold or r < 1 / threshold),
         key=lambda n: abs(math.log(ratios[n])),
         reverse=True,
-    )[:5]
+    )[:10]
+    # Round-touched names (VERDICT r14 #6): adjudicate every query the
+    # round's code changes could affect, not just the sweep's ratio
+    # picks — the ratio signal is exactly what a drifted window
+    # poisons. Stale set = import-closure of the diff vs the prior
+    # round's head; ranked by current sweep seconds so the cap keeps
+    # the names whose adjudication moves the most total seconds.
+    registry = load_all()
+    touched = _stale_names(registry, {"git_head": old_head})
+    if touched is None:
+        touched = set()
+        base["touched_unmappable"] = True
+    touched = [n for n in touched if n in cur_q and n not in ratio_movers]
+    touched.sort(key=lambda n: cur_q[n], reverse=True)
+    ABA_MAX_MOVERS = 20
+    movers = (ratio_movers + touched)[:ABA_MAX_MOVERS]
+    dropped = (ratio_movers + touched)[ABA_MAX_MOVERS:]
+    if dropped:
+        base["movers_capped"] = {
+            "cap": ABA_MAX_MOVERS,
+            "n_dropped": len(dropped),
+            "dropped_head": dropped[:10],
+        }
     if not movers:
-        base["note"] = f"no headline movers beyond {threshold}x vs prior round"
+        base["note"] = (
+            f"no headline movers beyond {threshold}x vs prior round "
+            "and no round-touched names in the sweep"
+        )
         json.dump(base, open(out_path, "w"), indent=1, sort_keys=True)
         print(f"  aba: no movers beyond {threshold}x — nothing to adjudicate")
         return None
-    print(f"  aba movers: {movers}")
+    print(f"  aba movers ({len(ratio_movers)} ratio + "
+          f"{len(movers) - len(ratio_movers)} touched): {movers}")
 
     # Advisor r13 #3: a fixed /tmp path can clobber unrelated content
     # or collide across concurrent runs — take a fresh private dir and
@@ -714,17 +748,28 @@ def run_aba(rnd: int, threshold: float = 1.3) -> str | None:
         new1, old, new2 = (legs["new1"].get(n), legs["old"].get(n),
                            legs["new2"].get(n))
         m = {
-            "prior_round": prior_q[n],
+            "prior_round": prior_q.get(n),
             "this_sweep": cur_q[n],
-            "sweep_ratio": round(ratios[n], 3),
+            "sweep_ratio": round(ratios[n], 3) if n in ratios else None,
             "legs": {"new1": new1, "old": old, "new2": new2},
         }
+        if n not in ratios:
+            m["selected_by"] = "round-touched"
         if None in (new1, old, new2) or old <= 0:
             m["ab_confirmed"] = None
             m["note"] = "leg missing — adjudication unavailable"
-        elif ratios[n] > 1:  # apparent regression
+        elif ratios.get(n, 1.0) > 1:  # apparent/possible regression
             m["matched_ratio"] = round(min(new1, new2) / old, 3)
             m["ab_confirmed"] = m["matched_ratio"] >= 1.15
+            # A touched name with no sweep signal still gets a
+            # direction: flag whichever matched-condition movement
+            # clears the confirm margin.
+            if n not in ratios and not m["ab_confirmed"]:
+                impr = round(max(new1, new2) / old, 3)
+                if impr <= 1 / 1.15:
+                    m["matched_ratio"] = impr
+                    m["ab_confirmed"] = True
+                    m["direction"] = "improved"
         else:  # apparent improvement
             m["matched_ratio"] = round(max(new1, new2) / old, 3)
             m["ab_confirmed"] = m["matched_ratio"] <= 1 / 1.15
