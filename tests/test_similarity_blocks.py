@@ -77,6 +77,29 @@ def test_connected_components_chain_rounds_logarithmic(spark):
     assert stats["rounds"] <= math.ceil(math.log2(n)) + 2, stats
 
 
+def test_connected_components_shuffled_chain_contracts(spark):
+    """r15 label-contraction phase: a chain whose node ids are RANDOM
+    with respect to topology defeats label-chain path halving (label
+    pointers don't align with the graph — plain propagation simulates
+    to O(diameter) rounds, >25 for this fixture), so only the
+    contracted rounds keep convergence logarithmic. Pins both the
+    result and a generous round bound for a 128-node shuffled chain."""
+    import random
+
+    n = 128
+    rng = random.Random(3)
+    ids = list(range(n))
+    rng.shuffle(ids)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = connected_components(nodes, pairs, max_iter=25, stats=stats)
+    assert {r.group_id for r in out.collect()} == {0}
+    assert stats["rounds"] <= 12, stats
+
+
 def test_connected_components_warns_when_not_converged(spark):
     # A 6-node path graph has diameter 5; max_iter=1 cannot converge.
     nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
